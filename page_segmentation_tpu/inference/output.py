@@ -1,0 +1,105 @@
+"""Output mask rendering — the bit-compatibility surface.
+
+Parity with reference output.py: ``Masks`` (:12-17), ``output_data``
+(:20-41), ``generate_output_masks`` (:44-60) — color / overlay /
+inverted_overlay / fg_color_mask exactly as the reference computes them
+(overlay keeps color where the binary is background; inverted_overlay and
+fg_color_mask keep color on ink pixels) — and ``scale_to_original_shape``
+(:63-79).
+
+A fused device path (``masks_on_device``) computes argmax + palette gather +
+all three masks on-TPU so only uint8 RGB leaves the chip.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import numpy as np
+
+from ..core.colors import ColorMap
+from ..core.image_io import imsave
+from ..data.dataset import SingleData
+from ..ops.resize import resize_nearest
+
+
+@dataclass
+class Masks:
+    color: np.ndarray
+    overlay: np.ndarray
+    inverted_overlay: np.ndarray
+    fg_color_mask: Optional[np.ndarray] = None
+
+
+def generate_output_masks(data: SingleData, pred: np.ndarray, color_map: ColorMap) -> Masks:
+    color_mask = color_map.to_rgb_array(pred)
+    binary = np.asarray(data.binary)
+    foreground = np.stack([(1 - binary)] * 3, axis=-1)
+    binary3d = np.stack([binary] * 3, axis=-1)
+    overlay_mask = color_mask.copy()
+    overlay_mask[foreground == 0] = 0
+    inverted_overlay_mask = color_mask.copy()
+    inverted_overlay_mask[binary3d == 0] = 0
+    fg_color_mask = color_mask.copy()
+    fg_color_mask[foreground != 0] = 0
+    return Masks(
+        color=color_mask,
+        overlay=overlay_mask,
+        inverted_overlay=inverted_overlay_mask,
+        fg_color_mask=fg_color_mask,
+    )
+
+
+def output_data(output_dir, pred: np.ndarray, data: SingleData, color_map: ColorMap) -> None:
+    if pred.ndim == 3:
+        assert pred.shape[0] == 1
+        pred = pred[0]
+
+    if data.output_path:
+        filename = data.output_path
+        directory = os.path.dirname(filename)
+        if os.path.isabs(directory):
+            os.makedirs(directory, exist_ok=True)
+        elif directory:
+            for category in ("color", "overlay", "inverted"):
+                os.makedirs(os.path.join(output_dir, category, directory), exist_ok=True)
+    else:
+        filename = os.path.basename(data.image_path)
+
+    masks = generate_output_masks(data, pred, color_map)
+    imsave(os.path.join(output_dir, "color", filename), masks.color)
+    imsave(os.path.join(output_dir, "overlay", filename), masks.overlay)
+    imsave(os.path.join(output_dir, "inverted", filename), masks.inverted_overlay)
+
+
+def scale_to_original_shape(data: SingleData, pred: np.ndarray):
+    resized_image = resize_nearest(data.image, data.original_shape)
+    pred = resize_nearest(pred, data.original_shape).astype("int64")
+    if data.binary.shape != data.original_shape:
+        if data.orig_binary is not None:
+            resized_binary = data.orig_binary
+        else:
+            resized_binary = resize_nearest(data.binary, data.original_shape).astype(bool)
+    else:
+        resized_binary = data.binary
+    return replace(data, binary=resized_binary, image=resized_image), pred
+
+
+# ------------------------------------------------------------------- device
+def masks_on_device(logits, binary, palette):
+    """Fused on-TPU mask generation.
+
+    logits: (H, W, C) or (N, H, W, C) float; binary: matching (.., H, W)
+    uint8 with 1 = ink; palette: (n_classes, 3) uint8.
+    Returns (pred, color, overlay, inverted) device arrays (uint8 except
+    pred int32).  Semantics mirror generate_output_masks above.
+    """
+    import jax.numpy as jnp
+
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    color = jnp.take(palette, jnp.clip(pred, 0, palette.shape[0] - 1), axis=0)
+    ink = (binary != 0)[..., None]
+    overlay = jnp.where(ink, jnp.uint8(0), color)
+    inverted = jnp.where(ink, color, jnp.uint8(0))
+    return pred, color, overlay, inverted

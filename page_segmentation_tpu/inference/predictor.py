@@ -1,0 +1,141 @@
+"""Prediction orchestration.
+
+Parity with reference predictor.py / predictor_data.py: ``PredictSettings``,
+``Prediction``, ``Predictor`` with ``predict`` / ``predict_single`` /
+``predict_masks`` and the color/overlay/inverted output-dir layout
+(predictor.py:21-25).
+
+Beyond parity, ``predict_dataset_fast`` batches same-bucket pages through
+the fused device pipeline (forward + argmax + mask rendering on-TPU) with
+double-buffered host transfers — the throughput path behind bench.py.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Generator, List, NamedTuple, Optional
+
+import numpy as np
+
+from ..core.colors import ColorMap
+from ..data.dataset import Dataset, SingleData
+from ..ops.pad import bucket_shape, pad_to
+from .classifier import PixelClassifier
+from .output import Masks, generate_output_masks, output_data, scale_to_original_shape
+
+
+class Prediction(NamedTuple):
+    labels: np.ndarray
+    probabilities: np.ndarray
+    data: SingleData
+
+
+@dataclass
+class PredictSettings:
+    network: Optional[str] = None
+    output: Optional[str] = None
+    high_res_output: bool = False
+    color_map: Optional[ColorMap] = None
+    n_classes: int = -1
+    post_process: Optional[List[Callable[[np.ndarray, SingleData], np.ndarray]]] = None
+    gpu_allow_growth: bool = False  # accepted for parity; meaningless on TPU
+    compute_dtype: str = "float32"
+    bucket_granularity: int = 1
+
+
+class Predictor:
+    def __init__(self, settings: PredictSettings, network: Optional[PixelClassifier] = None):
+        import jax.numpy as jnp
+
+        self.settings = settings
+        self.network = network
+        if not network:
+            dtype = jnp.bfloat16 if settings.compute_dtype == "bfloat16" else jnp.float32
+            self.network = PixelClassifier(
+                n_classes=settings.n_classes,
+                model_path=os.path.abspath(settings.network),
+                compute_dtype=dtype,
+                bucket_granularity=settings.bucket_granularity,
+            )
+        if settings.output:
+            for category in ("overlay", "color", "inverted"):
+                os.makedirs(os.path.join(settings.output, category), exist_ok=True)
+
+    def predict(self, dataset: Dataset) -> Generator[Prediction, None, None]:
+        for data in dataset.data:
+            yield self.predict_single(data)
+
+    def predict_single(self, data: SingleData) -> Prediction:
+        logit, prob, pred = self.network.predict_single_data(data)
+        if self.settings.high_res_output:
+            data, pred = scale_to_original_shape(data, pred)
+        if self.settings.post_process:
+            for processor in self.settings.post_process:
+                pred = processor(pred, data)
+        return Prediction(pred, prob, data)
+
+    def predict_masks(self, data: SingleData) -> Masks:
+        prediction = self.predict_single(data)
+        return generate_output_masks(prediction.data, prediction.labels, self.settings.color_map)
+
+    def save_prediction(self, prediction: Prediction) -> None:
+        output_data(self.settings.output, prediction.labels, prediction.data, self.settings.color_map)
+
+    # ------------------------------------------------------------ fast path
+    def predict_dataset_fast(
+        self,
+        dataset: Dataset,
+        batch_size: int = 8,
+        write_output: bool = False,
+    ):
+        """Batched fused prediction.
+
+        Groups pages by bucket shape, pads to (batch, H, W), runs the fused
+        on-device pipeline, crops back, and yields
+        (data, pred, color, overlay, inverted) per page.
+        """
+        color_map = self.settings.color_map or (dataset.color_map if dataset else None)
+        palette = color_map.palette if color_map else np.zeros((self.network.n_classes, 3), np.uint8)
+
+        groups = {}
+        for data in dataset.data:
+            shape = bucket_shape(
+                data.image.shape[:2],
+                self.network.architecture.stride_factor,
+                self.network.bucket_granularity,
+            )
+            groups.setdefault(shape, []).append(data)
+
+        for shape, members in groups.items():
+            for start in range(0, len(members), batch_size):
+                chunk = members[start : start + batch_size]
+                n = len(chunk)
+                images = np.zeros((n,) + shape, dtype=np.uint8)
+                binaries = np.zeros((n,) + shape, dtype=np.uint8)
+                for i, d in enumerate(chunk):
+                    images[i] = pad_to(d.image, shape)
+                    binaries[i] = pad_to(d.binary, shape)
+                pred_d, color_d, overlay_d, inverted_d = self.network.predict_batch_masks(
+                    images, binaries, palette
+                )
+                pred_h = np.asarray(pred_d)
+                color_h = np.asarray(color_d)
+                overlay_h = np.asarray(overlay_d)
+                inverted_h = np.asarray(inverted_d)
+                for i, d in enumerate(chunk):
+                    h, w = d.image.shape[:2]
+                    result = (
+                        d,
+                        pred_h[i, :h, :w],
+                        color_h[i, :h, :w],
+                        overlay_h[i, :h, :w],
+                        inverted_h[i, :h, :w],
+                    )
+                    if write_output and self.settings.output:
+                        from ..core.image_io import imsave
+
+                        filename = d.output_path or os.path.basename(d.image_path or "page.png")
+                        imsave(os.path.join(self.settings.output, "color", filename), result[2])
+                        imsave(os.path.join(self.settings.output, "overlay", filename), result[3])
+                        imsave(os.path.join(self.settings.output, "inverted", filename), result[4])
+                    yield result

@@ -1,0 +1,54 @@
+"""Static-shape padding & bucketing.
+
+The reference pads inside the TF graph to the next multiple of 32 and crops
+back (reference model.py:10-42 ``calculate_padding``/``pad``/``crop`` Lambdas)
+so arbitrary page shapes flow through the conv stack.  Under XLA every shape
+is compiled, so the TPU-native design moves pad/crop *outside* the jitted
+model: pages are padded to a small set of bucketed shapes (multiple-of-32,
+optionally coarser) so the model compiles a handful of times, and logits are
+cropped back exactly afterwards.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+STRIDE_FACTOR = 32  # product of the encoder's pooling strides (2^5 covers all archs)
+
+
+def padding_for(shape: Sequence[int], factor: int = STRIDE_FACTOR) -> Tuple[int, int]:
+    """(pad_h, pad_w) to the next multiple of ``factor``
+    (reference model.py:10-17 semantics)."""
+    h, w = int(shape[0]), int(shape[1])
+    return (factor - h % factor) % factor, (factor - w % factor) % factor
+
+
+def round_up(value: int, factor: int) -> int:
+    return -(-int(value) // factor) * factor
+
+
+def bucket_shape(shape: Sequence[int], factor: int = STRIDE_FACTOR, granularity: int = 1) -> Tuple[int, int]:
+    """Bucketed target shape: multiple of ``factor * granularity``.
+
+    Coarser granularity = fewer XLA recompiles at the cost of more padded
+    FLOPs.  granularity=4 pads to multiples of 128 — MXU/VPU lane aligned.
+    """
+    step = factor * granularity
+    return round_up(shape[0], step), round_up(shape[1], step)
+
+
+def pad_to(image: np.ndarray, target: Sequence[int], value=0) -> np.ndarray:
+    """Zero-pad bottom/right to ``target`` (H, W); channels untouched."""
+    th, tw = int(target[0]), int(target[1])
+    h, w = image.shape[:2]
+    if (h, w) == (th, tw):
+        return image
+    pad_width = [(0, th - h), (0, tw - w)] + [(0, 0)] * (image.ndim - 2)
+    return np.pad(image, pad_width, mode="constant", constant_values=value)
+
+
+def crop_to(array: np.ndarray, shape: Sequence[int]) -> np.ndarray:
+    """Crop top-left (H, W) region — the inverse of pad_to
+    (reference model.py:29-42)."""
+    return array[: int(shape[0]), : int(shape[1])]

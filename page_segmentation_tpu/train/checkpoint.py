@@ -1,0 +1,60 @@
+"""Checkpoint save/restore.
+
+Replaces the reference's Keras ModelCheckpoint `.h5` files
+(network.py:177-183) with a native directory format:
+
+    <dir>/params.msgpack   flax-serialized params (float32)
+    <dir>/opt_state.msgpack  optional optimizer state (resume)
+    <dir>/meta.json        architecture, n_classes, monitor value, step
+
+Orbax is used for async training-state checkpoints when requested; the
+msgpack path is the portable default (works anywhere flax does).  Keras
+``.h5`` files are importable via models/h5_import.py for parity testing.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, params, meta: Optional[Dict[str, Any]] = None, opt_state=None) -> None:
+    os.makedirs(path, exist_ok=True)
+    params = jax.device_get(params)
+    with open(os.path.join(path, "params.msgpack"), "wb") as f:
+        f.write(serialization.msgpack_serialize(_to_numpy(params)))
+    if opt_state is not None:
+        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.msgpack_serialize(_to_numpy(jax.device_get(opt_state))))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2, default=str)
+
+
+def load_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
+    params_file = os.path.join(path, "params.msgpack")
+    if not os.path.exists(params_file):
+        raise FileNotFoundError(f"No checkpoint at {path}")
+    with open(params_file, "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    meta = {}
+    meta_file = os.path.join(path, "meta.json")
+    if os.path.exists(meta_file):
+        with open(meta_file, "r") as f:
+            meta = json.load(f)
+    return params, meta
+
+
+def load_opt_state(path: str):
+    opt_file = os.path.join(path, "opt_state.msgpack")
+    if not os.path.exists(opt_file):
+        return None
+    with open(opt_file, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)

@@ -1,0 +1,156 @@
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.ops.cc import connected_components_with_stats
+from page_segmentation_tpu.ops.morphology import dilate, erode, morph_close, morph_open
+from page_segmentation_tpu.ops.pad import bucket_shape, crop_to, pad_to, padding_for
+from page_segmentation_tpu.ops.resize import (
+    output_shape_for_scale,
+    rescale_nearest,
+    resize_cubic,
+    resize_nearest,
+)
+from page_segmentation_tpu.ops.threshold import otsu_binarize, otsu_threshold
+
+
+# ------------------------------------------------------------------- resize
+def test_resize_nearest_identity():
+    img = np.arange(12).reshape(3, 4)
+    np.testing.assert_array_equal(resize_nearest(img, (3, 4)), img)
+
+
+def test_resize_nearest_upscale_2x():
+    img = np.array([[1, 2], [3, 4]])
+    out = resize_nearest(img, (4, 4))
+    np.testing.assert_array_equal(out, [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]])
+
+
+def test_resize_nearest_preserves_binary_values():
+    rng = np.random.RandomState(0)
+    img = (rng.rand(37, 53) > 0.5).astype(np.uint8)
+    out = rescale_nearest(img, 0.37)
+    assert set(np.unique(out)) <= {0, 1}
+    assert out.shape == output_shape_for_scale(img.shape, 0.37)
+
+
+def test_resize_cubic_constant_preserved():
+    img = np.full((20, 30), 7.0)
+    out = resize_cubic(img, (11, 13))
+    np.testing.assert_allclose(out, 7.0, atol=1e-9)
+
+
+def test_resize_cubic_matches_scipy_map_coordinates_linear_ramp():
+    img = np.tile(np.arange(16, dtype=np.float64), (8, 1))
+    out = resize_cubic(img, (8, 8))
+    # cubic interpolation of a linear ramp stays linear (interior)
+    diffs = np.diff(out[0, 2:-2])
+    np.testing.assert_allclose(diffs, diffs[0], atol=5e-3)
+
+
+def test_resize_cubic_antialias_downscale_range():
+    rng = np.random.RandomState(1)
+    img = rng.rand(64, 64) * 255
+    out = resize_cubic(img, (16, 16), anti_aliasing=True)
+    assert out.shape == (16, 16)
+    assert out.min() >= -30 and out.max() <= 290  # mild ringing only
+
+
+# ---------------------------------------------------------------------- pad
+def test_padding_for():
+    assert padding_for((64, 64)) == (0, 0)
+    assert padding_for((65, 33)) == (31, 31)
+    assert padding_for((30, 40), 8) == (2, 0)
+
+
+def test_pad_crop_roundtrip():
+    img = np.random.RandomState(0).rand(30, 41)
+    target = bucket_shape(img.shape, 32)
+    assert target == (32, 64)
+    padded = pad_to(img, target)
+    assert padded.shape == target
+    np.testing.assert_array_equal(crop_to(padded, img.shape), img)
+
+
+def test_bucket_granularity():
+    assert bucket_shape((100, 200), 32, granularity=4) == (128, 256)
+
+
+# ---------------------------------------------------------------------- cc
+def test_cc_simple_two_components():
+    img = np.array(
+        [
+            [1, 1, 0, 0],
+            [0, 1, 0, 2],
+            [0, 0, 0, 2],
+        ]
+    )
+    n, labels, stats, centroids = connected_components_with_stats(img, connectivity=4)
+    assert n == 3
+    assert labels[0, 0] == labels[0, 1] == labels[1, 1] == 1
+    assert labels[1, 3] == labels[2, 3] == 2
+    # stats: left, top, width, height, area
+    np.testing.assert_array_equal(stats[1], [0, 0, 2, 2, 3])
+    np.testing.assert_array_equal(stats[2], [3, 1, 1, 2, 2])
+    np.testing.assert_allclose(centroids[2], [3.0, 1.5])
+
+
+def test_cc_diagonal_connectivity():
+    img = np.array([[1, 0], [0, 1]])
+    n4, *_ = connected_components_with_stats(img, connectivity=4)
+    n8, *_ = connected_components_with_stats(img, connectivity=8)
+    assert n4 == 3 and n8 == 2
+
+
+def test_cc_raster_order_labels():
+    img = np.array([[0, 1, 0, 1], [0, 1, 0, 1]])
+    _, labels, _, _ = connected_components_with_stats(img)
+    assert labels[0, 1] == 1 and labels[0, 3] == 2
+
+
+# ---------------------------------------------------------------- threshold
+def test_otsu_bimodal():
+    img = np.concatenate([np.full(100, 30, np.uint8), np.full(100, 200, np.uint8)]).reshape(10, 20)
+    t = otsu_threshold(img)
+    assert 30 <= t < 200
+    binary = otsu_binarize(img, invert=True)
+    assert set(np.unique(binary)) == {0, 255}
+    assert binary[0, 0] == 0  # dark pixel below threshold
+
+
+def test_otsu_binarize_default_inverts():
+    img = np.concatenate([np.full(100, 30, np.uint8), np.full(100, 200, np.uint8)]).reshape(10, 20)
+    binary = otsu_binarize(img)
+    assert binary[0, 0] == 255  # dark ink becomes foreground
+
+
+# --------------------------------------------------------------- morphology
+def test_dilate_erode():
+    img = np.zeros((5, 5), np.uint8)
+    img[2, 2] = 255
+    d = dilate(img, (3, 3))
+    assert d[1:4, 1:4].min() == 255 and d.sum() == 255 * 9
+    e = erode(d, (3, 3))
+    assert e[2, 2] == 255 and e.sum() == 255
+
+
+def test_open_removes_speckle():
+    img = np.zeros((7, 7), np.uint8)
+    img[3, 3] = 255
+    assert morph_open(img, (3, 3)).sum() == 0
+
+
+def test_close_fills_hole():
+    img = np.full((7, 7), 255, np.uint8)
+    img[3, 3] = 0
+    assert morph_close(img, (3, 3)).min() == 255
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (8, 8, 3)])
+def test_dilate_jax_matches_host(shape):
+    from page_segmentation_tpu.ops.morphology import dilate_jax
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(*shape) * 255).astype(np.uint8)
+    host = dilate(img, (3, 3))
+    dev = np.asarray(dilate_jax(img, (3, 3)))
+    np.testing.assert_array_equal(host, dev)

@@ -1,0 +1,124 @@
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.core.colors import ColorMap
+from page_segmentation_tpu.data.dataset import SingleData
+from page_segmentation_tpu.inference.output import (
+    generate_output_masks,
+    masks_on_device,
+    scale_to_original_shape,
+)
+from page_segmentation_tpu.inference.postprocess import (
+    add_bounding_boxes,
+    cc_vote_on_device,
+    find_postprocessor,
+    vote_connected_component_class,
+)
+
+
+@pytest.fixture
+def cmap():
+    return ColorMap(
+        {
+            "(255, 255, 255)": (0, "background"),
+            "(255, 0, 0)": (1, "text"),
+            "(0, 255, 0)": (2, "image"),
+        }
+    )
+
+
+def test_generate_output_masks_semantics(cmap):
+    pred = np.array([[0, 1], [2, 1]])
+    binary = np.array([[0, 1], [1, 0]], np.uint8)  # 1 = ink
+    data = SingleData(binary=binary)
+    masks = generate_output_masks(data, pred, cmap)
+    np.testing.assert_array_equal(masks.color[0, 1], [255, 0, 0])
+    # overlay: zeroed where binary==1 (reference output.py:46-49 behavior)
+    np.testing.assert_array_equal(masks.overlay[0, 1], [0, 0, 0])
+    np.testing.assert_array_equal(masks.overlay[0, 0], [255, 255, 255])
+    # inverted: zeroed where binary==0
+    np.testing.assert_array_equal(masks.inverted_overlay[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(masks.inverted_overlay[0, 1], [255, 0, 0])
+    # fg_color_mask equals inverted (both keep ink pixels)
+    np.testing.assert_array_equal(masks.fg_color_mask, masks.inverted_overlay)
+
+
+def test_masks_on_device_matches_host(cmap):
+    rng = np.random.RandomState(0)
+    logits = rng.randn(6, 7, 3).astype(np.float32)
+    binary = (rng.rand(6, 7) > 0.5).astype(np.uint8)
+    pred_d, color_d, overlay_d, inverted_d = masks_on_device(logits, binary, cmap.palette)
+    pred = logits.argmax(-1)
+    host = generate_output_masks(SingleData(binary=binary), pred, cmap)
+    np.testing.assert_array_equal(np.asarray(pred_d), pred)
+    np.testing.assert_array_equal(np.asarray(color_d), host.color)
+    np.testing.assert_array_equal(np.asarray(overlay_d), host.overlay)
+    np.testing.assert_array_equal(np.asarray(inverted_d), host.inverted_overlay)
+
+
+def test_scale_to_original_shape():
+    data = SingleData(
+        image=np.zeros((4, 4), np.uint8),
+        binary=np.ones((4, 4), np.uint8),
+        orig_binary=np.ones((8, 8), np.uint8),
+        original_shape=(8, 8),
+    )
+    pred = np.arange(16).reshape(4, 4) % 3
+    new_data, new_pred = scale_to_original_shape(data, pred)
+    assert new_pred.shape == (8, 8)
+    assert new_pred.dtype == np.int64
+    assert new_data.binary.shape == (8, 8)
+    assert new_data.image.shape == (8, 8)
+
+
+def _reference_cc_vote(pred, binary):
+    """Direct transliteration of the reference loop for oracle testing."""
+    from page_segmentation_tpu.ops.cc import connected_components_with_stats
+
+    pred = pred.copy()
+    num_labels, labels, stats, _ = connected_components_with_stats(binary, connectivity=4)
+    for i in range(1, num_labels):
+        left, top, w, h = stats[i, 0], stats[i, 1], stats[i, 2], stats[i, 3]
+        pred_slice = pred[top : top + h, left : left + w]
+        mask = labels[top : top + h, left : left + w] == i
+        prebin = np.reshape((pred_slice + 1) * mask, pred_slice.size)
+        bins = np.bincount(prebin)
+        maxclass = np.argmax(bins[1:])
+        pred[top : top + h, left : left + w] = pred_slice - mask * pred_slice + mask * maxclass
+    return pred
+
+
+def test_cc_vote_matches_reference_loop():
+    rng = np.random.RandomState(0)
+    binary = (rng.rand(40, 30) > 0.6).astype(np.uint8)
+    pred = rng.randint(0, 3, (40, 30))
+    data = SingleData(binary=binary)
+    expected = _reference_cc_vote(pred, binary)
+    got = vote_connected_component_class(pred, data)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_cc_vote_on_device_matches_host():
+    rng = np.random.RandomState(1)
+    binary = (rng.rand(24, 32) > 0.6).astype(np.uint8)
+    pred = rng.randint(0, 3, (24, 32)).astype(np.int32)
+    host = vote_connected_component_class(pred, SingleData(binary=binary))
+    dev = np.asarray(cc_vote_on_device(pred, binary, n_classes=3))
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_add_bounding_boxes():
+    pred = np.zeros((6, 6), np.int64)
+    pred[1:3, 1:3] = 1
+    pred[2, 2] = 1
+    pred[4, 4] = 2
+    out = add_bounding_boxes(pred, SingleData())
+    assert (out[1:3, 1:3] == 1).all()
+    assert out[4, 4] == 2
+    assert out[0, 0] == 0
+
+
+def test_find_postprocessor_aliases():
+    assert find_postprocessor("cc_majority") is vote_connected_component_class
+    assert find_postprocessor("CC-Vote") is vote_connected_component_class
+    assert find_postprocessor("bbox") is add_bounding_boxes

@@ -1,0 +1,68 @@
+import numpy as np
+
+from page_segmentation_tpu.data.prepare import prepare_images, prepare_mask
+
+
+def _page(h=100, w=80):
+    rng = np.random.RandomState(0)
+    image = np.full((h, w), 255, np.uint8)
+    image[20:40, 10:70] = 30  # dark text band
+    binary = np.full((h, w), 255, np.uint8)
+    binary[20:40, 10:70] = 0  # ink
+    return image, binary
+
+
+def test_prepare_images_contract():
+    image, binary = _page()
+    img, bin_ = prepare_images(image, binary, target_line_height=10, line_height_px=20)
+    # scale 0.5 -> shape halves
+    assert img.shape == (50, 40)
+    assert bin_.shape == (50, 40)
+    assert img.dtype == np.uint8 and bin_.dtype == np.uint8
+    assert set(np.unique(bin_)) <= {0, 1}
+    # inversion: white background becomes 0, ink becomes 1 / bright
+    assert bin_[0, 0] == 0 and bin_[15, 20] == 1
+    assert img[0, 0] < 10 and img[15, 20] > 150
+
+
+def test_prepare_images_keep_orig_bin():
+    image, binary = _page()
+    img, bin_, orig = prepare_images(image, binary, 10, 20, keep_orig_bin=True)
+    assert orig.shape == image.shape
+    assert orig[0, 0] == 0 and orig[25, 20] == 1  # inverted original binary
+
+
+def test_prepare_images_binary_01_input():
+    image, binary = _page()
+    img1, bin1 = prepare_images(image, binary, 10, 20)
+    img2, bin2 = prepare_images(image, (binary / 255).astype(np.uint8), 10, 20)
+    np.testing.assert_array_equal(bin1, bin2)
+
+
+def test_prepare_images_max_width():
+    image, binary = _page()
+    img, bin_ = prepare_images(image, binary, 10, 10, max_width=30)
+    assert bin_.shape[1] == 30
+    assert img.shape == bin_.shape
+
+
+def test_prepare_images_max_width_no_upscale():
+    image, binary = _page()
+    img, bin_ = prepare_images(image, binary, 10, 10, max_width=500)
+    assert bin_.shape == (100, 80)
+
+
+def test_prepare_images_pil_backend_close():
+    image, binary = _page()
+    a, _ = prepare_images(image, binary, 10, 20, resize_backend="scipy")
+    b, _ = prepare_images(image, binary, 10, 20, resize_backend="pil")
+    # backends agree closely away from edges
+    assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 8
+
+
+def test_prepare_mask():
+    mask = np.array([[0, 1], [2, 1]], np.uint8)
+    out = prepare_mask(mask, (4, 4))
+    assert out.shape == (4, 4)
+    assert set(np.unique(out)) <= {0, 1, 2}
+    assert out.dtype == np.uint8
