@@ -1,0 +1,104 @@
+"""Headline benchmark: 300-DPI page predict throughput on one TPU chip.
+
+Measures the pipelined fused predict (inference/pipeline.py): raw
+full-resolution uint8 pages -> host box-decimation -> device cubic
+resample + invert/normalize + FCN-skip forward (bf16) + argmax + palette
+gather -> host overlay/inverted reconstruction.  Output contract per page:
+the color/overlay/inverted uint8 RGB trio at the normalized scale — the
+reference's predict stack (SURVEY §3.2) end to end.
+
+Prints ONE JSON line:
+    {"metric": "predict_pages_per_sec_per_chip", "value": N,
+     "unit": "pages/sec", "vs_baseline": N/50}
+
+Baseline 50 pages/sec/chip is the BASELINE.md north-star target (the
+reference publishes no numbers).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synthesize_pages(n, h, w, seed=0):
+    """Synthetic 300-DPI historical pages: text lines + a figure block."""
+    rng = np.random.RandomState(seed)
+    pages = np.full((n, h, w), 235, np.uint8)
+    line_height = 50  # px at 300 DPI
+    for i in range(n):
+        for row in range(h // 8, h - h // 8, int(line_height * 1.6)):
+            for col in range(w // 10, w - w // 10, 35):
+                if rng.rand() < 0.85:
+                    pages[i, row : row + line_height, col : col + 25] = rng.randint(10, 60)
+        if i % 3 == 0:
+            pages[i, int(h * 0.7) : int(h * 0.85), int(w * 0.2) : int(w * 0.8)] = 120
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+    return pages, binaries, line_height
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pages", type=int, default=96)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--height", type=int, default=3508)  # A4 @ 300 DPI
+    parser.add_argument("--width", type=int, default=2480)
+    parser.add_argument("--target-line-height", type=int, default=6)
+    parser.add_argument("--host-decimate", type=int, default=8)
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    module = FCNSkip(n_classes=3, dtype=compute_dtype)
+
+    pages, binaries, line_height = synthesize_pages(args.pages, args.height, args.width)
+    scale = args.target_line_height / line_height
+
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1), jnp.float32))["params"]
+    predictor = ThroughputPredictor(
+        module,
+        params,
+        DEFAULT_IMAGE_MAP.palette,
+        (args.height, args.width),
+        scale,
+        host_decimate=args.host_decimate,
+        compute_dtype=compute_dtype,
+    )
+    print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
+
+    # warmup: compile + pipeline spin-up on a small slice
+    warm = min(2 * args.batch, args.pages)
+    for _ in predictor.run(pages[:warm], binaries[:warm], batch_size=args.batch):
+        pass
+
+    start = time.perf_counter()
+    total = 0
+    for color, overlay, inverted in predictor.run(pages, binaries, batch_size=args.batch):
+        assert color.flags["C_CONTIGUOUS"] or True
+        total += color.shape[0]
+    elapsed = time.perf_counter() - start
+
+    pages_per_sec = total / elapsed
+    print(f"{total} pages in {elapsed:.3f}s on {jax.devices()[0]}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "predict_pages_per_sec_per_chip",
+                "value": round(pages_per_sec, 2),
+                "unit": "pages/sec",
+                "vs_baseline": round(pages_per_sec / 50.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

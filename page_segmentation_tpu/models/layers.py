@@ -100,15 +100,7 @@ class TFConv(nn.Module):
 
 def max_pool_same(x, window: Tuple[int, int] = (2, 2), strides: Tuple[int, int] = (2, 2)):
     """tf.keras.layers.MaxPooling2D(padding='same') equivalent."""
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
-    return lax.reduce_window(
-        x,
-        jnp.array(neg_inf, x.dtype),
-        lax.max,
-        (1,) + tuple(window) + (1,),
-        (1,) + tuple(strides) + (1,),
-        "SAME",
-    )
+    return nn.max_pool(x, tuple(window), strides=tuple(strides), padding="SAME")
 
 
 def upsample2x(x):

@@ -28,8 +28,9 @@ def save_checkpoint(path: str, params, meta: Optional[Dict[str, Any]] = None, op
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
         f.write(serialization.msgpack_serialize(_to_numpy(params)))
     if opt_state is not None:
+        state_dict = serialization.to_state_dict(jax.device_get(opt_state))
         with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.msgpack_serialize(_to_numpy(jax.device_get(opt_state))))
+            f.write(serialization.msgpack_serialize(_to_numpy(state_dict)))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta or {}, f, indent=2, default=str)
 
@@ -48,12 +49,17 @@ def load_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
     return params, meta
 
 
-def load_opt_state(path: str):
+def load_opt_state(path: str, template=None):
+    """Restore the optimizer state; pass the freshly-initialized state as
+    ``template`` to recover the original pytree structure."""
     opt_file = os.path.join(path, "opt_state.msgpack")
     if not os.path.exists(opt_file):
         return None
     with open(opt_file, "rb") as f:
-        return serialization.msgpack_restore(f.read())
+        state_dict = serialization.msgpack_restore(f.read())
+    if template is None:
+        return state_dict
+    return serialization.from_state_dict(template, state_dict)
 
 
 def _to_numpy(tree):

@@ -14,6 +14,13 @@ All objectives take raw ``logits`` (N, H, W, C) and integer ``labels``
   ``dice_and_categorical`` (reference :101-103).
 * ``fgpa``/``fgpl``: foreground-masked accuracy/loss given the binary image
   (reference :20-57).
+
+Design delta vs the reference: padding lives *outside* the jitted model
+(static bucketed shapes), so every objective accepts an optional ``weights``
+map (N, H, W) zeroing padded pixels.  With ``weights=None`` the formulas are
+bitwise the reference's; with weights they are the same formulas restricted
+to valid pixels, which is exactly what the reference computes on its
+unpadded batch-of-1.
 """
 from __future__ import annotations
 
@@ -31,34 +38,44 @@ def _squeeze_labels(labels):
     return labels.astype(jnp.int32)
 
 
+def _wmean(values, weights):
+    if weights is None:
+        return jnp.mean(values)
+    weights = weights.astype(values.dtype)
+    return jnp.sum(values * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+
+
 def sparse_softmax_ce(labels, logits):
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return -ll
 
 
-def loss(labels, logits):
-    return jnp.mean(sparse_softmax_ce(_squeeze_labels(labels), logits))
+def loss(labels, logits, weights=None):
+    return _wmean(sparse_softmax_ce(_squeeze_labels(labels), logits), weights)
 
 
-def accuracy(labels, logits):
+def accuracy(labels, logits, weights=None):
     labels = _squeeze_labels(labels)
-    return jnp.mean((labels == jnp.argmax(logits, axis=-1)).astype(jnp.float32))
+    correct = (labels == jnp.argmax(logits, axis=-1)).astype(jnp.float32)
+    return _wmean(correct, weights)
 
 
-def fgpa(labels, logits, binary):
+def fgpa(labels, logits, binary, weights=None):
     """Foreground pixel accuracy (reference metrics.py:36-57)."""
     labels = _squeeze_labels(labels)
     if binary.ndim == 4 and binary.shape[-1] == 1:
         binary = binary[..., 0]
     equals = (labels == jnp.argmax(logits, axis=-1)).astype(jnp.float32)
     fg = binary.astype(jnp.float32)
+    if weights is not None:
+        fg = fg * weights.astype(jnp.float32)
     correct = jnp.sum(equals * fg, axis=(1, 2))
     total = jnp.sum(fg, axis=(1, 2))
     return jnp.mean(correct / jnp.maximum(total, 1.0))
 
 
-def fgpl(labels, logits, binary):
+def fgpl(labels, logits, binary, weights=None):
     """Foreground-masked CE (reference metrics.py:20-33: labels and logits
     are multiplied by the binary before the CE)."""
     labels = _squeeze_labels(labels)
@@ -67,60 +84,69 @@ def fgpl(labels, logits, binary):
     fg = binary.astype(jnp.float32)
     masked_labels = (labels.astype(jnp.float32) * fg).astype(jnp.int32)
     masked_logits = logits * fg[..., None]
-    return jnp.mean(sparse_softmax_ce(masked_labels, masked_logits))
+    return _wmean(sparse_softmax_ce(masked_labels, masked_logits), weights)
 
 
-def _soft_one_hot(labels, logits):
+def _soft_one_hot(labels, logits, weights):
     n_classes = logits.shape[-1]
     probs = jax.nn.softmax(logits, axis=-1)
     one_hot = jax.nn.one_hot(_squeeze_labels(labels), n_classes, dtype=probs.dtype)
+    if weights is not None:
+        w = weights.astype(probs.dtype)[..., None]
+        probs = probs * w
+        one_hot = one_hot * w
     return one_hot, probs
 
 
-def jacard_coef(labels, logits, smooth: float = 100.0):
-    one_hot, probs = _soft_one_hot(labels, logits)
+def jacard_coef(labels, logits, smooth: float = 100.0, weights=None):
+    one_hot, probs = _soft_one_hot(labels, logits, weights)
     intersection = jnp.sum(jnp.abs(one_hot * probs), axis=(1, 2))
     union_sum = jnp.sum(jnp.abs(one_hot + probs), axis=(1, 2))
     jac = (intersection + smooth) / (union_sum - intersection + smooth)
     return jnp.mean(jac, axis=0)  # per-class, like the reference
 
 
-def jacard_coef_loss(labels, logits):
-    return jnp.mean(-jnp.log(jacard_coef(labels, logits)))
+def jacard_coef_loss(labels, logits, weights=None):
+    return jnp.mean(-jnp.log(jacard_coef(labels, logits, weights=weights)))
 
 
-def dice_coef(labels, logits, smooth: float = 100.0):
-    one_hot, probs = _soft_one_hot(labels, logits)
+def dice_coef(labels, logits, smooth: float = 100.0, weights=None):
+    one_hot, probs = _soft_one_hot(labels, logits, weights)
     intersection = jnp.sum(jnp.abs(one_hot * probs), axis=(1, 2))
     union_sum = jnp.sum(jnp.abs(one_hot + probs), axis=(1, 2))
     dice = (2.0 * intersection + smooth) / (union_sum + smooth)
     return jnp.mean(dice, axis=0)
 
 
-def dice_coef_loss(labels, logits):
-    return jnp.mean(-jnp.log(dice_coef(labels, logits)))
+def dice_coef_loss(labels, logits, weights=None):
+    return jnp.mean(-jnp.log(dice_coef(labels, logits, weights=weights)))
 
 
-def categorical_hinge(labels, logits):
+def categorical_hinge(labels, logits, weights=None):
     n_classes = logits.shape[-1]
     one_hot = jax.nn.one_hot(_squeeze_labels(labels), n_classes, dtype=logits.dtype)
     pos = jnp.sum(one_hot * logits, axis=-1)
     neg = jnp.max((1.0 - one_hot) * logits, axis=-1)
-    return jnp.mean(jnp.maximum(0.0, neg - pos + 1.0))
+    return _wmean(jnp.maximum(0.0, neg - pos + 1.0), weights)
 
 
-def dice_and_categorical(labels, logits, alpha: float = 1.0):
+def dice_and_categorical(labels, logits, alpha: float = 1.0, weights=None):
     assert 0 <= alpha <= 1
-    return (alpha * dice_coef_loss(labels, logits) + (1 - alpha) * loss(labels, logits)) / 2
+    return (
+        alpha * dice_coef_loss(labels, logits, weights=weights)
+        + (1 - alpha) * loss(labels, logits, weights=weights)
+    ) / 2
 
 
-def categorical_focal_loss(labels, logits, gamma: float = 2.0, alpha: float = 0.25):
+def categorical_focal_loss(labels, logits, gamma: float = 2.0, alpha: float = 0.25, weights=None):
     # behavioral parity: the reference feeds *logits* through the focal
     # probability formula after clipping (metrics.py:106-112)
     n_classes = logits.shape[-1]
     one_hot = jax.nn.one_hot(_squeeze_labels(labels), n_classes, dtype=logits.dtype)
     y_pred = jnp.clip(logits, EPSILON, 1.0 - EPSILON)
     focal = -one_hot * (alpha * jnp.power(1.0 - y_pred, gamma) * jnp.log(y_pred))
+    if weights is not None:
+        focal = focal * weights.astype(focal.dtype)[..., None]
     return jnp.mean(focal) * 100.0
 
 

@@ -1,0 +1,140 @@
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.core.colors import ColorMap
+from page_segmentation_tpu.segmentation.xycut import (
+    Gap,
+    RectSegment,
+    Segment1D,
+    _get_gaps,
+    _get_segments,
+    do_xy_cut,
+)
+
+
+def test_get_gaps():
+    indication = np.array([True, False, False, True, False, True])
+    gaps = _get_gaps(indication)
+    assert gaps == [Gap(start=1, length=2), Gap(start=4, length=1)]
+
+
+def test_get_gaps_none():
+    assert _get_gaps(np.array([True, True])) == []
+
+
+def test_get_segments_filters_small_gaps():
+    gaps = [Gap(10, 2), Gap(20, 8)]
+    segments = _get_segments(gaps, length=40, px_threshold=3, split_size=5)
+    # the 2-px gap is ignored; segments split only around the 8-px gap
+    assert segments == [Segment1D(0, 20), Segment1D(28, 40)]
+
+
+def test_xycut_two_columns():
+    img = np.zeros((40, 60), np.uint8)
+    img[5:35, 5:25] = 1
+    img[5:35, 35:55] = 1
+    segments = do_xy_cut(img, 3, 3, 4, 4)
+    assert len(segments) >= 2
+    # reference convention: x is the row axis, y the column axis
+    # (xycut.py _relative_seg; consistent with render.py's as_xy ordering)
+    ys = sorted(s.y_start for s in segments)
+    assert ys[0] < 30 < ys[-1]
+
+
+def test_xycut_single_block():
+    img = np.zeros((20, 20), np.uint8)
+    img[2:18, 2:18] = 1
+    segments = do_xy_cut(img, 2, 2, 3, 3)
+    assert len(segments) == 1
+    s = segments[0]
+    assert min(s.x_start, s.y_start) <= 2 and max(s.x_end, s.y_end) >= 17
+
+
+def test_rect_segment_scale_and_of():
+    seg = RectSegment(2, 4, 6, 8)
+    scaled = seg.scale(2.0)
+    assert (scaled.x_start, scaled.y_start, scaled.x_end, scaled.y_end) == (4, 8, 12, 16)
+    img = np.arange(100).reshape(10, 10)
+    np.testing.assert_array_equal(seg.of(img), img[4:8, 2:6])
+    assert seg.polygon_coords() == [(2, 4), (6, 4), (6, 8), (2, 8)]
+
+
+@pytest.fixture
+def cmap():
+    return ColorMap(
+        {
+            "(255, 255, 255)": (0, "background"),
+            "(0, 0, 255)": (1, "text"),
+            "(0, 255, 0)": (2, "image"),
+        }
+    )
+
+
+def test_find_segments_end_to_end(cmap):
+    from page_segmentation_tpu.segmentation.pc_segmentation import find_segments
+
+    pred = np.zeros((200, 160), np.int32)
+    pred[20:90, 20:140] = 1  # text block
+    pred[120:180, 30:130] = 2  # image block
+    rgb = cmap.to_rgb_array(pred)
+    segments_text, segments_image = find_segments(200, rgb, char_height=10, resize_height=100, color_map=cmap)
+    assert len(segments_text) >= 1
+    assert len(segments_image) >= 1
+
+
+def test_find_segments_only_images(cmap):
+    from page_segmentation_tpu.segmentation.pc_segmentation import find_segments
+
+    pred = np.zeros((100, 100), np.int32)
+    pred[10:90, 10:90] = 2
+    rgb = cmap.to_rgb_array(pred)
+    texts, images = find_segments(100, rgb, 8, 100, cmap, only_images=True)
+    assert texts == []
+    assert len(images) >= 1
+
+
+def test_get_text_contours(cmap):
+    from page_segmentation_tpu.segmentation.pc_segmentation import get_text_contours
+
+    pred = np.zeros((120, 120), np.int32)
+    pred[20:60, 20:100] = 1
+    rgb = cmap.to_rgb_array(pred)
+    contours = get_text_contours(rgb, char_height=8, color_map=cmap)
+    assert len(contours) >= 1
+    pts = np.atleast_2d(contours[0].contour)
+    # contour encloses the text block region (allow morphology growth)
+    assert pts[:, 0].min() <= 25 and pts[:, 0].max() >= 90
+
+
+def test_render_xycut(cmap, tmp_path):
+    from page_segmentation_tpu.segmentation.render import render_regions, render_xycut
+
+    out = render_regions(
+        str(tmp_path),
+        "png",
+        (50, 40),
+        "pred/page.png",
+        cmap,
+        render_xycut,
+        [RectSegment(5, 5, 15, 15)],
+        [RectSegment(20, 20, 35, 30)],
+    )
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape[2] == 3
+
+
+def test_contours_roundtrip():
+    from page_segmentation_tpu.ops.contours import fill_contour, find_external_contours
+
+    mask = np.zeros((30, 30), np.uint8)
+    mask[5:15, 5:20] = 255
+    mask[20:28, 22:28] = 255
+    contours = find_external_contours(mask)
+    assert len(contours) == 2
+    refilled = np.zeros_like(mask)
+    for c in contours:
+        fill_contour(refilled, c, 255)
+    # refilling the traced contours reproduces the rectangles
+    np.testing.assert_array_equal(refilled > 0, mask > 0)

@@ -1,0 +1,172 @@
+import numpy as np
+import pytest
+
+import page_segmentation_tpu as pst
+from page_segmentation_tpu.core.colors import ColorMap
+from page_segmentation_tpu.data.dataset import Dataset, SingleData
+from page_segmentation_tpu.models.registry import Architecture, Optimizers
+from page_segmentation_tpu.train.metrics import Loss, Monitor
+from page_segmentation_tpu.train.trainer import AugmentationSettings, Trainer, TrainSettings
+
+
+def _synthetic_dataset(n_pages=3, h=40, w=32, seed=0):
+    rng = np.random.RandomState(seed)
+    cmap = ColorMap(
+        {"(255, 255, 255)": (0, "background"), "(255, 0, 0)": (1, "text")}
+    )
+    pages = []
+    for _ in range(n_pages):
+        mask = np.zeros((h, w), np.uint8)
+        mask[10:30, 5:25] = 1
+        image = np.where(mask == 1, 200, 10).astype(np.uint8)
+        image = np.clip(image + rng.randint(-5, 5, image.shape), 0, 255).astype(np.uint8)
+        binary = (mask == 1).astype(np.uint8)
+        pages.append(SingleData(image=image, binary=binary, mask=mask))
+    return Dataset(pages, cmap)
+
+
+def _settings(tmp_path, train_data, **kwargs):
+    defaults = dict(
+        n_epoch=3,
+        n_classes=2,
+        l_rate=1e-3,
+        train_data=train_data,
+        validation_data=None,
+        display=10,
+        output_dir=str(tmp_path / "out"),
+        threads=1,
+        monitor=Monitor.LOSS,
+        early_stopping_max_performance_drops=0,
+        reduce_lr_on_plateau=False,
+    )
+    defaults.update(kwargs)
+    return TrainSettings(**defaults)
+
+
+def test_train_loss_decreases(tmp_path):
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=5))
+    history = trainer.train()
+    assert len(history["loss"]) == 5
+    assert history["loss"][-1] < history["loss"][0]
+
+
+def test_train_writes_checkpoint_and_scalars(tmp_path):
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=2))
+    trainer.train()
+    ckpt = tmp_path / "out" / "model"
+    assert (ckpt / "params.msgpack").exists()
+    assert (ckpt / "meta.json").exists()
+    assert (tmp_path / "out" / "scalars.jsonl").exists()
+
+
+def test_checkpoint_loadable_by_classifier(tmp_path):
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=3))
+    trainer.train()
+    net = pst.PixelClassifier(n_classes=2, model_path=str(tmp_path / "out" / "model"))
+    _, _, pred = net.predict_single_data(data.data[0])
+    assert pred.shape == data.data[0].image.shape
+
+
+def test_train_with_validation_and_early_stopping(tmp_path):
+    data = _synthetic_dataset()
+    val = _synthetic_dataset(n_pages=2, seed=1)
+    settings = _settings(
+        tmp_path,
+        data,
+        validation_data=val,
+        n_epoch=4,
+        monitor=Monitor.VAL_LOSS,
+        early_stopping_max_performance_drops=2,
+    )
+    trainer = Trainer(settings)
+    history = trainer.train()
+    assert len(history["val_loss"]) == len(history["loss"])
+
+
+def test_train_with_augmentation(tmp_path):
+    data = _synthetic_dataset()
+    settings = _settings(
+        tmp_path,
+        data,
+        n_epoch=2,
+        data_augmentation=True,
+        data_augmentation_settings=AugmentationSettings(),
+    )
+    history = Trainer(settings).train()
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_train_foreground_masks(tmp_path):
+    data = _synthetic_dataset()
+    history = Trainer(_settings(tmp_path, data, n_epoch=2, foreground_masks=True)).train()
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_train_batch_size_2(tmp_path):
+    data = _synthetic_dataset(n_pages=4)
+    history = Trainer(_settings(tmp_path, data, n_epoch=2, batch_size=2)).train()
+    assert np.isfinite(history["loss"]).all()
+
+
+def test_train_data_parallel_mesh(tmp_path):
+    """Data-parallel training over a 4-device virtual mesh."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    data = _synthetic_dataset(n_pages=4)
+    settings = _settings(tmp_path, data, n_epoch=3, batch_size=4, n_devices=4)
+    history = Trainer(settings).train()
+    assert history["loss"][-1] < history["loss"][0]
+
+
+def test_mesh_matches_single_device(tmp_path):
+    """One mesh step == one single-device step on the same batch."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    data = _synthetic_dataset(n_pages=2)
+    s_single = _settings(tmp_path, data, n_epoch=1, batch_size=2, seed=7)
+    s_mesh = _settings(tmp_path, data, n_epoch=1, batch_size=2, n_devices=2, seed=7)
+    t1 = Trainer(s_single)
+    t2 = Trainer(s_mesh)
+    h1 = t1.train()
+    h2 = t2.train()
+    # same seed, same data, grads averaged identically -> same loss trajectory
+    np.testing.assert_allclose(h1["loss"], h2["loss"], rtol=2e-4)
+
+
+def test_compute_baseline(tmp_path):
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=1, compute_baseline=True))
+    assert 0.5 < trainer.baseline < 1.0
+
+
+def test_empty_train_data_raises(tmp_path):
+    cmap = ColorMap({"(255, 255, 255)": (0, "bg")})
+    with pytest.raises(Exception, match="No training files"):
+        Trainer(_settings(tmp_path, Dataset([], cmap), n_epoch=1))
+
+
+def test_progress_callback(tmp_path):
+    calls = {"init": 0, "loss": 0, "best": 0}
+
+    class CB(pst.__getattr__("Trainer").__init__.__globals__["TrainProgressCallback"]):
+        def init(self, total, early):
+            calls["init"] += 1
+
+        def update_loss(self, batch, loss, acc):
+            calls["loss"] += 1
+
+        def next_best(self, epoch, acc, n_best):
+            calls["best"] += 1
+
+    data = _synthetic_dataset()
+    Trainer(_settings(tmp_path, data, n_epoch=2)).train(callback=CB())
+    assert calls["init"] == 1
+    assert calls["loss"] == 6  # 3 pages x 2 epochs
+    assert calls["best"] >= 1
