@@ -1,0 +1,467 @@
+"""Command-line interface.
+
+The reference keeps its CLI in a separate frontend package
+(reference README.md:15: "only contains the library code"); the commands
+and flags below reproduce the documented surface (README.md:21-127,
+examples/dataset-creation-example.sh, examples/model-training-example.sh):
+
+    predict                      README.md:21-37
+    train                        README.md:76-109 (incl. --split_file)
+    create-dataset-file          README.md:72-74
+    compute-image-normalizations README.md:115-127
+    gen-masks                    examples/dataset-creation-example.sh:28-33
+    page-segmentation            find_segments + render (SURVEY §3.3)
+    evaluate                     offline metrics (C15)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+from typing import List, Optional
+
+logger = logging.getLogger("page_segmentation_tpu")
+
+
+# --------------------------------------------------------------------- utils
+def _load_color_map(path: Optional[str], n_classes_hint: int = 0):
+    from ..core.colors import DEFAULT_IMAGE_MAP, ColorMap
+
+    if path:
+        return ColorMap.load(path)
+    return DEFAULT_IMAGE_MAP
+
+
+def _expand(patterns: Optional[List[str]]) -> List[str]:
+    from ..core.image_io import glob_all
+
+    return glob_all(patterns) if patterns else []
+
+
+def _resolve_split_files(args, key: str) -> List[str]:
+    files = _expand(getattr(args, key, None))
+    if getattr(args, "split_file", None):
+        with open(args.split_file) as f:
+            split = json.load(f)
+        files = files + split.get(key, [])
+    return files
+
+
+# ------------------------------------------------------------------- predict
+def cmd_predict(args) -> int:
+    import numpy as np
+
+    from ..data.dataset import SingleData
+    from ..data.loader import DatasetLoader
+    from ..inference.postprocess import find_postprocessor
+    from ..inference.predictor import Predictor, PredictSettings
+
+    color_map = _load_color_map(args.color_map)
+
+    binaries = sorted(os.listdir(args.binary)) if args.binary else []
+    images = sorted(os.listdir(args.images))
+    entries = []
+    for name in images:
+        binary_path = None
+        if args.binary:
+            base = os.path.splitext(name)[0]
+            candidates = [b for b in binaries if os.path.splitext(b)[0].split(".")[0] == base.split(".")[0]]
+            binary_path = os.path.join(args.binary, candidates[0] if candidates else name)
+        line_height = args.char_height
+        if args.norm:
+            norm_file = os.path.join(args.norm, os.path.splitext(name)[0] + ".json")
+            if os.path.exists(norm_file):
+                with open(norm_file) as f:
+                    line_height = json.load(f)["char_height"]
+        if line_height is None:
+            raise SystemExit(f"No line height for {name}: pass --char_height or --norm")
+        entries.append(
+            SingleData(
+                image_path=os.path.join(args.images, name),
+                binary_path=binary_path,
+                line_height_px=line_height,
+            )
+        )
+
+    loader = DatasetLoader(
+        args.target_line_height, color_map, prediction=True, max_width=args.max_width,
+        resize_backend=args.resize_backend,
+    )
+    dataset = loader.load_data(entries)
+
+    n_classes = args.n_classes or color_map.n_classes
+    post = [find_postprocessor(p) for p in (args.post_process or [])]
+    settings = PredictSettings(
+        network=args.load,
+        output=args.output,
+        high_res_output=args.high_res_output,
+        color_map=color_map,
+        n_classes=n_classes,
+        post_process=post or None,
+        compute_dtype=args.dtype,
+    )
+    predictor = Predictor(settings)
+
+    count = 0
+    if args.fast and not args.high_res_output and not post:
+        for _ in predictor.predict_dataset_fast(dataset, batch_size=args.batch_size, write_output=True):
+            count += 1
+    else:
+        for prediction in predictor.predict(dataset):
+            predictor.save_prediction(prediction)
+            count += 1
+    print(f"Predicted {count} pages -> {args.output}")
+    return 0
+
+
+# --------------------------------------------------------------------- train
+def cmd_train(args) -> int:
+    import math
+
+    from ..data.loader import DatasetLoader
+    from ..models.registry import Architecture, Optimizers
+    from ..train.metrics import Loss, Monitor
+    from ..train.trainer import AugmentationSettings, Trainer, TrainSettings
+
+    color_map = _load_color_map(args.color_map)
+    loader = DatasetLoader(
+        args.target_line_height, color_map, max_width=args.max_width,
+        resize_backend=args.resize_backend,
+    )
+    train_data = loader.load_data_from_json(_resolve_split_files(args, "train"), "train")
+    test_files = _resolve_split_files(args, "test")
+    validation = loader.load_data_from_json(test_files, "test") if test_files else None
+    eval_files = _resolve_split_files(args, "eval")
+    evaluation = loader.load_data_from_json(eval_files, "eval") if eval_files else None
+
+    n_classes = args.n_classes or color_map.n_classes
+    if args.n_iter:
+        n_epoch = max(1, math.ceil(args.n_iter / max(len(train_data), 1)))
+    else:
+        n_epoch = args.n_epoch
+
+    settings = TrainSettings(
+        n_epoch=n_epoch,
+        n_classes=n_classes,
+        l_rate=args.l_rate,
+        train_data=train_data,
+        validation_data=validation,
+        evaluation_data=evaluation,
+        display=args.display,
+        output_dir=args.output,
+        threads=args.threads,
+        data_augmentation=args.data_augmentation,
+        data_augmentation_settings=AugmentationSettings(),
+        early_stopping_max_performance_drops=args.early_stopping_max_performance_drops,
+        architecture=Architecture(args.architecture),
+        loss=Loss(args.loss),
+        monitor=Monitor(args.monitor),
+        optimizer=Optimizers(args.optimizer),
+        load=args.load,
+        continue_training=args.continue_training,
+        compute_baseline=args.compute_baseline,
+        foreground_masks=args.foreground_masks,
+        tensorboard=args.tensorboard,
+        batch_size=args.batch_size,
+        compute_dtype=args.dtype,
+        n_devices=args.n_devices,
+        seed=args.seed,
+    )
+    trainer = Trainer(settings)
+    trainer.train()
+    trainer.eval()
+    print(f"Model written to {os.path.join(args.output, settings.model_name)}")
+    return 0
+
+
+# ------------------------------------------------------- create-dataset-file
+def cmd_create_dataset_file(args) -> int:
+    from ..data.dataset import list_dataset, single_split
+
+    entries = []
+    for root in args.dataset_path:
+        entries += list_dataset(
+            root,
+            line_height_px=args.character_height,
+            binary_dir_=args.binary_dir,
+            images_dir_=args.images_dir,
+            masks_dir_=args.masks_dir,
+            masks_postfix=args.masks_postfix,
+            normalizations_dir=args.normalizations_dir,
+            verify_filenames=args.verify_filenames,
+        )
+    train, test, eval_ = single_split(args.n_train, args.n_test, args.n_eval, entries)
+    with open(args.output_file, "w") as f:
+        json.dump({"train": train, "test": test, "eval": eval_}, f, indent=2)
+    print(
+        f"Wrote {args.output_file}: {len(train)} train, {len(test)} test, {len(eval_)} eval"
+    )
+    return 0
+
+
+# ----------------------------------------- compute-image-normalizations
+def cmd_compute_normalizations(args) -> int:
+    import numpy as np
+
+    from ..evaluation.image_ops import compute_char_height
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    files = sorted(
+        f
+        for f in os.listdir(args.input_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp"))
+    )
+    heights = []
+    for name in files:
+        ch = compute_char_height(os.path.join(args.input_dir, name), args.inverse)
+        heights.append((name, ch))
+    valid = [h for _, h in heights if h]
+    average = int(np.round(np.mean(valid))) if valid else None
+    written = 0
+    for name, ch in heights:
+        value = average if args.average_all else ch
+        if value is None:
+            logger.warning(f"No char height for {name}; skipped")
+            continue
+        out = os.path.join(args.output_dir, os.path.splitext(name)[0] + ".json")
+        with open(out, "w") as f:
+            json.dump({"char_height": int(value)}, f)
+        written += 1
+    print(f"Wrote {written} normalization files to {args.output_dir}")
+    return 0
+
+
+# ----------------------------------------------------------------- gen-masks
+def cmd_gen_masks(args) -> int:
+    from ..core.colors import ColorMap
+    from ..pagexml.mask_gen import MaskGenerator, MaskSetting, MaskType, PageXMLTypes, PCGTSVersion
+
+    setting = MaskSetting(
+        mask_extension=args.mask_extension,
+        mask_type=MaskType(args.setting),
+        pcgts_version=PCGTSVersion(args.pcgts_version) if args.pcgts_version else None,
+        line_width=args.line_width,
+        capital_is_text=args.capital_is_text,
+        use_xml_filename=args.use_xml_filename,
+    )
+    generator = MaskGenerator(setting)
+    xml_files = _expand(args.input) or [
+        os.path.join(args.input_dir, f)
+        for f in sorted(os.listdir(args.input_dir))
+        if f.endswith(".xml")
+    ]
+    for xml_file in xml_files:
+        generator.save(xml_file, args.output_dir)
+    map_path = os.path.join(args.output_dir, "image_map.json")
+    ColorMap(PageXMLTypes.image_map(setting.mask_type)).save(map_path)
+    print(f"Generated {len(xml_files)} masks + {map_path}")
+    return 0
+
+
+# --------------------------------------------------------- page-segmentation
+def cmd_page_segmentation(args) -> int:
+    import numpy as np
+
+    from ..core.image_io import imread_rgb
+    from ..segmentation.pc_segmentation import find_segments, get_text_contours
+    from ..segmentation.render import render_morphological, render_regions, render_xycut
+
+    color_map = _load_color_map(args.color_map)
+    for path in _expand(args.prediction):
+        image = imread_rgb(path)
+        orig_height = image.shape[0]
+        segments_text, segments_image = find_segments(
+            orig_height, image, args.char_height, args.resize_height, color_map,
+            only_images=args.text_contours,
+        )
+        if args.text_contours:
+            contours = get_text_contours(image, args.char_height, color_map)
+            render_regions(
+                args.output_dir, args.extension, image.shape[:2], path, color_map,
+                render_morphological, contours, segments_image,
+            )
+        else:
+            render_regions(
+                args.output_dir, args.extension, image.shape[:2], path, color_map,
+                render_xycut, segments_text, segments_image,
+            )
+    return 0
+
+
+# ------------------------------------------------------------------ evaluate
+def cmd_evaluate(args) -> int:
+    import numpy as np
+
+    from ..core.colors import ColorMap
+    from ..core.image_io import imread_bin
+    from ..evaluation.image_ops import fgpa as fgpa_fn
+    from ..evaluation.metrics import count_matches, f1_measures, total_accuracy
+
+    color_map = _load_color_map(args.color_map)
+    mask_files = sorted(os.listdir(args.masks))
+    totals = {"correct": 0, "total": 0}
+    per_label = {}
+    fgpa_values = []
+    for name in mask_files:
+        pred_path = os.path.join(args.predictions, name)
+        if not os.path.exists(pred_path):
+            logger.warning(f"Missing prediction for {name}")
+            continue
+        mask = color_map.imread_labels(os.path.join(args.masks, name))
+        pred = color_map.imread_labels(pred_path)
+        correct, total = total_accuracy(mask, pred)
+        totals["correct"] += correct
+        totals["total"] += total
+        for label in range(color_map.n_classes):
+            tp, fp, fn = count_matches(mask, pred, label)
+            agg = per_label.setdefault(label, [0, 0, 0])
+            agg[0] += tp
+            agg[1] += fp
+            agg[2] += fn
+        if args.binary:
+            binary = (imread_bin(os.path.join(args.binary, name)) < 128).astype(np.int64)
+            fgpa_values.append(fgpa_fn(pred, mask, binary))
+
+    report = {"accuracy": totals["correct"] / max(totals["total"], 1)}
+    for label, (tp, fp, fn) in per_label.items():
+        precision, recall, f1 = f1_measures(tp, fp, fn)
+        report[f"label_{label}"] = {"precision": precision, "recall": recall, "f1": f1}
+    if fgpa_values:
+        report["fgpa"] = float(np.mean(fgpa_values))
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+# -------------------------------------------------------------------- parser
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="page-segmentation-tpu",
+        description="TPU-native page segmentation (pixel classifier) toolkit",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    # predict
+    p = sub.add_parser("predict", help="run a model over images")
+    p.add_argument("--load", required=True, help="model checkpoint dir or Keras .h5")
+    p.add_argument("--output", required=True)
+    p.add_argument("--images", required=True)
+    p.add_argument("--binary", default=None)
+    p.add_argument("--norm", default=None, help="directory of char_height JSON files")
+    p.add_argument("--char_height", type=int, default=None)
+    p.add_argument("--target_line_height", type=int, default=6)
+    p.add_argument("--max_width", type=int, default=None)
+    p.add_argument("--color_map", default=None)
+    p.add_argument("--n_classes", type=int, default=None)
+    p.add_argument("--post_process", nargs="*", default=None)
+    p.add_argument("--high_res_output", action="store_true")
+    p.add_argument("--fast", action="store_true", help="batched fused device pipeline")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"])
+    p.add_argument("--gpu_allow_growth", action="store_true")  # parity no-op
+    p.set_defaults(func=cmd_predict)
+
+    # train
+    t = sub.add_parser("train", help="train a model from dataset JSON files")
+    t.add_argument("--train", nargs="*", default=None)
+    t.add_argument("--test", nargs="*", default=None)
+    t.add_argument("--eval", nargs="*", default=None)
+    t.add_argument("--split_file", default=None)
+    t.add_argument("--output", required=True)
+    t.add_argument("--n_iter", type=int, default=None)
+    t.add_argument("--n_epoch", type=int, default=100)
+    t.add_argument("--l_rate", type=float, default=1e-4)
+    t.add_argument("--target_line_height", type=int, default=6)
+    t.add_argument("--max_width", type=int, default=None)
+    t.add_argument("--n_classes", type=int, default=None)
+    t.add_argument("--color_map", default=None)
+    t.add_argument("--architecture", default="fcn_skip")
+    t.add_argument("--loss", default="categorical_crossentropy")
+    t.add_argument("--monitor", default="val_loss")
+    t.add_argument("--optimizer", default="adam")
+    t.add_argument("--early_stopping_max_performance_drops", type=int, default=30)
+    t.add_argument("--data_augmentation", action="store_true")
+    t.add_argument("--foreground_masks", action="store_true")
+    t.add_argument("--compute_baseline", action="store_true")
+    t.add_argument("--tensorboard", action="store_true")
+    t.add_argument("--load", default=None)
+    t.add_argument("--continue_training", action="store_true")
+    t.add_argument("--batch_size", type=int, default=1)
+    t.add_argument("--n_devices", type=int, default=None)
+    t.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    t.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"])
+    t.add_argument("--display", type=int, default=100)
+    t.add_argument("--threads", type=int, default=8)
+    t.add_argument("--seed", type=int, default=0)
+    t.set_defaults(func=cmd_train)
+
+    # create-dataset-file
+    c = sub.add_parser("create-dataset-file", help="build dataset JSON from a dataset dir")
+    c.add_argument("--dataset_path", nargs="+", required=True)
+    c.add_argument("--output_file", default="dataset.json")
+    c.add_argument("--character_height", type=int, default=None)
+    c.add_argument("--n_train", type=float, default=-1)
+    c.add_argument("--n_test", type=float, default=0)
+    c.add_argument("--n_eval", type=float, default=0)
+    c.add_argument("--binary_dir", default="binary_images")
+    c.add_argument("--images_dir", default="images")
+    c.add_argument("--masks_dir", default="masks")
+    c.add_argument("--masks_postfix", default="")
+    c.add_argument("--normalizations_dir", default="normalizations")
+    c.add_argument("--verify_filenames", action="store_true")
+    c.set_defaults(func=cmd_create_dataset_file)
+
+    # compute-image-normalizations
+    n = sub.add_parser("compute-image-normalizations", help="estimate char heights")
+    n.add_argument("--input_dir", required=True)
+    n.add_argument("--output_dir", required=True)
+    n.add_argument("--average_all", action="store_true")
+    n.add_argument("--inverse", action="store_true")
+    n.set_defaults(func=cmd_compute_normalizations)
+
+    # gen-masks
+    g = sub.add_parser("gen-masks", help="PageXML -> color mask PNGs")
+    g.add_argument("--input", nargs="*", default=None, help="xml files/globs")
+    g.add_argument("--input_dir", default=None)
+    g.add_argument("--output_dir", required=True)
+    g.add_argument("--setting", default="all_types",
+                   choices=["all_types", "text_nontext", "baseline", "textline", "text_only"])
+    g.add_argument("--mask_extension", default="png")
+    g.add_argument("--pcgts_version", default=None, choices=["2019", "2017", "2013", "2010"])
+    g.add_argument("--line_width", type=int, default=5)
+    g.add_argument("--capital_is_text", action="store_true")
+    g.add_argument("--use_xml_filename", action="store_true")
+    g.set_defaults(func=cmd_gen_masks)
+
+    # page-segmentation
+    s = sub.add_parser("page-segmentation", help="XY-cut/morphological region segmentation")
+    s.add_argument("--prediction", nargs="+", required=True)
+    s.add_argument("--output_dir", required=True)
+    s.add_argument("--char_height", type=int, required=True)
+    s.add_argument("--resize_height", type=int, default=300)
+    s.add_argument("--color_map", default=None)
+    s.add_argument("--text_contours", action="store_true", help="morphological text polygons")
+    s.add_argument("--extension", default="png")
+    s.set_defaults(func=cmd_page_segmentation)
+
+    # evaluate
+    e = sub.add_parser("evaluate", help="compare predictions against masks")
+    e.add_argument("--masks", required=True)
+    e.add_argument("--predictions", required=True)
+    e.add_argument("--binary", default=None)
+    e.add_argument("--color_map", default=None)
+    e.set_defaults(func=cmd_evaluate)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

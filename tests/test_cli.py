@@ -1,0 +1,194 @@
+"""CLI end-to-end tests: the full dataset-creation -> train -> predict ->
+segment -> evaluate loop through the command surface (reference
+examples/dataset-creation-example.sh + model-training-example.sh flows)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.cli.main import main
+from page_segmentation_tpu.core.colors import ColorMap
+from page_segmentation_tpu.core.image_io import imsave
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    """A dataset directory in the reference layout (binary_images/images/
+    masks/normalizations) with synthetic pages."""
+    cmap = ColorMap({"(255, 255, 255)": (0, "background"), "(255, 0, 0)": (1, "text")})
+    root = tmp_path / "ds"
+    for sub in ("binary_images", "images", "masks", "normalizations"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        mask = np.zeros((64, 48), np.uint8)
+        mask[16:48, 8:40] = 1
+        image = np.where(mask == 1, 40, 230).astype(np.uint8)  # dark text, light bg
+        image = np.clip(image + rng.randint(-8, 8, image.shape), 0, 255).astype(np.uint8)
+        binary = np.where(mask == 1, 0, 255).astype(np.uint8)
+        imsave(root / "images" / f"p{i}.png", image)
+        imsave(root / "binary_images" / f"p{i}.png", binary)
+        imsave(root / "masks" / f"p{i}.png", cmap.to_rgb_array(mask))
+        with open(root / "normalizations" / f"p{i}.json", "w") as f:
+            json.dump({"char_height": 8}, f)
+    cmap.save(root / "image_map.json")
+    return root
+
+
+def test_create_dataset_file(dataset_dir, tmp_path):
+    out = tmp_path / "dataset.json"
+    rc = main([
+        "create-dataset-file",
+        "--dataset_path", str(dataset_dir),
+        "--output_file", str(out),
+        "--n_train", "2", "--n_test", "1", "--n_eval", "1",
+    ])
+    assert rc == 0
+    content = json.loads(out.read_text())
+    assert len(content["train"]) == 2
+    assert len(content["test"]) == 1
+    assert content["train"][0]["line_height_px"] == 8
+
+
+def test_full_cli_loop(dataset_dir, tmp_path):
+    """create-dataset-file -> train -> predict -> evaluate."""
+    dataset_json = tmp_path / "dataset.json"
+    main([
+        "create-dataset-file",
+        "--dataset_path", str(dataset_dir),
+        "--output_file", str(dataset_json),
+        "--n_train", "3", "--n_test", "1", "--n_eval", "0",
+    ])
+
+    model_dir = tmp_path / "model_out"
+    rc = main([
+        "train",
+        "--train", str(dataset_json),
+        "--test", str(dataset_json),
+        "--output", str(model_dir),
+        "--n_iter", "24",  # 8 epochs x 3 pages
+        "--l_rate", "0.002",
+        "--color_map", str(dataset_dir / "image_map.json"),
+        "--target_line_height", "8",
+        "--monitor", "val_loss",
+        "--seed", "0",
+    ])
+    assert rc == 0
+    assert (model_dir / "model" / "params.msgpack").exists()
+
+    pred_dir = tmp_path / "pred"
+    rc = main([
+        "predict",
+        "--load", str(model_dir / "model"),
+        "--output", str(pred_dir),
+        "--images", str(dataset_dir / "images"),
+        "--binary", str(dataset_dir / "binary_images"),
+        "--norm", str(dataset_dir / "normalizations"),
+        "--color_map", str(dataset_dir / "image_map.json"),
+        "--target_line_height", "8",
+    ])
+    assert rc == 0
+    for cat in ("color", "overlay", "inverted"):
+        assert len(os.listdir(pred_dir / cat)) == 4
+
+    # the prediction color masks should recover the text block
+    cmap = ColorMap.load(dataset_dir / "image_map.json")
+    pred = cmap.imread_labels(pred_dir / "color" / "p0.png")
+    assert pred.shape == (64, 48)
+    assert (pred[20:44, 12:36] == 1).mean() > 0.9
+
+
+def test_compute_normalizations(dataset_dir, tmp_path):
+    out_dir = tmp_path / "norms"
+    # synthetic letters are small; relax by synthesizing letter-sized blobs
+    imgs = tmp_path / "imgs"
+    imgs.mkdir()
+    img = np.full((200, 200), 255, np.uint8)
+    for row in range(10, 180, 40):
+        for col in range(10, 180, 25):
+            img[row : row + 20, col : col + 12] = 0
+    imsave(imgs / "a.png", img)
+    rc = main([
+        "compute-image-normalizations",
+        "--input_dir", str(imgs),
+        "--output_dir", str(out_dir),
+    ])
+    assert rc == 0
+    data = json.loads((out_dir / "a.json").read_text())
+    assert data["char_height"] == 20
+
+
+def test_gen_masks_cli(tmp_path):
+    xml = tmp_path / "page.xml"
+    xml.write_text(
+        """<?xml version="1.0"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2017-07-15">
+  <Page imageFilename="page.png" imageHeight="50" imageWidth="40">
+    <TextRegion id="r1" type="paragraph">
+      <Coords points="5,5 35,5 35,30 5,30"/>
+    </TextRegion>
+  </Page>
+</PcGts>"""
+    )
+    out_dir = tmp_path / "masks"
+    rc = main([
+        "gen-masks",
+        "--input", str(xml),
+        "--output_dir", str(out_dir),
+        "--setting", "all_types",
+    ])
+    assert rc == 0
+    assert (out_dir / "page.mask.png").exists()
+    assert (out_dir / "image_map.json").exists()
+    cmap = ColorMap.load(out_dir / "image_map.json")
+    mask = cmap.imread_labels(out_dir / "page.mask.png")
+    assert mask[15, 20] == cmap.index_for_label("paragraph")
+
+
+def test_page_segmentation_cli(tmp_path):
+    cmap = ColorMap(
+        {
+            "(255, 255, 255)": (0, "background"),
+            "(0, 0, 255)": (1, "text"),
+            "(0, 255, 0)": (2, "image"),
+        }
+    )
+    cmap.save(tmp_path / "map.json")
+    pred = np.zeros((200, 160), np.int32)
+    pred[20:90, 20:140] = 1
+    pred[120:180, 30:130] = 2
+    imsave(tmp_path / "page.png", cmap.to_rgb_array(pred))
+    rc = main([
+        "page-segmentation",
+        "--prediction", str(tmp_path / "page.png"),
+        "--output_dir", str(tmp_path / "segout"),
+        "--char_height", "10",
+        "--resize_height", "100",
+        "--color_map", str(tmp_path / "map.json"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "segout" / "page.png").exists()
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    cmap = ColorMap({"(255, 255, 255)": (0, "background"), "(255, 0, 0)": (1, "text")})
+    cmap.save(tmp_path / "map.json")
+    (tmp_path / "masks").mkdir()
+    (tmp_path / "preds").mkdir()
+    mask = np.zeros((20, 20), np.int32)
+    mask[5:15, 5:15] = 1
+    pred = mask.copy()
+    pred[5, 5] = 0
+    imsave(tmp_path / "masks" / "a.png", cmap.to_rgb_array(mask))
+    imsave(tmp_path / "preds" / "a.png", cmap.to_rgb_array(pred))
+    rc = main([
+        "evaluate",
+        "--masks", str(tmp_path / "masks"),
+        "--predictions", str(tmp_path / "preds"),
+        "--color_map", str(tmp_path / "map.json"),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out)
+    assert report["accuracy"] == 399 / 400
+    assert report["label_1"]["recall"] > 0.98
