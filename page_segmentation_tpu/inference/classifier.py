@@ -3,7 +3,7 @@
 TPU-native counterpart of the reference ``Network`` class (network.py:18-260)
 for the inference half: architecture selection + preprocessing
 (network.py:45-57,252-255), checkpoint loading (network.py:76-107 — here
-Orbax/msgpack native checkpoints or imported Keras .h5), and
+native msgpack checkpoints or imported Keras .h5), and
 ``predict_single_data`` returning (logit, prob, pred) (network.py:248-260).
 
 Design difference from the reference: instead of dynamic shapes inside the
@@ -14,7 +14,6 @@ exactly.  A batched entry point amortizes dispatch for throughput.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -28,7 +27,11 @@ from .output import masks_on_device
 
 
 class PixelClassifier:
-    """Holds a flax model + params and serves cached-jit forward passes."""
+    """Holds a flax model + variables and serves cached-jit forward passes.
+
+    ``variables`` is the full flax collection dict — ``params`` plus
+    ``batch_stats`` for the BN-bearing encoder families (mobilenet/resnet/
+    efficientnet)."""
 
     def __init__(
         self,
@@ -45,7 +48,7 @@ class PixelClassifier:
         self.bucket_granularity = bucket_granularity
         self.module = architecture.model(n_classes, dtype=compute_dtype)
         self.preprocess, self.rgb = architecture.preprocess()
-        self.params = None
+        self.variables = None
         if model_path:
             self.load(model_path)
         else:
@@ -53,49 +56,63 @@ class PixelClassifier:
         self._forward_cache = {}
         self._masks_cache = {}
 
+    # ----------------------------------------------------------- properties
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    @params.setter
+    def params(self, value):
+        self.variables = {**(self.variables or {}), "params": value}
+
+    @property
+    def model_state(self):
+        return {k: v for k, v in self.variables.items() if k != "params"}
+
     # ----------------------------------------------------------- params I/O
     def init_params(self, seed: int = 0) -> None:
         rng = jax.random.PRNGKey(seed)
         h = w = self.architecture.stride_factor * 2
         c = 3 if self.rgb else 1
         dummy = jnp.zeros((1, h, w, c), jnp.float32)
-        self.params = self.module.init({"params": rng, "dropout": rng}, dummy)["params"]
+        self.variables = dict(self.module.init({"params": rng, "dropout": rng}, dummy))
+
+    def _rebuild(self, architecture: Architecture) -> None:
+        self.architecture = architecture
+        self.module = architecture.model(self.n_classes, dtype=self.compute_dtype)
+        self.preprocess, self.rgb = architecture.preprocess()
 
     def load(self, path: str) -> None:
         path = str(path)
         if path.endswith(".h5"):
             from ..models.h5_import import load_keras_h5
 
-            self.params, detected = load_keras_h5(path, self.architecture, self.n_classes)
+            params, detected = load_keras_h5(path, self.architecture, self.n_classes)
             if detected is not None:
-                self.architecture = detected
-                self.module = self.architecture.model(self.n_classes, dtype=self.compute_dtype)
-                self.preprocess, self.rgb = self.architecture.preprocess()
+                self._rebuild(detected)
+            self.variables = {"params": params}
         else:
             from ..train.checkpoint import load_checkpoint
 
-            self.params, meta = load_checkpoint(path)
+            variables, meta = load_checkpoint(path)
             arch = meta.get("architecture")
             if arch:
-                self.architecture = Architecture(arch)
-                self.module = self.architecture.model(self.n_classes, dtype=self.compute_dtype)
-                self.preprocess, self.rgb = self.architecture.preprocess()
+                self._rebuild(Architecture(arch))
+            self.variables = variables
 
     # -------------------------------------------------------------- forward
     def _forward_fn(self, batch_shape: Tuple[int, ...]):
         if batch_shape not in self._forward_cache:
 
-            @partial(jax.jit)
-            def forward(params, image):
-                return self.module.apply({"params": params}, image)
+            @jax.jit
+            def forward(variables, image):
+                return self.module.apply(variables, image)
 
             self._forward_cache[batch_shape] = forward
         return self._forward_cache[batch_shape]
 
     def _prepare_input(self, image: np.ndarray) -> Tuple[np.ndarray, Tuple[int, int]]:
-        """Preprocess + pad one image to its bucket; returns NHWC float32."""
-        from ..models.layers import gray_to_rgb as _  # noqa: F401  (device variant)
-
+        """Preprocess + pad one image to its bucket; returns HWC float32."""
         if self.rgb and (image.ndim == 2 or image.shape[-1] != 3):
             image = np.concatenate([image[..., None]] * 3, axis=-1)
         arr = np.asarray(self.preprocess(np.asarray(image, dtype=np.float32)), dtype=np.float32)
@@ -111,7 +128,7 @@ class PixelClassifier:
 
         arr, orig_hw = self._prepare_input(data.image)
         forward = self._forward_fn((1,) + arr.shape)
-        logits = forward(self.params, arr[None])
+        logits = forward(self.variables, arr[None])
         logit = crop_to(np.asarray(logits[0]), orig_hw)
         prob = softmax(logit, -1)
         pred = np.argmax(logit, -1)
@@ -128,17 +145,25 @@ class PixelClassifier:
         if key not in self._masks_cache:
             module = self.module
             preprocess_on_device = not self.rgb  # grayscale archs: x/255 fuses on device
+            host_preprocess = self.preprocess
+            rgb = self.rgb
 
             @jax.jit
-            def fused(params, images_u8, binaries_u8, palette_u8):
-                x = images_u8.astype(jnp.float32)[..., None]
+            def fused(variables, images_f32, binaries_u8, palette_u8):
+                x = images_f32
                 if preprocess_on_device:
-                    x = x / 255.0
-                logits = module.apply({"params": params}, x)
+                    x = x[..., None] / 255.0
+                logits = module.apply(variables, x)
                 return masks_on_device(logits, binaries_u8, palette_u8)
 
-            self._masks_cache[key] = fused
-        return self._masks_cache[key](self.params, images, binaries, palette)
+            self._masks_cache[key] = (fused, preprocess_on_device, host_preprocess, rgb)
+        fused, on_device, host_preprocess, rgb = self._masks_cache[key]
+        if on_device:
+            x = images.astype(np.float32)
+        else:
+            x = np.stack([images] * 3, axis=-1).astype(np.float32) if rgb else images[..., None]
+            x = np.asarray(host_preprocess(x), np.float32)
+        return fused(self.variables, x, binaries, palette)
 
 
 def network_for_model(model_path: str, n_classes: int, **kwargs) -> PixelClassifier:

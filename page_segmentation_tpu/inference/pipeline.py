@@ -46,7 +46,7 @@ def make_fused_predict(
     bucket_granularity: int = 1,
     compute_dtype=jnp.bfloat16,
 ):
-    """Jitted fn(params, pages_u8 (N, hd, wd), palette) -> color uint8
+    """Jitted fn(variables, pages_u8 (N, hd, wd), palette) -> color uint8
     (N, pad_h, pad_w, 3): device cubic resample to ``normalized_shape``,
     invert/normalize, pad to the bucket, forward, argmax, palette gather."""
     out_h, out_w = normalized_shape
@@ -54,13 +54,13 @@ def make_fused_predict(
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
 
     @jax.jit
-    def fused(params, pages_u8, palette):
+    def fused(variables, pages_u8, palette):
         n = pages_u8.shape[0]
         img = pages_u8.astype(jnp.float32)
         img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
         img = 1.0 - img / 255.0  # dataset.py:137 inversion, fused with /255
         img = jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
-        logits = module.apply({"params": params}, img[..., None].astype(compute_dtype))
+        logits = module.apply(variables, img[..., None].astype(compute_dtype))
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jnp.take(palette, jnp.clip(pred, 0, palette.shape[0] - 1), axis=0)
 
@@ -79,7 +79,7 @@ class ThroughputPredictor:
     def __init__(
         self,
         module,
-        params,
+        variables,
         palette: np.ndarray,
         page_shape: Tuple[int, int],
         scale: float,
@@ -98,7 +98,9 @@ class ThroughputPredictor:
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
         )
-        self.params = params
+        if not isinstance(variables, dict) or "params" not in variables:
+            variables = {"params": variables}
+        self.variables = variables
         self.palette_dev = jnp.asarray(palette)
         self.row_idx = nearest_index_array(out_h, in_h)
         self.col_idx = nearest_index_array(out_w, in_w)
@@ -145,7 +147,7 @@ class ThroughputPredictor:
                 dec_dev, ink = next_prep.result()
                 if index + 1 < len(starts):
                     next_prep = pool.submit(prep, starts[index + 1])
-                color_dev = self.fused(self.params, dec_dev, self.palette_dev)
+                color_dev = self.fused(self.variables, dec_dev, self.palette_dev)
                 if pending is not None:
                     yield self._finish(np.asarray(pending[0]), pending[1])
                 pending = (color_dev, ink)

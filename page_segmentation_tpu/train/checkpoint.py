@@ -22,11 +22,15 @@ import numpy as np
 from flax import serialization
 
 
-def save_checkpoint(path: str, params, meta: Optional[Dict[str, Any]] = None, opt_state=None) -> None:
+def save_checkpoint(path: str, variables, meta: Optional[Dict[str, Any]] = None, opt_state=None) -> None:
+    """``variables`` is either the full flax collection dict
+    ({'params': ..., 'batch_stats': ...}) or a bare params tree."""
     os.makedirs(path, exist_ok=True)
-    params = jax.device_get(params)
+    variables = jax.device_get(variables)
+    if not isinstance(variables, dict) or "params" not in variables:
+        variables = {"params": variables}
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
-        f.write(serialization.msgpack_serialize(_to_numpy(params)))
+        f.write(serialization.msgpack_serialize(_to_numpy(dict(variables))))
     if opt_state is not None:
         state_dict = serialization.to_state_dict(jax.device_get(opt_state))
         with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
@@ -36,17 +40,20 @@ def save_checkpoint(path: str, params, meta: Optional[Dict[str, Any]] = None, op
 
 
 def load_checkpoint(path: str) -> Tuple[Any, Dict[str, Any]]:
+    """Returns (variables, meta) where variables always has a 'params' key."""
     params_file = os.path.join(path, "params.msgpack")
     if not os.path.exists(params_file):
         raise FileNotFoundError(f"No checkpoint at {path}")
     with open(params_file, "rb") as f:
-        params = serialization.msgpack_restore(f.read())
+        variables = serialization.msgpack_restore(f.read())
+    if "params" not in variables:  # legacy bare-params checkpoint
+        variables = {"params": variables}
     meta = {}
     meta_file = os.path.join(path, "meta.json")
     if os.path.exists(meta_file):
         with open(meta_file, "r") as f:
             meta = json.load(f)
-    return params, meta
+    return variables, meta
 
 
 def load_opt_state(path: str, template=None):

@@ -26,12 +26,6 @@ from jax import shard_map
 from . import metrics as M
 
 
-def _forward(module, params, batch, train: bool, dropout_rng=None):
-    kwargs = {}
-    rngs = {"dropout": dropout_rng} if dropout_rng is not None else {}
-    return module.apply({"params": params}, batch["image"], train=train, rngs=rngs, **kwargs)
-
-
 def make_step_fns(
     module,
     optimizer: optax.GradientTransformation,
@@ -42,9 +36,12 @@ def make_step_fns(
 ):
     """Returns (train_step, eval_step).
 
-    train_step(params, opt_state, batch, dropout_rng)
-        -> (params, opt_state, metrics dict)
-    eval_step(params, batch) -> metrics dict
+    train_step(params, model_state, opt_state, batch, dropout_rng)
+        -> (params, model_state, opt_state, metrics dict)
+    eval_step(params, model_state, batch) -> metrics dict
+
+    ``model_state`` carries non-param collections (batch_stats for the
+    BN-bearing encoder families); pass {} for BN-free models.
     """
 
     def compute_metrics(batch, logits):
@@ -56,55 +53,70 @@ def make_step_fns(
             "dice_coef": jnp.mean(M.dice_coef(batch["mask"], logits, weights=w)),
         }
 
-    def train_core(params, opt_state, batch, dropout_rng):
-        def loss_of(p):
-            logits = _forward(module, p, batch, train=True, dropout_rng=dropout_rng)
-            return loss_fn(batch["mask"], logits, weights=batch.get("weights")), logits
+    def train_core(params, model_state, opt_state, batch, dropout_rng):
+        mutable = list(model_state.keys())
 
-        (loss_value, logits), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        def loss_of(p):
+            variables = {"params": p, **model_state}
+            if mutable:
+                logits, new_state = module.apply(
+                    variables, batch["image"], train=True,
+                    rngs={"dropout": dropout_rng}, mutable=mutable,
+                )
+            else:
+                logits = module.apply(
+                    variables, batch["image"], train=True, rngs={"dropout": dropout_rng}
+                )
+                new_state = model_state
+            return loss_fn(batch["mask"], logits, weights=batch.get("weights")), (logits, new_state)
+
+        (loss_value, (logits, new_model_state)), grads = jax.value_and_grad(
+            loss_of, has_aux=True
+        )(params)
         if mesh is not None:
             grads = jax.lax.pmean(grads, data_axis)
+            new_model_state = jax.lax.pmean(new_model_state, data_axis)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         step_metrics = compute_metrics(batch, logits)
         step_metrics["loss"] = loss_value
         if mesh is not None:
             step_metrics = jax.lax.pmean(step_metrics, data_axis)
-        return new_params, new_opt_state, step_metrics
+        return new_params, new_model_state, new_opt_state, step_metrics
 
-    def eval_core(params, batch):
-        logits = _forward(module, params, batch, train=False)
+    def eval_core(params, model_state, batch):
+        logits = module.apply({"params": params, **model_state}, batch["image"], train=False)
         m = compute_metrics(batch, logits)
         if mesh is not None:
             m = jax.lax.pmean(m, data_axis)
         return m
 
     if mesh is None:
-        train_step = jax.jit(train_core, donate_argnums=(0, 1) if donate else ())
+        train_step = jax.jit(train_core, donate_argnums=(0, 1, 2) if donate else ())
         eval_step = jax.jit(eval_core)
         return train_step, eval_step
 
     batch_spec = {"image": P(data_axis), "mask": P(data_axis), "binary": P(data_axis), "weights": P(data_axis)}
 
-    def train_sharded(params, opt_state, batch, dropout_rng):
+    def train_sharded(params, model_state, opt_state, batch, dropout_rng):
         # distinct dropout stream per shard
         dropout_rng = jax.random.fold_in(dropout_rng, jax.lax.axis_index(data_axis))
-        return train_core(params, opt_state, batch, dropout_rng)
+        return train_core(params, model_state, opt_state, batch, dropout_rng)
 
     train_step = jax.jit(
         shard_map(
             train_sharded,
             mesh=mesh,
-            in_specs=(P(), P(), batch_spec, P()),
-            out_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), batch_spec, P()),
+            out_specs=(P(), P(), P(), P()),
         ),
-        donate_argnums=(0, 1) if donate else (),
+        donate_argnums=(0, 1, 2) if donate else (),
     )
     eval_step = jax.jit(
         shard_map(
             eval_core,
             mesh=mesh,
-            in_specs=(P(), batch_spec),
+            in_specs=(P(), P(), batch_spec),
             out_specs=P(),
         )
     )
@@ -113,10 +125,11 @@ def make_step_fns(
 
 def make_forward_fn(module, mesh: Optional[Mesh] = None, data_axis: str = "data"):
     """Jitted batched forward (logits) — data-parallel over the mesh when
-    given; used by the parallel predict executor."""
+    given; used by the parallel predict executor.  ``variables`` is the full
+    collection dict ({'params': ..., 'batch_stats': ...})."""
 
-    def forward(params, image):
-        return module.apply({"params": params}, image)
+    def forward(variables, image):
+        return module.apply(variables, image)
 
     if mesh is None:
         return jax.jit(forward)

@@ -144,6 +144,7 @@ class Trainer:
             seed=s.seed,
         )
         self.params = classifier.params
+        self.model_state = classifier.model_state  # batch_stats for BN models
         self.opt_state = self.optimizer.init(self.params)
 
         self.mesh = None
@@ -289,8 +290,8 @@ class Trainer:
                 if self.mesh is not None:
                     batch = self._pad_for_mesh(batch)
                 dropout_key, step_key = jax.random.split(dropout_key)
-                self.params, self.opt_state, step_metrics = self._train_step(
-                    self.params, self.opt_state, batch, step_key
+                self.params, self.model_state, self.opt_state, step_metrics = self._train_step(
+                    self.params, self.model_state, self.opt_state, batch, step_key
                 )
                 epoch_metrics.append(step_metrics)
                 if callback:
@@ -330,7 +331,7 @@ class Trainer:
             if improved:
                 best_value = current
                 wait = 0
-                best_params = jax.device_get(self.params)
+                best_params = jax.device_get((self.params, self.model_state))
                 if s.save_best_model_only:
                     self._save(best_value, epoch)
                 if callback:
@@ -356,7 +357,7 @@ class Trainer:
                 break
 
         if s.early_stopping_restore_best_weights and best_params is not None:
-            self.params = best_params
+            self.params, self.model_state = best_params
         scalars.close()
         return history
 
@@ -379,7 +380,7 @@ class Trainer:
             batch = self._make_batch(samples, augment=False, rng=None)
             if self.mesh is not None:
                 batch = self._pad_for_mesh(batch)
-            results.append(self._eval_step(self.params, batch))
+            results.append(self._eval_step(self.params, self.model_state, batch))
         return {k: float(np.mean([float(m[k]) for m in results])) for k in results[0]}
 
     # --------------------------------------------------------------- helpers
@@ -413,7 +414,7 @@ class Trainer:
         path = os.path.join(s.output_dir, s.model_name + s.model_suffix)
         save_checkpoint(
             path,
-            self.params,
+            {"params": self.params, **self.model_state},
             meta={
                 "architecture": s.architecture.value,
                 "n_classes": s.n_classes,
@@ -430,7 +431,9 @@ class Trainer:
             batch = self._make_batch([d], augment=False, rng=None)
             from .steps import make_forward_fn
 
-            logits = self.module.apply({"params": self.params}, batch["image"])
+            logits = self.module.apply(
+                {"params": self.params, **self.model_state}, batch["image"]
+            )
             h, w = d.image.shape[:2]
             pred = np.asarray(jnp.argmax(logits[0], -1))[:h, :w]
             yield d.image, d.binary, d.mask, pred
