@@ -46,6 +46,7 @@ def main():
     parser.add_argument("--width", type=int, default=2480)
     parser.add_argument("--target-line-height", type=int, default=6)
     parser.add_argument("--host-decimate", type=int, default=8)
+    parser.add_argument("--download", default="pred", choices=["color", "pred"])
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     args = parser.parse_args()
 
@@ -71,6 +72,7 @@ def main():
         scale,
         host_decimate=args.host_decimate,
         compute_dtype=compute_dtype,
+        download=args.download,
     )
     print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
 

@@ -45,10 +45,14 @@ def make_fused_predict(
     stride_factor: int = 8,
     bucket_granularity: int = 1,
     compute_dtype=jnp.bfloat16,
+    download: str = "color",
 ):
-    """Jitted fn(variables, pages_u8 (N, hd, wd), palette) -> color uint8
-    (N, pad_h, pad_w, 3): device cubic resample to ``normalized_shape``,
-    invert/normalize, pad to the bucket, forward, argmax, palette gather."""
+    """Jitted fn(variables, pages_u8 (N, hd, wd), palette): device cubic
+    resample to ``normalized_shape``, invert/normalize, pad to the bucket,
+    forward, argmax.  ``download='color'`` returns the palette-gathered RGB
+    mask (N, pad_h, pad_w, 3) uint8; ``download='pred'`` returns the raw
+    class map (N, pad_h, pad_w) uint8 — 3x fewer bytes over the link, with
+    the palette gather done host-side."""
     out_h, out_w = normalized_shape
     pad_h = round_up(out_h, stride_factor * bucket_granularity)
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
@@ -61,7 +65,9 @@ def make_fused_predict(
         img = 1.0 - img / 255.0  # dataset.py:137 inversion, fused with /255
         img = jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
         logits = module.apply(variables, img[..., None].astype(compute_dtype))
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pred = jnp.argmax(logits, axis=-1)
+        if download == "pred":
+            return pred.astype(jnp.uint8)
         return jnp.take(palette, jnp.clip(pred, 0, palette.shape[0] - 1), axis=0)
 
     fused.valid_shape = (out_h, out_w)
@@ -86,10 +92,12 @@ class ThroughputPredictor:
         host_decimate: int = 8,
         stride_factor: int = 8,
         compute_dtype=jnp.bfloat16,
+        download: str = "color",
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
         self.host_decimate = host_decimate
+        self.download = download
         out_h = int(np.round(in_h * scale))
         out_w = int(np.round(in_w * scale))
         dec_h, dec_w = in_h // host_decimate, in_w // host_decimate
@@ -97,7 +105,9 @@ class ThroughputPredictor:
         self.fused = make_fused_predict(
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
+            download=download,
         )
+        self.palette_np = np.asarray(palette, np.uint8)
         if not isinstance(variables, dict) or "params" not in variables:
             variables = {"params": variables}
         self.variables = variables
@@ -121,9 +131,12 @@ class ThroughputPredictor:
             ink[i] = binaries[i][np.ix_(self.row_idx, self.col_idx)] < 128
         return jax.device_put(dec), ink
 
-    def _finish(self, color_padded: np.ndarray, ink: np.ndarray):
+    def _finish(self, downloaded: np.ndarray, ink: np.ndarray):
         h, w = ink.shape[1:]
-        color = color_padded[:, :h, :w]
+        if self.download == "pred":
+            color = self.palette_np[downloaded[:, :h, :w]]
+        else:
+            color = downloaded[:, :h, :w]
         not_ink3 = (~ink[..., None]).astype(np.uint8)
         ink3 = ink[..., None].astype(np.uint8)
         overlay = color * not_ink3  # color where background (output.py:46-49)

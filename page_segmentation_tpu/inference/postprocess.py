@@ -23,6 +23,14 @@ from ..ops.cc import CC_STAT_HEIGHT, CC_STAT_LEFT, CC_STAT_TOP, CC_STAT_WIDTH, c
 
 
 def vote_connected_component_class(pred: np.ndarray, data: SingleData) -> np.ndarray:
+    from .. import native
+
+    pred_arr = np.asarray(pred)
+    n_classes_native = int(pred_arr.max()) + 1 if pred_arr.size else 1
+    voted = native.cc_vote(np.asarray(data.binary), pred_arr, n_classes_native)
+    if voted is not None:
+        return voted.astype(pred_arr.dtype)
+
     num_labels, labels, stats, _ = connected_components_with_stats(np.asarray(data.binary), connectivity=4)
     if num_labels <= 1:
         return pred

@@ -1,0 +1,121 @@
+"""ctypes bindings for the native host kernels (ps_native.cpp).
+
+Auto-builds ``libps_native.so`` with the in-tree Makefile on first import
+when a toolchain is present; all callers keep a pure scipy/numpy fallback,
+so the framework works without a compiler too.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libps_native.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception as exc:  # no toolchain / build failure -> fallback
+        logger.debug(f"native build unavailable: {exc}")
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as exc:
+        logger.debug(f"native load failed: {exc}")
+        return None
+
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+    lib.ps_cc_with_stats.restype = ctypes.c_int
+    lib.ps_cc_with_stats.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, f64p, ctypes.c_int,
+    ]
+    lib.ps_cc_vote.restype = ctypes.c_int
+    lib.ps_cc_vote.argtypes = [u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
+    lib.ps_contours.restype = ctypes.c_int
+    lib.ps_contours.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ------------------------------------------------------------------ wrappers
+def cc_with_stats(image: np.ndarray, connectivity: int = 4):
+    """Native connectedComponentsWithStats; None if the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray((np.asarray(image) != 0).astype(np.uint8))
+    h, w = img.shape
+    labels = np.empty((h, w), np.int32)
+    max_labels = h * w // 2 + 2
+    stats = np.empty((max_labels, 5), np.int32)
+    centroids = np.empty((max_labels, 2), np.float64)
+    n = lib.ps_cc_with_stats(img, h, w, connectivity, labels, stats, centroids, max_labels)
+    if n < 0:
+        return None
+    return n, labels, stats[:n].copy(), centroids[:n].copy()
+
+
+def cc_vote(binary: np.ndarray, pred: np.ndarray, n_classes: int) -> Optional[np.ndarray]:
+    """Fused components+majority vote; returns the voted pred or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    binary_u8 = np.ascontiguousarray((np.asarray(binary) != 0).astype(np.uint8))
+    out = np.ascontiguousarray(np.asarray(pred), dtype=np.int32).copy()
+    h, w = binary_u8.shape
+    lib.ps_cc_vote(binary_u8, h, w, int(n_classes), out)
+    return out
+
+
+def contours(image: np.ndarray) -> Optional[List[np.ndarray]]:
+    """External contours as (N, 2) int32 (x, y) arrays, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray((np.asarray(image) != 0).astype(np.uint8))
+    h, w = img.shape
+    max_points = h * w + 16
+    max_contours = h * w // 4 + 16
+    points = np.empty((max_points, 2), np.int32)
+    lens = np.empty(max_contours, np.int32)
+    n = lib.ps_contours(img, h, w, points, max_points, lens, max_contours)
+    if n < 0:
+        return None
+    out = []
+    cursor = 0
+    for i in range(n):
+        out.append(points[cursor : cursor + lens[i]].copy())
+        cursor += lens[i]
+    return out

@@ -1,0 +1,249 @@
+// Native host-side kernels for page_segmentation_tpu.
+//
+// The reference delegates its irregular host CV work to the cv2 wheel
+// (connectedComponentsWithStats: postprocess.py:10,33, image_ops.py:68,
+// evaluation.py:83; findContours: pc_segmentation.py:101,112).  This
+// library re-owns those ops natively: a two-pass union-find labeling with
+// raster-order label numbering (cv2-compatible), a fused
+// components+majority-vote (the cc-vote postprocessor in one pass), and
+// Moore-neighbor external contour tracing.  Exposed via ctypes
+// (ps_native.py); the scipy/numpy implementations remain as fallback.
+//
+// Build: make -C page_segmentation_tpu/native  (-> libps_native.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <utility>
+#include <vector>
+
+namespace {
+
+struct UnionFind {
+    std::vector<int32_t> parent;
+    explicit UnionFind(size_t n) { parent.reserve(n); parent.push_back(0); }
+    int32_t add() {
+        parent.push_back(static_cast<int32_t>(parent.size()));
+        return static_cast<int32_t>(parent.size()) - 1;
+    }
+    int32_t find(int32_t x) {
+        int32_t root = x;
+        while (parent[root] != root) root = parent[root];
+        while (parent[x] != root) {
+            int32_t next = parent[x];
+            parent[x] = root;
+            x = next;
+        }
+        return root;
+    }
+    void unite(int32_t a, int32_t b) {
+        a = find(a);
+        b = find(b);
+        if (a < b) parent[b] = a;
+        else if (b < a) parent[a] = b;
+    }
+};
+
+// First pass: provisional labels + merges.  Second pass: flatten and
+// renumber components 1..n-1 in raster order of first occurrence, exactly
+// like cv2's SAUF output.
+int label_image(const uint8_t* img, int h, int w, int connectivity,
+                int32_t* labels, std::vector<int32_t>& remap_out) {
+    const size_t size = static_cast<size_t>(h) * w;
+    std::vector<int32_t> provisional(size, 0);
+    UnionFind uf(1024);
+
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* row = img + static_cast<size_t>(y) * w;
+        int32_t* prow = provisional.data() + static_cast<size_t>(y) * w;
+        const int32_t* prev = prow - w;
+        for (int x = 0; x < w; ++x) {
+            if (!row[x]) continue;
+            int32_t label = 0;
+            if (x > 0 && prow[x - 1]) label = prow[x - 1];
+            if (y > 0) {
+                if (prev[x]) {
+                    if (label && label != prev[x]) uf.unite(label, prev[x]);
+                    label = label ? std::min(label, prev[x]) : prev[x];
+                }
+                if (connectivity == 8) {
+                    if (x > 0 && prev[x - 1]) {
+                        if (label && label != prev[x - 1]) uf.unite(label, prev[x - 1]);
+                        label = label ? std::min(label, prev[x - 1]) : prev[x - 1];
+                    }
+                    if (x + 1 < w && prev[x + 1]) {
+                        if (label && label != prev[x + 1]) uf.unite(label, prev[x + 1]);
+                        label = label ? std::min(label, prev[x + 1]) : prev[x + 1];
+                    }
+                }
+            }
+            if (!label) label = uf.add();
+            prow[x] = label;
+        }
+    }
+
+    // raster-order renumbering of union-find roots
+    std::vector<int32_t> remap(uf.parent.size(), 0);
+    int32_t count = 0;
+    for (size_t i = 0; i < size; ++i) {
+        int32_t p = provisional[i];
+        if (!p) { labels[i] = 0; continue; }
+        int32_t root = uf.find(p);
+        if (!remap[root]) remap[root] = ++count;
+        labels[i] = remap[root];
+    }
+    remap_out.swap(remap);
+    return count + 1;  // including background
+}
+
+}  // namespace
+
+extern "C" {
+
+// cv2.connectedComponentsWithStats-compatible.  stats rows:
+// [left, top, width, height, area]; centroids (x, y).  Returns num_labels
+// (including background) or -1 if it exceeds max_labels.
+int ps_cc_with_stats(const uint8_t* img, int h, int w, int connectivity,
+                     int32_t* labels, int32_t* stats, double* centroids,
+                     int max_labels) {
+    std::vector<int32_t> remap;
+    const int num_labels = label_image(img, h, w, connectivity, labels, remap);
+    if (num_labels > max_labels) return -1;
+
+    std::vector<int32_t> left(num_labels, w), top(num_labels, h);
+    std::vector<int32_t> right(num_labels, -1), bottom(num_labels, -1);
+    std::vector<int64_t> area(num_labels, 0), sx(num_labels, 0), sy(num_labels, 0);
+    for (int y = 0; y < h; ++y) {
+        const int32_t* row = labels + static_cast<size_t>(y) * w;
+        for (int x = 0; x < w; ++x) {
+            const int32_t l = row[x];
+            area[l]++;
+            sx[l] += x;
+            sy[l] += y;
+            if (x < left[l]) left[l] = x;
+            if (x > right[l]) right[l] = x;
+            if (y < top[l]) top[l] = y;
+            if (y > bottom[l]) bottom[l] = y;
+        }
+    }
+    for (int l = 0; l < num_labels; ++l) {
+        int32_t* srow = stats + static_cast<size_t>(l) * 5;
+        if (l == 0) {
+            srow[0] = 0; srow[1] = 0; srow[2] = w; srow[3] = h;
+        } else {
+            srow[0] = left[l];
+            srow[1] = top[l];
+            srow[2] = right[l] - left[l] + 1;
+            srow[3] = bottom[l] - top[l] + 1;
+        }
+        srow[4] = static_cast<int32_t>(area[l]);
+        centroids[l * 2] = area[l] ? static_cast<double>(sx[l]) / area[l] : 0.0;
+        centroids[l * 2 + 1] = area[l] ? static_cast<double>(sy[l]) / area[l] : 0.0;
+    }
+    return num_labels;
+}
+
+// Fused cc-majority-vote (reference postprocess.py:9-26 behavior): label
+// the binary's 4-connected components, histogram pred classes per
+// component, and overwrite each component with its majority class
+// (ties -> lowest class).  One labeling pass + one histogram pass.
+int ps_cc_vote(const uint8_t* binary, int h, int w, int n_classes,
+               int32_t* pred) {
+    const size_t size = static_cast<size_t>(h) * w;
+    std::vector<int32_t> labels(size);
+    std::vector<int32_t> remap;
+    const int num_labels = label_image(binary, h, w, 4, labels.data(), remap);
+    if (num_labels <= 1) return num_labels;
+
+    std::vector<int64_t> counts(static_cast<size_t>(num_labels) * n_classes, 0);
+    for (size_t i = 0; i < size; ++i) {
+        const int32_t l = labels[i];
+        if (l) counts[static_cast<size_t>(l) * n_classes + pred[i]]++;
+    }
+    std::vector<int32_t> majority(num_labels, 0);
+    for (int l = 1; l < num_labels; ++l) {
+        const int64_t* c = counts.data() + static_cast<size_t>(l) * n_classes;
+        int best = 0;
+        for (int k = 1; k < n_classes; ++k)
+            if (c[k] > c[best]) best = k;
+        majority[l] = best;
+    }
+    for (size_t i = 0; i < size; ++i)
+        if (labels[i]) pred[i] = majority[labels[i]];
+    return num_labels;
+}
+
+// External contours (8-connectivity) via Moore-neighbor tracing, with
+// collinear-run compression.  Writes (x, y) int32 pairs contiguously into
+// out_points; per-contour lengths into out_lens.  Returns the number of
+// contours, or -1 on overflow.
+int ps_contours(const uint8_t* img, int h, int w, int32_t* out_points,
+                int max_points, int32_t* out_lens, int max_contours) {
+    const size_t size = static_cast<size_t>(h) * w;
+    std::vector<int32_t> labels(size);
+    std::vector<int32_t> remap;
+    const int num_labels = label_image(img, h, w, 8, labels.data(), remap);
+
+    static const int dy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+    static const int dx[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+
+    // first (topmost-leftmost) pixel per component, in raster order
+    std::vector<int32_t> first(num_labels, -1);
+    for (size_t i = 0; i < size; ++i)
+        if (labels[i] && first[labels[i]] < 0) first[labels[i]] = static_cast<int32_t>(i);
+
+    int n_contours = 0;
+    int point_cursor = 0;
+    std::vector<std::pair<int, int>> trace;
+    for (int l = 1; l < num_labels; ++l) {
+        if (n_contours >= max_contours) return -1;
+        const int sy0 = first[l] / w, sx0 = first[l] % w;
+        trace.clear();
+        trace.emplace_back(sy0, sx0);
+        int cy = sy0, cx = sx0, prev_dir = 0;
+        const int64_t limit = 4 * static_cast<int64_t>(size);
+        for (int64_t step = 0; step < limit; ++step) {
+            bool found = false;
+            for (int k = 0; k < 8; ++k) {
+                const int d = (prev_dir + 1 + k) % 8;
+                const int ny = cy + dy[d], nx = cx + dx[d];
+                if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+                if (labels[static_cast<size_t>(ny) * w + nx] != l) continue;
+                if (ny == sy0 && nx == sx0 && trace.size() > 2) { found = false; step = limit; break; }
+                trace.emplace_back(ny, nx);
+                cy = ny; cx = nx;
+                prev_dir = (d + 4) % 8;
+                found = true;
+                break;
+            }
+            if (!found) break;
+        }
+        // compress collinear runs (CHAIN_APPROX_SIMPLE-style)
+        std::vector<std::pair<int, int>> simple;
+        simple.push_back(trace[0]);
+        for (size_t i = 1; i + 1 < trace.size(); ++i) {
+            const int dy0 = trace[i].first - simple.back().first;
+            const int dx0 = trace[i].second - simple.back().second;
+            const int dy1 = trace[i + 1].first - trace[i].first;
+            const int dx1 = trace[i + 1].second - trace[i].second;
+            const int n0 = std::max(std::abs(dy0), std::abs(dx0));
+            const int n1 = std::max(std::abs(dy1), std::abs(dx1));
+            if (static_cast<int64_t>(dy0) * (n1 ? n1 : 1) != static_cast<int64_t>(dy1) * (n0 ? n0 : 1) ||
+                static_cast<int64_t>(dx0) * (n1 ? n1 : 1) != static_cast<int64_t>(dx1) * (n0 ? n0 : 1))
+                simple.push_back(trace[i]);
+        }
+        if (trace.size() > 1) simple.push_back(trace.back());
+
+        if (point_cursor + static_cast<int>(simple.size()) > max_points) return -1;
+        for (const auto& p : simple) {
+            out_points[point_cursor * 2] = p.second;      // x
+            out_points[point_cursor * 2 + 1] = p.first;   // y
+            ++point_cursor;
+        }
+        out_lens[n_contours++] = static_cast<int32_t>(simple.size());
+    }
+    return n_contours;
+}
+
+}  // extern "C"

@@ -42,7 +42,17 @@ _STRUCTURE = {
 
 
 def connected_components_with_stats(image: np.ndarray, connectivity: int = 4) -> ConnectedComponents:
-    """cv2.connectedComponentsWithStats-compatible labeling of nonzero pixels."""
+    """cv2.connectedComponentsWithStats-compatible labeling of nonzero pixels.
+
+    Uses the native C++ union-find (native/ps_native.cpp) when built — one
+    pass for labels + stats + centroids — with this scipy path as fallback.
+    """
+    from .. import native
+
+    native_result = native.cc_with_stats(image, connectivity)
+    if native_result is not None:
+        return ConnectedComponents(*native_result)
+
     from scipy import ndimage as ndi
 
     mask = np.asarray(image) != 0

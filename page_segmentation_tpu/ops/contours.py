@@ -71,7 +71,16 @@ def find_external_contours(binary: np.ndarray) -> List[np.ndarray]:
 
     Returns a list of (N, 2) int32 arrays of (x, y) points — the cv2
     point convention — in raster discovery order of the components.
+
+    Uses the native C++ tracer (native/ps_native.cpp) when built; this
+    Python Moore tracer is the fallback.
     """
+    from .. import native
+
+    native_result = native.contours(binary)
+    if native_result is not None:
+        return native_result
+
     from scipy import ndimage as ndi
 
     mask = np.asarray(binary) != 0

@@ -1,0 +1,108 @@
+"""Native C++ kernels: build, equivalence with the Python fallbacks, speed."""
+import numpy as np
+import pytest
+
+from page_segmentation_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.available():
+        pytest.skip("native library could not be built")
+    return native.get_lib()
+
+
+def test_native_builds(lib):
+    assert lib is not None
+
+
+def test_cc_matches_scipy(lib):
+    from page_segmentation_tpu.ops import cc as cc_mod
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(80, 60) > 0.6).astype(np.uint8)
+    for connectivity in (4, 8):
+        n_n, labels_n, stats_n, cent_n = native.cc_with_stats(img, connectivity)
+
+        # scipy fallback path (bypass the native hook)
+        from scipy import ndimage as ndi
+
+        structure = cc_mod._STRUCTURE[connectivity]
+        labels_s, num = ndi.label(img != 0, structure=structure)
+        assert n_n == num + 1
+        np.testing.assert_array_equal(labels_n, labels_s)
+
+        areas = np.bincount(labels_s.ravel(), minlength=n_n)
+        np.testing.assert_array_equal(stats_n[:, 4], areas)
+        objects = ndi.find_objects(labels_s)
+        for i, slc in enumerate(objects, start=1):
+            ys, xs = slc
+            assert stats_n[i, 0] == xs.start
+            assert stats_n[i, 1] == ys.start
+            assert stats_n[i, 2] == xs.stop - xs.start
+            assert stats_n[i, 3] == ys.stop - ys.start
+
+
+def test_cc_vote_matches_python(lib):
+    from page_segmentation_tpu.data.dataset import SingleData
+    from page_segmentation_tpu.inference.postprocess import vote_connected_component_class
+
+    rng = np.random.RandomState(1)
+    binary = (rng.rand(60, 50) > 0.6).astype(np.uint8)
+    pred = rng.randint(0, 4, (60, 50)).astype(np.int64)
+
+    native_out = native.cc_vote(binary, pred, 4)
+
+    # Python/scipy histogram implementation, native hook bypassed
+    from page_segmentation_tpu.ops.cc import connected_components_with_stats
+
+    num_labels, labels, _, _ = connected_components_with_stats(binary, connectivity=4)
+    counts = np.bincount(
+        labels.ravel().astype(np.int64) * 4 + pred.ravel(), minlength=num_labels * 4
+    ).reshape(num_labels, 4)
+    majority = np.argmax(counts, axis=1)
+    expected = pred.copy()
+    expected[labels > 0] = majority[labels[labels > 0]]
+
+    np.testing.assert_array_equal(native_out, expected)
+    # the public entry point also dispatches to native
+    out2 = vote_connected_component_class(pred, SingleData(binary=binary))
+    np.testing.assert_array_equal(out2, expected)
+
+
+def test_contours_fill_roundtrip(lib):
+    from page_segmentation_tpu.ops.contours import fill_contour
+
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:15, 5:25] = 255
+    mask[25:35, 28:38] = 255
+    result = native.contours(mask)
+    assert len(result) == 2
+    refilled = np.zeros_like(mask)
+    for c in result:
+        fill_contour(refilled, c, 255)
+    np.testing.assert_array_equal(refilled > 0, mask > 0)
+
+
+def test_native_cc_speed(lib):
+    """Native one-pass labeling should not be slower than scipy 3-pass."""
+    import time
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(1000, 800) > 0.5).astype(np.uint8)
+
+    t = time.perf_counter()
+    for _ in range(3):
+        native.cc_with_stats(img, 4)
+    native_time = (time.perf_counter() - t) / 3
+
+    from scipy import ndimage as ndi
+
+    t = time.perf_counter()
+    for _ in range(3):
+        labels, n = ndi.label(img)
+        ndi.find_objects(labels)
+        np.bincount(labels.ravel())
+    scipy_time = (time.perf_counter() - t) / 3
+    # generous bound: native must be within 2x of scipy (usually faster)
+    assert native_time < scipy_time * 2, (native_time, scipy_time)
