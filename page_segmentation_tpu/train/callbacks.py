@@ -55,6 +55,52 @@ def _to_py(v):
     return v
 
 
+class TensorboardWriter:
+    """Optional TensorBoard image/scalar writer (reference callback.py:48-71).
+
+    Uses tf.summary when TensorFlow is importable; otherwise falls back to
+    the PNG/JSONL outputs (ScalarLogger + ModelDiagnoser) silently — TF is
+    not a dependency of this framework.
+    """
+
+    def __init__(self, outdir: str, max_outputs: int = 10):
+        os.makedirs(outdir, exist_ok=True)
+        self.outdir = outdir
+        self.max_outputs = max_outputs
+        self.counter = 0
+        try:
+            import tensorflow as tf  # optional
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(outdir, flush_millis=10000)
+        except Exception:
+            self._tf = None
+            self._writer = None
+
+    def save_image(self, tag: str, image: np.ndarray, global_step: Optional[int] = None) -> None:
+        if self._writer is not None:
+            with self._writer.as_default():
+                self._tf.summary.image(
+                    tag, image, step=self.counter, max_outputs=self.max_outputs
+                )
+        else:
+            arr = np.asarray(image)
+            if arr.ndim == 4:
+                arr = arr[0]
+            imsave(os.path.join(self.outdir, tag.replace("/", "_") + f"-{self.counter}.png"),
+                   np.clip(arr, 0, 255).astype(np.uint8))
+        self.counter += 1
+
+    def save_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._writer is not None:
+            with self._writer.as_default():
+                self._tf.summary.scalar(tag, value, step=step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
 class ModelDiagnoser:
     """Write Input / GT / Prediction / Overlay images per epoch
     (reference callback.py:84-106 semantics, PNG-backed)."""
