@@ -1,0 +1,129 @@
+"""Spatial partitioning: one page across many chips.
+
+The reference caps page size by host-side downscaling (max_width,
+dataset.py:139-143).  On TPU the growth axis is the mesh: a page too large
+for one chip's HBM is split into horizontal bands across devices
+(``shard_map`` over the ``data`` axis reused as a spatial axis), each
+device computes the conv stack on its band extended by a receptive-field
+halo, and the valid interiors are concatenated — the overlap-tile strategy,
+with halos exchanged over ICI via ``ppermute`` instead of re-reading HBM.
+
+Because every architecture here is a finite-receptive-field conv net with
+zero SAME padding, a band extended by ``margin >= receptive_field/2`` rows
+reproduces the single-device output *exactly* (edge devices receive zero
+halos, matching the zero padding of the unsplit image).  ``margin`` and
+the band height must be multiples of the architecture's stride factor so
+pooling grids align across the split.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.pad import round_up
+
+# conservative half-receptive-field per architecture (rows), multiple of
+# the stride factor; FCN family RF radius is ~70 rows (5x5 stacks across
+# 3 pooling levels + transpose-conv decoder)
+DEFAULT_MARGINS = {
+    "fcn_skip": 96,
+    "fcn": 96,
+    "unet": 192,
+    "res_unet": 192,
+}
+
+
+def spatial_forward(
+    module,
+    variables,
+    image: np.ndarray,
+    mesh: Mesh,
+    margin: int = 96,
+    axis: str = "data",
+    stride_factor: int = 8,
+):
+    """Forward one (H, W, C) page split row-wise across the mesh.
+
+    Returns logits (H, W, n_classes).  H is padded to
+    n_devices * stride_factor internally and cropped back.
+    """
+    n_dev = mesh.devices.size
+    margin = round_up(margin, stride_factor)
+    h, w = image.shape[:2]
+    c = image.shape[2] if image.ndim == 3 else 1
+    arr = np.asarray(image, np.float32).reshape(h, w, c)
+
+    padded_h = round_up(h, n_dev * stride_factor)
+    padded_w = round_up(w, stride_factor)
+    full = np.zeros((padded_h, padded_w, c), np.float32)
+    full[:h, :w] = arr
+    band_h = padded_h // n_dev
+
+    if band_h < 2 * margin:
+        raise ValueError(
+            f"band height {band_h} smaller than 2x halo margin {margin}; "
+            f"use fewer devices or a taller page"
+        )
+
+    # A zero halo is NOT equivalent to SAME padding (zeros through a biased
+    # conv stop being zero after one layer), so edge devices must not see a
+    # synthetic margin: instead every device evaluates a uniform
+    # (band_h + 2*margin)-row window whose placement shifts at the edges —
+    # device 0 starts at the true page top (crop offset 0), the last device
+    # ends at the true bottom (crop offset 2*margin), interior devices are
+    # centered (offset margin).  All windows contain only real page rows,
+    # so each output band equals the unsplit forward exactly.
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(vars_, band):
+        # band: (band_h, W, C) local shard
+        index = lax.axis_index(axis)
+        up = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # send downward
+        down = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # send upward
+        above2 = lax.ppermute(band[-2 * margin :], axis, up)  # above band's bottom rows
+        below2 = lax.ppermute(band[: 2 * margin], axis, down)  # below band's top rows
+
+        window_top = jnp.concatenate([band, below2], axis=0)
+        window_mid = jnp.concatenate([above2[margin:], band, below2[:margin]], axis=0)
+        window_bot = jnp.concatenate([above2, band], axis=0)
+        window = jnp.where(
+            index == 0, window_top, jnp.where(index == n_dev - 1, window_bot, window_mid)
+        )
+        logits = module.apply(vars_, window[None])[0]
+        offset = jnp.where(index == 0, 0, jnp.where(index == n_dev - 1, 2 * margin, margin))
+        return lax.dynamic_slice_in_dim(logits, offset, band.shape[0], axis=0)
+
+    logits = run(variables, jnp.asarray(full))
+    return np.asarray(logits)[:h, :w]
+
+
+def spatial_predict(
+    classifier,
+    image: np.ndarray,
+    mesh: Mesh,
+    margin: Optional[int] = None,
+):
+    """argmax prediction for one oversized page via spatial partitioning."""
+    margin = margin or DEFAULT_MARGINS.get(classifier.architecture.value, 192)
+    arr = np.asarray(classifier.preprocess(np.asarray(image, np.float32)))
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    logits = spatial_forward(
+        classifier.module,
+        classifier.variables,
+        arr,
+        mesh,
+        margin=margin,
+        stride_factor=classifier.architecture.stride_factor,
+    )
+    return logits.argmax(-1)

@@ -1,0 +1,71 @@
+"""Spatial partitioning: sharded band forward must equal single-device."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.models.fcn import FCNSkip
+from page_segmentation_tpu.parallel.mesh import make_mesh
+from page_segmentation_tpu.parallel.spatial import spatial_forward, spatial_predict
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    module = FCNSkip(n_classes=3)
+    rng = jax.random.PRNGKey(0)
+    variables = dict(module.init(rng, jnp.zeros((1, 32, 32, 1), jnp.float32)))
+    mesh = make_mesh(4)
+    return module, variables, mesh
+
+
+def test_spatial_forward_exact(setup):
+    module, variables, mesh = setup
+    rng = np.random.RandomState(0)
+    image = rng.rand(1024, 64, 1).astype(np.float32)
+
+    single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+    sharded = spatial_forward(module, variables, image, mesh, margin=96)
+
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+    agreement = (sharded.argmax(-1) == single.argmax(-1)).mean()
+    assert agreement == 1.0
+
+
+def test_spatial_forward_unaligned_height(setup):
+    module, variables, mesh = setup
+    rng = np.random.RandomState(1)
+    image = rng.rand(1000, 48, 1).astype(np.float32)  # not divisible by 4*8
+
+    # single-device oracle on the same zero-padded canvas the split sees
+    padded = np.zeros((1024, 48, 1), np.float32)
+    padded[:1000] = image
+    single = np.asarray(module.apply(variables, jnp.asarray(padded[None])))[0][:1000]
+    sharded = spatial_forward(module, variables, image, mesh, margin=96)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_spatial_margin_too_large(setup):
+    module, variables, mesh = setup
+    image = np.zeros((256, 32, 1), np.float32)  # 64-row bands < 2x96 margin
+    with pytest.raises(ValueError, match="halo margin"):
+        spatial_forward(module, variables, image, mesh, margin=96)
+
+
+def test_spatial_predict_entrypoint(setup):
+    module, variables, mesh = setup
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+
+    net = PixelClassifier(n_classes=3)
+    rng = np.random.RandomState(2)
+    image = (rng.rand(1024, 64) * 255).astype(np.uint8)
+    pred = spatial_predict(net, image, mesh)
+    assert pred.shape == (1024, 64)
+
+    from page_segmentation_tpu.data.dataset import SingleData
+
+    _, _, single_pred = net.predict_single_data(SingleData(image=image))
+    agreement = (pred == single_pred).mean()
+    assert agreement == 1.0
