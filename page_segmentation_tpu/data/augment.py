@@ -77,7 +77,12 @@ def _offset_center(matrix: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def affine_matrix(params: AffineParams, shape: Tuple[int, int]) -> np.ndarray:
-    """3x3 homogeneous transform in (row, col) coordinates, Keras composition."""
+    """3x3 homogeneous transform, Keras composition and axis convention.
+
+    Keras builds the matrix in (x, y) coordinates and conjugates with the
+    axis-permutation (M' = P M P) before handing it to scipy's (row, col)
+    ``affine_transform`` — reproduced verbatim so parameters mean exactly
+    what they mean in the reference's augmentation."""
     matrix = np.eye(3)
     if params.theta:
         t = np.deg2rad(params.theta)
@@ -93,6 +98,10 @@ def affine_matrix(params: AffineParams, shape: Tuple[int, int]) -> np.ndarray:
         matrix = matrix @ np.array([[params.zx, 0, 0], [0, params.zy, 0], [0, 0, 1]])
     if not np.allclose(matrix, np.eye(3)):
         matrix = _offset_center(matrix, shape[0], shape[1])
+        # PMP conjugation: (x, y) convention -> numpy (row, col)
+        matrix = matrix.copy()
+        matrix[:, [0, 1]] = matrix[:, [1, 0]]
+        matrix[[0, 1]] = matrix[[1, 0]]
     return matrix
 
 
