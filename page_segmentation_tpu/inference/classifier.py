@@ -84,6 +84,17 @@ class PixelClassifier:
 
     def load(self, path: str) -> None:
         path = str(path)
+        if path.endswith(".h5") and not os.path.exists(path):
+            # legacy-model migration hook (reference network.py:60-68 shells
+            # out to a TF1->TF2 migration script when only a .meta exists;
+            # TF1 graphs are out of scope here, so fail with guidance)
+            meta_path = path[:-3] + ".meta"
+            if os.path.exists(meta_path):
+                raise FileNotFoundError(
+                    f"{path} not found but legacy TF1 checkpoint {meta_path} exists; "
+                    f"migrate it to Keras .h5 with the reference's scripts/migrate_model.py "
+                    f"(TF1 graph import is not supported by this framework)"
+                )
         if path.endswith(".h5"):
             from ..models.h5_import import load_keras_h5
 

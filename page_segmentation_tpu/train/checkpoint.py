@@ -71,3 +71,53 @@ def load_opt_state(path: str, template=None):
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+# ----------------------------------------------------------------- orbax
+class OrbaxCheckpointer:
+    """Async Orbax-backed training-state checkpointing (SURVEY §5 aux:
+    the reference has only Keras ModelCheckpoint; large-scale training
+    wants async, atomic, versioned state saves).
+
+    Saves {'variables', 'opt_state', 'meta'} per step under ``directory``;
+    keeps the newest ``max_to_keep``.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, variables, opt_state=None, meta: Optional[Dict] = None) -> None:
+        payload = {"variables": variables}
+        if opt_state is not None:
+            payload["opt_state"] = serialization.to_state_dict(jax.device_get(opt_state))
+        args = self._ocp.args.Composite(
+            state=self._ocp.args.StandardSave(payload),
+            meta=self._ocp.args.JsonSave(meta or {}),
+        )
+        self.manager.save(step, args=args)
+
+    def restore(self, step: Optional[int] = None):
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        restored = self.manager.restore(
+            step,
+            args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardRestore(),
+                meta=self._ocp.args.JsonRestore(),
+            ),
+        )
+        return step, restored["state"], restored["meta"]
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+    def close(self) -> None:
+        self.manager.close()

@@ -282,25 +282,38 @@ class Trainer:
         stop = False
         global_step = 0
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        def build_batch(samples):
+            batch = self._make_batch(samples, augment=s.data_augmentation, rng=rng)
+            if self.mesh is not None:
+                batch = self._pad_for_mesh(batch)
+            return batch
+
         for epoch in range(s.n_epoch):
             epoch_metrics = []
             batches = self._bucketed_batches(s.train_data, s.batch_size, shuffle_rng=rng)
-            for samples in batches:
-                batch = self._make_batch(samples, augment=s.data_augmentation, rng=rng)
-                if self.mesh is not None:
-                    batch = self._pad_for_mesh(batch)
-                dropout_key, step_key = jax.random.split(dropout_key)
-                self.params, self.model_state, self.opt_state, step_metrics = self._train_step(
-                    self.params, self.model_state, self.opt_state, batch, step_key
-                )
-                epoch_metrics.append(step_metrics)
-                if callback:
-                    callback.update_loss(
-                        global_step,
-                        float(step_metrics["loss"]),
-                        float(step_metrics["accuracy"]),
+            # host-prefetch pipeline: augmentation/padding of the next batch
+            # overlaps the device step of the current one (replaces the
+            # reference's synchronous per-sample generator, network.py:127-165)
+            with ThreadPoolExecutor(max_workers=1) as prefetch:
+                next_batch = prefetch.submit(build_batch, batches[0])
+                for index in range(len(batches)):
+                    batch = next_batch.result()
+                    if index + 1 < len(batches):
+                        next_batch = prefetch.submit(build_batch, batches[index + 1])
+                    dropout_key, step_key = jax.random.split(dropout_key)
+                    self.params, self.model_state, self.opt_state, step_metrics = self._train_step(
+                        self.params, self.model_state, self.opt_state, batch, step_key
                     )
-                global_step += 1
+                    epoch_metrics.append(step_metrics)
+                    if callback:
+                        callback.update_loss(
+                            global_step,
+                            float(step_metrics["loss"]),
+                            float(step_metrics["accuracy"]),
+                        )
+                    global_step += 1
 
             train_avg = {
                 k: float(np.mean([float(m[k]) for m in epoch_metrics])) for k in epoch_metrics[0]

@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.train.checkpoint import (
+    OrbaxCheckpointer,
+    load_checkpoint,
+    load_opt_state,
+    save_checkpoint,
+)
+
+
+def test_msgpack_roundtrip_with_collections(tmp_path):
+    variables = {
+        "params": {"conv": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}},
+        "batch_stats": {"bn": {"mean": np.zeros(3, np.float32)}},
+    }
+    save_checkpoint(str(tmp_path / "ckpt"), variables, meta={"architecture": "fcn_skip"})
+    loaded, meta = load_checkpoint(str(tmp_path / "ckpt"))
+    assert meta["architecture"] == "fcn_skip"
+    np.testing.assert_array_equal(loaded["params"]["conv"]["kernel"], variables["params"]["conv"]["kernel"])
+    np.testing.assert_array_equal(loaded["batch_stats"]["bn"]["mean"], 0.0)
+
+
+def test_bare_params_wrapped(tmp_path):
+    params = {"conv": {"kernel": np.ones((2, 2), np.float32)}}
+    save_checkpoint(str(tmp_path / "ckpt"), params)
+    loaded, _ = load_checkpoint(str(tmp_path / "ckpt"))
+    assert "params" in loaded
+    np.testing.assert_array_equal(loaded["params"]["conv"]["kernel"], 1.0)
+
+
+def test_opt_state_roundtrip(tmp_path):
+    import jax
+    import optax
+
+    params = {"w": np.ones(3, np.float32)}
+    opt = optax.adam(1e-3)
+    state = opt.init(params)
+    save_checkpoint(str(tmp_path / "ckpt"), params, opt_state=state)
+    template = opt.init(params)
+    restored = load_opt_state(str(tmp_path / "ckpt"), template)
+    chex_leaves = jax.tree_util.tree_leaves(restored)
+    assert len(chex_leaves) == len(jax.tree_util.tree_leaves(state))
+
+
+def test_orbax_manager(tmp_path):
+    ckpt = OrbaxCheckpointer(str(tmp_path / "orbax"), max_to_keep=2)
+    variables = {"params": {"layer": {"kernel": np.full((2, 2), 3.0, np.float32)}}}
+    for step in range(3):
+        ckpt.save(step, variables, meta={"epoch": step})
+    ckpt.wait()
+    step, state, meta = ckpt.restore()
+    assert step == 2 and meta["epoch"] == 2
+    np.testing.assert_array_equal(state["variables"]["params"]["layer"]["kernel"], 3.0)
+    assert ckpt.manager.all_steps() == [1, 2]  # max_to_keep pruning
+    ckpt.close()
+
+
+def test_legacy_meta_migration_hint(tmp_path):
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+
+    (tmp_path / "old.meta").write_bytes(b"tf1")
+    with pytest.raises(FileNotFoundError, match="migrate"):
+        PixelClassifier(n_classes=2, model_path=str(tmp_path / "old.h5"))
