@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Training + prediction walkthrough (mirrors the reference's
+# examples/model-training-example.sh recipe: n_iter 5000, early stop).
+set -euo pipefail
+
+DATASET=${1:-dataset_root/dataset.json}
+COLOR_MAP=${2:-dataset_root/masks/image_map.json}
+MODEL_OUT=${3:-model_out}
+
+python -m page_segmentation_tpu.cli train \
+    --train "$DATASET" --test "$DATASET" --eval "$DATASET" \
+    --output "$MODEL_OUT" \
+    --n_iter 5000 \
+    --early_stopping_max_performance_drops 30 \
+    --data_augmentation \
+    --compute_baseline \
+    --color_map "$COLOR_MAP" \
+    --dtype bfloat16
+
+# predict with the trained model; writes color/ overlay/ inverted/
+python -m page_segmentation_tpu.cli predict \
+    --load "$MODEL_OUT/model" \
+    --output "$MODEL_OUT/predictions" \
+    --images dataset_root/images \
+    --binary dataset_root/binary_images \
+    --norm dataset_root/normalizations \
+    --color_map "$COLOR_MAP"

@@ -118,5 +118,27 @@ def gray_to_rgb(x):
     return jnp.concatenate([x, x, x], axis=-1)
 
 
+class GrayToRgb(nn.Module):
+    """Serializable gray->RGB layer (reference layers.py:32-43 registers
+    ``GraytoRgb`` in the .h5 custom-object table, network.py:73,84)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return gray_to_rgb(x.astype(jnp.float32))
+
+
+class Padding2D(nn.Module):
+    """Pad H/W by a fixed amount at bottom/right (reference layers.py:4-29
+    ``Padding2DTensor``).  Prefer ops/pad.py bucketing outside the graph;
+    this exists for architectural parity with serialized reference models."""
+
+    padding: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        ph, pw = self.padding
+        return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+
 def relu(x):
     return jax.nn.relu(x)

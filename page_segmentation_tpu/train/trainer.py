@@ -136,13 +136,26 @@ class Trainer:
         # params: fresh init or load/continue (reference network.py:76-107)
         from ..inference.classifier import PixelClassifier
 
-        classifier = PixelClassifier(
-            n_classes=s.n_classes,
-            architecture=s.architecture,
-            model_path=s.load,
-            compute_dtype=dtype,
-            seed=s.seed,
-        )
+        try:
+            classifier = PixelClassifier(
+                n_classes=s.n_classes,
+                architecture=s.architecture,
+                model_path=s.load,
+                compute_dtype=dtype,
+                seed=s.seed,
+            )
+        except Exception:
+            # reference behavior (network.py:75-89): a failed load falls
+            # back to a fresh build unless the user asked to continue
+            if s.continue_training:
+                raise
+            logger.warning(f"Could not load model from {s.load}; training from fresh init")
+            classifier = PixelClassifier(
+                n_classes=s.n_classes,
+                architecture=s.architecture,
+                compute_dtype=dtype,
+                seed=s.seed,
+            )
         self.params = classifier.params
         self.model_state = classifier.model_state  # batch_stats for BN models
         self.opt_state = self.optimizer.init(self.params)
