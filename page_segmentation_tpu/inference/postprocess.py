@@ -91,6 +91,12 @@ POSTPROCESSORS = {
 def cc_vote_on_device(pred, binary, n_classes: int, max_iters: int = 256):
     """On-TPU cc-majority vote via iterative min-label propagation.
 
+    NOTE: prefer ops/pallas_cc.cc_vote_pallas on real TPUs — the Pallas
+    kernel keeps the label image VMEM-resident across sweeps and measures
+    ~50x faster than this lax.while_loop formulation (7 ms vs 990 ms per
+    normalized page on v5e); this version remains as the portable
+    reference implementation.
+
     Labels each ink pixel with the min flattened index of its 4-connected
     component (converged fixed point of a min-pool restricted to ink), then
     takes a per-component majority over the predicted classes with one

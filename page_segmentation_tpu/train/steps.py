@@ -51,6 +51,7 @@ def make_step_fns(
             "accuracy": M.accuracy(batch["mask"], logits, weights=w),
             "jacard_coef": jnp.mean(M.jacard_coef(batch["mask"], logits, weights=w)),
             "dice_coef": jnp.mean(M.dice_coef(batch["mask"], logits, weights=w)),
+            "fgpa": M.fgpa(batch["mask"], logits, batch["binary"], weights=w),
         }
 
     def train_core(params, model_state, opt_state, batch, dropout_rng):
