@@ -30,16 +30,18 @@ _ORDERINGS = {
              "conv4a", "conv4b", "conv5a", "conv5b",
              "up6", "conv6a", "conv6b", "up7", "conv7a", "conv7b",
              "up8", "conv8a", "conv8b", "up9", "conv9a", "conv9b", "logits"],
+    # Keras lists layers in graph-topological order: inside a residual
+    # block the shortcut conv serializes between the two path convs
     "res_unet": ["stem_c0", "stem_c1", "stem_sc",
-                 "enc2_c1", "enc2_c2", "enc2_sc",
-                 "enc3_c1", "enc3_c2", "enc3_sc",
-                 "enc4_c1", "enc4_c2", "enc4_sc",
-                 "enc5_c1", "enc5_c2", "enc5_sc",
+                 "enc2_c1", "enc2_sc", "enc2_c2",
+                 "enc3_c1", "enc3_sc", "enc3_c2",
+                 "enc4_c1", "enc4_sc", "enc4_c2",
+                 "enc5_c1", "enc5_sc", "enc5_c2",
                  "bridge1", "bridge2",
-                 "dec1_c1", "dec1_c2", "dec1_sc",
-                 "dec2_c1", "dec2_c2", "dec2_sc",
-                 "dec3_c1", "dec3_c2", "dec3_sc",
-                 "dec4_c1", "dec4_c2", "dec4_sc",
+                 "dec1_c1", "dec1_sc", "dec1_c2",
+                 "dec2_c1", "dec2_sc", "dec2_c2",
+                 "dec3_c1", "dec3_sc", "dec3_c2",
+                 "dec4_c1", "dec4_sc", "dec4_c2",
                  "logits"],
 }
 
