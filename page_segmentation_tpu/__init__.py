@@ -33,6 +33,14 @@ def __getattr__(name):
         "MaskSetting": ("page_segmentation_tpu.pagexml.mask_gen", "MaskSetting"),
         "MaskType": ("page_segmentation_tpu.pagexml.mask_gen", "MaskType"),
         "find_segments": ("page_segmentation_tpu.segmentation.pc_segmentation", "find_segments"),
+        "Network": ("page_segmentation_tpu.network", "Network"),
+        "find_postprocessor": ("page_segmentation_tpu.inference.postprocess", "find_postprocessor"),
+        "Masks": ("page_segmentation_tpu.inference.output", "Masks"),
+        "generate_output_masks": ("page_segmentation_tpu.inference.output", "generate_output_masks"),
+        "ThroughputPredictor": ("page_segmentation_tpu.inference.pipeline", "ThroughputPredictor"),
+        "ParallelPredictor": ("page_segmentation_tpu.parallel.executor", "ParallelPredictor"),
+        "make_mesh": ("page_segmentation_tpu.parallel.mesh", "make_mesh"),
+        "spatial_predict": ("page_segmentation_tpu.parallel.spatial", "spatial_predict"),
     }
     if name in lazy:
         import importlib
