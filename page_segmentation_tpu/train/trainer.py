@@ -110,6 +110,7 @@ class TrainSettings(NamedTuple):
     compute_dtype: str = "float32"
     n_devices: Optional[int] = None  # data-parallel mesh size (None = single)
     seed: int = 0
+    checkpoint_backend: str = "msgpack"  # or "orbax" (async, versioned)
 
 
 class Trainer:
@@ -437,18 +438,34 @@ class Trainer:
         import os
 
         s = self.settings
+        meta = {
+            "architecture": s.architecture.value,
+            "n_classes": s.n_classes,
+            "monitor": s.monitor.value,
+            "monitor_value": float(monitor_value),
+            "epoch": epoch,
+            "l_rate": s.l_rate,
+        }
+        if s.checkpoint_backend == "orbax":
+            if not hasattr(self, "_orbax"):
+                from .checkpoint import OrbaxCheckpointer
+
+                self._orbax = OrbaxCheckpointer(
+                    os.path.join(s.output_dir, s.model_name + "_orbax")
+                )
+            self._orbax.save(
+                epoch,
+                {"params": self.params, **self.model_state},
+                opt_state=None if s.save_weights_only else self.opt_state,
+                meta=meta,
+            )
+        # the msgpack directory checkpoint is always written: it is the
+        # portable format PixelClassifier loads (orbax adds async history)
         path = os.path.join(s.output_dir, s.model_name + s.model_suffix)
         save_checkpoint(
             path,
             {"params": self.params, **self.model_state},
-            meta={
-                "architecture": s.architecture.value,
-                "n_classes": s.n_classes,
-                "monitor": s.monitor.value,
-                "monitor_value": float(monitor_value),
-                "epoch": epoch,
-                "l_rate": s.l_rate,
-            },
+            meta=meta,
             opt_state=None if s.save_weights_only else self.opt_state,
         )
 
