@@ -150,7 +150,8 @@ class PixelClassifier:
 
         images: (N, H, W) uint8 prepared pages, all one bucket shape.
         binaries: (N, H, W) uint8 (1 = ink).
-        Returns device arrays (pred, color, overlay, inverted).
+        Returns device arrays (pred, masks) with masks stacked as
+        (3, N, H, W, 3) uint8 = [color, overlay, inverted].
         """
         key = ("masks", images.shape)
         if key not in self._masks_cache:
@@ -165,7 +166,10 @@ class PixelClassifier:
                 if preprocess_on_device:
                     x = x[..., None] / 255.0
                 logits = module.apply(variables, x)
-                return masks_on_device(logits, binaries_u8, palette_u8)
+                pred, color, overlay, inverted = masks_on_device(logits, binaries_u8, palette_u8)
+                # one stacked download instead of three (the link is
+                # latency-bound; see inference/pipeline.py)
+                return pred, jnp.stack([color, overlay, inverted])
 
             self._masks_cache[key] = (fused, preprocess_on_device, host_preprocess, rgb)
         fused, on_device, host_preprocess, rgb = self._masks_cache[key]

@@ -115,13 +115,9 @@ class Predictor:
                 for i, d in enumerate(chunk):
                     images[i] = pad_to(d.image, shape)
                     binaries[i] = pad_to(d.binary, shape)
-                pred_d, color_d, overlay_d, inverted_d = self.network.predict_batch_masks(
-                    images, binaries, palette
-                )
+                pred_d, masks_d = self.network.predict_batch_masks(images, binaries, palette)
                 pred_h = np.asarray(pred_d)
-                color_h = np.asarray(color_d)
-                overlay_h = np.asarray(overlay_d)
-                inverted_h = np.asarray(inverted_d)
+                color_h, overlay_h, inverted_h = np.asarray(masks_d)
                 for i, d in enumerate(chunk):
                     h, w = d.image.shape[:2]
                     result = (
