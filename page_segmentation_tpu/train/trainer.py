@@ -111,6 +111,7 @@ class TrainSettings(NamedTuple):
     n_devices: Optional[int] = None  # data-parallel mesh size (None = single)
     seed: int = 0
     checkpoint_backend: str = "msgpack"  # or "orbax" (async, versioned)
+    device_augmentation: bool = False  # fused on-TPU affine (perf mode)
 
 
 class Trainer:
@@ -298,8 +299,10 @@ class Trainer:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        host_augment = s.data_augmentation and not s.device_augmentation
+
         def build_batch(samples):
-            batch = self._make_batch(samples, augment=s.data_augmentation, rng=rng)
+            batch = self._make_batch(samples, augment=host_augment, rng=rng)
             if self.mesh is not None:
                 batch = self._pad_for_mesh(batch)
             return batch
@@ -317,6 +320,32 @@ class Trainer:
                     if index + 1 < len(batches):
                         next_batch = prefetch.submit(build_batch, batches[index + 1])
                     dropout_key, step_key = jax.random.split(dropout_key)
+                    if s.data_augmentation and s.device_augmentation:
+                        from ..data.augment_device import (
+                            DeviceAugmentConfig,
+                            augment_batch_on_device,
+                        )
+
+                        aug = s.data_augmentation_settings
+                        cfg = DeviceAugmentConfig(
+                            rotation_range=aug.rotation_range,
+                            width_shift_range=aug.width_shift_range,
+                            height_shift_range=aug.height_shift_range,
+                            shear_range=aug.shear_range,
+                            zoom_min=aug.zoom_range[0],
+                            zoom_max=aug.zoom_range[1],
+                            horizontal_flip=aug.horizontal_flip,
+                            vertical_flip=aug.vertical_flip,
+                        )
+                        dropout_key, aug_key = jax.random.split(dropout_key)
+                        image_a, binary_a, mask_a = augment_batch_on_device(
+                            aug_key,
+                            jnp.asarray(batch["image"]),
+                            jnp.asarray(batch["binary"]),
+                            jnp.asarray(batch["mask"]),
+                            cfg,
+                        )
+                        batch = {**batch, "image": image_a, "binary": binary_a, "mask": mask_a}
                     self.params, self.model_state, self.opt_state, step_metrics = self._train_step(
                         self.params, self.model_state, self.opt_state, batch, step_key
                     )
