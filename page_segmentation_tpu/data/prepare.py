@@ -19,7 +19,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..ops.resize import (
-    output_shape_for_scale,
     rescale_nearest,
     resize_cubic,
     resize_cubic_fast,

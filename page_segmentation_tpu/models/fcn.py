@@ -13,7 +13,7 @@ ignore it for API parity.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -132,8 +132,6 @@ class Network:
         return history
 
     def evaluate_dataset(self, eval_data: Dataset):
-        from .train.metrics import Loss
-        from .train.steps import make_step_fns
         from .train.trainer import Trainer, TrainSettings
 
         settings = TrainSettings(

@@ -9,8 +9,6 @@ beyond the initial device_put.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

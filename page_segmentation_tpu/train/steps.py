@@ -14,7 +14,6 @@ Batches are dicts with keys:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

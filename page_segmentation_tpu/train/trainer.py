@@ -501,8 +501,6 @@ class Trainer:
     def _diagnostic_samples(self, dataset: Dataset):
         for d in dataset.data[:10]:
             batch = self._make_batch([d], augment=False, rng=None)
-            from .steps import make_forward_fn
-
             logits = self.module.apply(
                 {"params": self.params, **self.model_state}, batch["image"]
             )
