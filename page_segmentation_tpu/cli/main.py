@@ -168,6 +168,8 @@ def cmd_train(args) -> int:
         compute_dtype=args.dtype,
         n_devices=args.n_devices,
         seed=args.seed,
+        device_augmentation=args.device_augmentation,
+        checkpoint_backend=args.checkpoint_backend,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -383,6 +385,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--optimizer", default="adam")
     t.add_argument("--early_stopping_max_performance_drops", type=int, default=30)
     t.add_argument("--data_augmentation", action="store_true")
+    t.add_argument("--device_augmentation", action="store_true",
+                   help="fused on-TPU affine augmentation (perf mode)")
+    t.add_argument("--checkpoint_backend", default="msgpack", choices=["msgpack", "orbax"])
     t.add_argument("--foreground_masks", action="store_true")
     t.add_argument("--compute_baseline", action="store_true")
     t.add_argument("--tensorboard", action="store_true")
