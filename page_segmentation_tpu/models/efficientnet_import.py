@@ -1,0 +1,104 @@
+"""Import keras-applications EfficientNet weights into EffNetEncoder.
+
+Completes the pretrained-backbone import trio (reference architecture.py
+:35-42 instantiates efn.EfficientNetB0..B7 with imagenet weights).  Names:
+
+    stem_conv / stem_bn                  -> encoder/stem/{conv,bn}
+    block{S}{L}_expand_conv/_expand_bn   -> encoder/s{S-1}_b{i}/expand/{conv,bn}
+    block{S}{L}_dwconv / _bn             -> .../depthwise/{conv,bn}
+    block{S}{L}_se_reduce / _se_expand   -> .../se/{reduce,expand}
+    block{S}{L}_project_conv/_project_bn -> .../project/{conv,bn}
+
+Keras EfficientNet normalizes inputs inside the model (Rescaling 1/255 +
+imagenet Normalization); this framework does the equivalent outside via
+Architecture.preprocess()'s torch mode, so imported encoders expect the
+same preprocessed inputs they get in training here.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+from .h5_import import _decode
+from .mobilenet_import import _bn_split, _merge, _set
+
+_BLOCK_RE = re.compile(r"^block(\d+)([a-z])_(.+)$")
+
+
+def load_effnet_encoder_h5(path: str):
+    """Returns (params, batch_stats) trees for ``EffNetEncoder`` (any
+    variant — the block population is inferred from the layer names)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        group = f["model_weights"] if "model_weights" in f else f
+        layer_names = [_decode(n) for n in group.attrs["layer_names"]]
+
+        def layer_weights(name):
+            layer_group = group[name]
+            weight_names = [_decode(n) for n in layer_group.attrs.get("weight_names", [])]
+            return [np.asarray(layer_group[wn]) for wn in weight_names]
+
+        params: Dict = {}
+        stats: Dict = {}
+
+        def conv(dst, layer, depthwise=False):
+            weights = layer_weights(layer)
+            kernel = np.asarray(weights[0], np.float32)
+            if depthwise:
+                kernel = np.transpose(kernel, (0, 1, 3, 2))
+            entry = {"kernel": kernel}
+            if len(weights) > 1:
+                entry["bias"] = np.asarray(weights[1], np.float32)
+            _set(params, dst, entry)
+
+        def bn(dst, layer):
+            bn_params, bn_stats = _bn_split(layer_weights(layer))
+            _set(params, dst, bn_params)
+            _set(stats, dst, bn_stats)
+
+        conv("stem/conv", "stem_conv")
+        bn("stem/bn", "stem_bn")
+
+        for name in layer_names:
+            match = _BLOCK_RE.match(name)
+            if not match:
+                continue
+            stage = int(match.group(1)) - 1
+            block_index = ord(match.group(2)) - ord("a")
+            part = match.group(3)
+            dst = f"s{stage}_b{block_index}"
+            if part == "expand_conv":
+                conv(f"{dst}/expand/conv", name)
+            elif part == "expand_bn":
+                bn(f"{dst}/expand/bn", name)
+            elif part == "dwconv":
+                conv(f"{dst}/depthwise/conv", name, depthwise=True)
+            elif part == "bn":
+                bn(f"{dst}/depthwise/bn", name)
+            elif part == "se_reduce":
+                conv(f"{dst}/se/reduce", name)
+            elif part == "se_expand":
+                conv(f"{dst}/se/expand", name)
+            elif part == "project_conv":
+                conv(f"{dst}/project/conv", name)
+            elif part == "project_bn":
+                bn(f"{dst}/project/bn", name)
+
+    return params, stats
+
+
+def load_into_effnet_seg(variables, h5_path: str):
+    """Replace the encoder subtree of EffNetSeg variables with imported
+    backbone weights (decoder untouched)."""
+    params, stats = load_effnet_encoder_h5(h5_path)
+    new_vars = dict(variables)
+    new_params = dict(new_vars["params"])
+    new_params["encoder"] = _merge(dict(new_params.get("encoder", {})), params)
+    new_vars["params"] = new_params
+    batch_stats = dict(new_vars.get("batch_stats", {}))
+    batch_stats["encoder"] = _merge(dict(batch_stats.get("encoder", {})), stats)
+    new_vars["batch_stats"] = batch_stats
+    return new_vars
