@@ -58,6 +58,8 @@ def main():
     parser.add_argument("--download", default="pred", choices=["color", "pred"])
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--mode", default="predict", choices=["predict", "train"],
+                        help="train mode reports train-step pages/sec instead")
     parser.add_argument("--time-budget", type=float, default=150.0,
                         help="stop repeating once this many measured seconds elapsed")
     args = parser.parse_args()
@@ -71,6 +73,9 @@ def main():
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     module = FCNSkip(n_classes=3, dtype=compute_dtype)
+
+    if args.mode == "train":
+        return bench_train(args, module, compute_dtype)
 
     pages, binaries, line_height = synthesize_pages(args.pages, args.height, args.width)
     scale = args.target_line_height / line_height
@@ -119,6 +124,64 @@ def main():
         json.dumps(
             {
                 "metric": "predict_pages_per_sec_per_chip",
+                "value": round(pages_per_sec, 2),
+                "unit": "pages/sec",
+                "vs_baseline": round(pages_per_sec / 50.0, 3),
+            }
+        )
+    )
+
+
+def bench_train(args, module, compute_dtype):
+    """Secondary metric: device training throughput (pages/sec) on
+    normalized-page batches with unique data per step (the tunnel caches
+    identical dispatches, so inputs must vary)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from page_segmentation_tpu.models.registry import Optimizers
+    from page_segmentation_tpu.train.metrics import Loss
+    from page_segmentation_tpu.train.steps import make_step_fns
+
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1), jnp.float32))["params"]
+    optimizer = optax.inject_hyperparams(
+        lambda learning_rate: Optimizers.ADAM.make(learning_rate)
+    )(learning_rate=1e-4)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_step_fns(module, optimizer, Loss.CATEGORICAL_CROSSENTROPY())
+
+    batch_size, h, w = args.batch, 424, 304
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "image": jax.device_put(r.rand(batch_size, h, w, 1).astype(np.float32)),
+            "mask": jax.device_put(r.randint(0, 3, (batch_size, h, w)).astype(np.int32)),
+            "binary": jax.device_put(np.ones((batch_size, h, w), np.uint8)),
+            "weights": jax.device_put(np.ones((batch_size, h, w), np.float32)),
+        }
+
+    batches = [make_batch(i) for i in range(6)]
+    key = jax.random.PRNGKey(0)
+    params, state, opt_state, metrics = train_step(params, {}, opt_state, batches[0], key)
+    jax.block_until_ready(metrics["loss"])
+
+    steps = 18
+    start = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, metrics = train_step(
+            params, state, opt_state, batches[i % len(batches)], sub
+        )
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+    pages_per_sec = steps * batch_size / elapsed
+    print(f"{steps} steps x {batch_size} pages in {elapsed:.2f}s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "train_pages_per_sec_per_chip",
                 "value": round(pages_per_sec, 2),
                 "unit": "pages/sec",
                 "vs_baseline": round(pages_per_sec / 50.0, 3),

@@ -170,6 +170,7 @@ def cmd_train(args) -> int:
         seed=args.seed,
         device_augmentation=args.device_augmentation,
         checkpoint_backend=args.checkpoint_backend,
+        remat=args.remat,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -388,6 +389,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--device_augmentation", action="store_true",
                    help="fused on-TPU affine augmentation (perf mode)")
     t.add_argument("--checkpoint_backend", default="msgpack", choices=["msgpack", "orbax"])
+    t.add_argument("--remat", action="store_true",
+                   help="activation rematerialization (fit bigger batches/models in HBM)")
     t.add_argument("--foreground_masks", action="store_true")
     t.add_argument("--compute_baseline", action="store_true")
     t.add_argument("--tensorboard", action="store_true")

@@ -32,6 +32,7 @@ def make_step_fns(
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     donate: bool = True,
+    remat: bool = False,
 ):
     """Returns (train_step, eval_step).
 
@@ -56,18 +57,26 @@ def make_step_fns(
     def train_core(params, model_state, opt_state, batch, dropout_rng):
         mutable = list(model_state.keys())
 
-        def loss_of(p):
+        def forward(p, image):
             variables = {"params": p, **model_state}
             if mutable:
-                logits, new_state = module.apply(
-                    variables, batch["image"], train=True,
+                return module.apply(
+                    variables, image, train=True,
                     rngs={"dropout": dropout_rng}, mutable=mutable,
                 )
-            else:
-                logits = module.apply(
-                    variables, batch["image"], train=True, rngs={"dropout": dropout_rng}
-                )
-                new_state = model_state
+            return (
+                module.apply(variables, image, train=True, rngs={"dropout": dropout_rng}),
+                model_state,
+            )
+
+        if remat:
+            # full-activation rematerialization: the backward pass recomputes
+            # the forward instead of keeping every conv activation in HBM —
+            # trades ~1/3 more FLOPs for near-forward-only memory
+            forward = jax.checkpoint(forward)
+
+        def loss_of(p):
+            logits, new_state = forward(p, batch["image"])
             return loss_fn(batch["mask"], logits, weights=batch.get("weights")), (logits, new_state)
 
         (loss_value, (logits, new_model_state)), grads = jax.value_and_grad(

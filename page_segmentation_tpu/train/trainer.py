@@ -112,6 +112,7 @@ class TrainSettings(NamedTuple):
     seed: int = 0
     checkpoint_backend: str = "msgpack"  # or "orbax" (async, versioned)
     device_augmentation: bool = False  # fused on-TPU affine (perf mode)
+    remat: bool = False  # activation rematerialization (memory for FLOPs)
 
 
 class Trainer:
@@ -171,7 +172,7 @@ class Trainer:
         from .steps import make_step_fns
 
         self._train_step, self._eval_step = make_step_fns(
-            self.module, self.optimizer, self.loss_fn, mesh=self.mesh
+            self.module, self.optimizer, self.loss_fn, mesh=self.mesh, remat=s.remat
         )
 
         if len(s.train_data) == 0 and s.n_epoch > 0:

@@ -18,3 +18,11 @@ if "host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: the suite compiles several large conv
+# nets (ResNet50/EffNet inits take minutes on CPU); caching makes repeat
+# runs take seconds instead
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
