@@ -8,7 +8,6 @@ reference README.md:46-108).
 from __future__ import annotations
 
 import json
-import math
 import os
 from dataclasses import dataclass
 from random import shuffle
@@ -17,7 +16,7 @@ from typing import Any, List, Optional, Tuple
 import numpy as np
 
 from ..core.colors import ColorMap
-from ..core.image_io import chunks, random_indices
+from ..core.image_io import random_indices
 
 
 @dataclass
@@ -49,6 +48,22 @@ class Dataset:
         return iter(self.data)
 
 
+def _stem(path: str) -> str:
+    """Filename up to the first dot — the page id that ties the three
+    directories (binary/images/masks) together."""
+    return os.path.basename(path).split(".")[0]
+
+
+def _scan_dir(directory: str, keep=None) -> List[str]:
+    """Sorted full paths of a directory's files, optionally filtered."""
+    if not os.path.exists(directory):
+        raise Exception(f"Dataset dir does not exist at '{directory}'")
+    names = sorted(os.listdir(directory))
+    if keep is not None:
+        names = [n for n in names if keep(n)]
+    return [os.path.join(directory, n) for n in names]
+
+
 def list_dataset(
     root_dir: str,
     line_height_px: Optional[int] = None,
@@ -59,71 +74,80 @@ def list_dataset(
     normalizations_dir: str = "normalizations",
     verify_filenames: bool = False,
 ) -> List[dict]:
-    """Walk a dataset directory into file-entry dicts
-    (reference dataset.py:44-111 contract, incl. per-page char_height JSONs)."""
+    """Walk a dataset directory into file-entry dicts.
 
-    def listdir(directory, postfix="", not_postfix=False):
-        names = sorted(os.listdir(directory))
-        if postfix and not_postfix:
-            names = [n for n in names if not n.endswith(postfix)]
-        elif postfix:
-            names = [n for n in names if n.endswith(postfix)]
-        return [os.path.join(directory, n) for n in names]
+    Contract of reference dataset.py:44-111: three sibling directories of
+    equal-length sorted file lists (binary / image / color mask, the mask
+    recognized by ``masks_postfix``), plus either a fixed ``line_height_px``
+    or per-page ``{"char_height": N}`` JSONs under ``normalizations/``.
+    With ``verify_filenames`` pages are joined on the filename stem and
+    unmatched files dropped; unlike the reference the join here is
+    deterministic (stem-sorted) and the normalization files are matched
+    per-stem rather than positionally.
+    """
+    if not os.path.exists(root_dir):
+        raise Exception(f"Dataset dir does not exist at '{root_dir}'")
 
-    def extract_char_height(path):
-        with open(path, "r") as f:
-            return json.load(f)["char_height"]
+    columns = {
+        "binary_path": _scan_dir(os.path.join(root_dir, binary_dir_)),
+        "image_path": _scan_dir(
+            os.path.join(root_dir, images_dir_),
+            keep=(lambda n: not n.endswith(masks_postfix)) if masks_postfix else None,
+        ),
+        "mask_path": _scan_dir(
+            os.path.join(root_dir, masks_dir_),
+            keep=(lambda n: n.endswith(masks_postfix)) if masks_postfix else None,
+        ),
+    }
 
-    binary_dir = os.path.join(root_dir, binary_dir_)
-    images_dir = os.path.join(root_dir, images_dir_)
-    masks_dir = os.path.join(root_dir, masks_dir_)
-    for d in (root_dir, binary_dir, images_dir, masks_dir):
-        if not os.path.exists(d):
-            raise Exception(f"Dataset dir does not exist at '{d}'")
-
-    binaries = listdir(binary_dir)
-    images = listdir(images_dir, masks_postfix, not_postfix=True)
-    masks = listdir(masks_dir, masks_postfix)
-
-    base_names = None
     if verify_filenames:
+        # join on stems; masks may carry the postfix after the stem's dot
+        def keyed(paths, strip_postfix=""):
+            out = {}
+            for p in paths:
+                body = p[: -len(strip_postfix)] if strip_postfix and p.endswith(strip_postfix) else p
+                out[_stem(body)] = p
+            return out
 
-        def by_basename(paths, postfix=None):
-            if postfix:
-                trimmed = [p[: -len(postfix)] if p.endswith(postfix) else p for p in paths]
-                return {os.path.basename(p).split(".")[0]: p + postfix for p in trimmed}
-            return {os.path.basename(p).split(".")[0]: p for p in paths}
+        maps = {
+            col: keyed(paths, masks_postfix if col == "mask_path" else "")
+            for col, paths in columns.items()
+        }
+        shared = sorted(set.intersection(*(set(m) for m in maps.values())))
+        columns = {col: [m[s] for s in shared] for col, m in maps.items()}
 
-        bin_map = by_basename(binaries)
-        img_map = by_basename(images)
-        mask_map = by_basename(masks, masks_postfix)
-        base_names = set(bin_map) & set(img_map) & set(mask_map)
-        binaries = [bin_map[b] for b in base_names]
-        images = [img_map[b] for b in base_names]
-        masks = [mask_map[b] for b in base_names]
+    lengths = {col: len(paths) for col, paths in columns.items()}
+    if len(set(lengths.values())) != 1:
+        raise Exception(
+            "Mismatch in dataset files length: %d, %d, %d!"
+            % (lengths["binary_path"], lengths["image_path"], lengths["mask_path"])
+        )
+    n_pages = lengths["mask_path"]
 
-    if not line_height_px:
+    if line_height_px:
+        heights = [line_height_px] * n_pages
+    else:
         norm_dir = os.path.join(root_dir, normalizations_dir)
         if not os.path.exists(norm_dir):
             raise Exception(f"Norm dir does not exist at '{norm_dir}'")
-        norm_files = listdir(norm_dir)
-        if verify_filenames:
-            norm_files = [
-                p for p in norm_files if any(os.path.basename(p).startswith(b) for b in base_names)
-            ]
-        line_heights = [extract_char_height(p) for p in norm_files]
-        assert len(line_heights) == len(masks)
-    else:
-        line_heights = [line_height_px] * len(masks)
 
-    if not (len(binaries) == len(images) == len(masks)):
-        raise Exception(
-            "Mismatch in dataset files length: %d, %d, %d!" % (len(binaries), len(images), len(masks))
-        )
+        def char_height_of(path):
+            with open(path, "r") as f:
+                return json.load(f)["char_height"]
+
+        norm_files = _scan_dir(norm_dir)
+        if verify_filenames:
+            by_stem = {_stem(p): p for p in norm_files}
+            norm_files = [by_stem[s] for s in sorted(by_stem) if s in
+                          {_stem(b) for b in columns["binary_path"]}]
+        heights = [char_height_of(p) for p in norm_files]
+        assert len(heights) == n_pages
 
     return [
-        {"binary_path": b, "image_path": i, "mask_path": m, "line_height_px": lh}
-        for b, i, m, lh in zip(binaries, images, masks, line_heights)
+        {"binary_path": b, "image_path": i, "mask_path": m, "line_height_px": h}
+        for b, i, m, h in zip(
+            columns["binary_path"], columns["image_path"], columns["mask_path"], heights
+        )
     ]
 
 
@@ -141,45 +165,62 @@ def read_dataset_json(files, split_type: str) -> List[SingleData]:
     return entries
 
 
-def single_split(n_train, n_test, n_eval, data_files):
-    """Fraction-or-absolute three-way split (reference dataset.py:247-276)."""
+def _resolve_split_sizes(requests: dict, total: int) -> dict:
+    """Turn per-split size requests into absolute counts.
 
-    def fraction_or_absolute(part, collection):
-        if 0 < part < 1:
-            return int(part * len(collection))
-        return int(part)
-
-    n_eval = fraction_or_absolute(n_eval, data_files)
-    n_test = fraction_or_absolute(n_test, data_files)
-    n_train = fraction_or_absolute(n_train, data_files)
-    if sum([n_eval < 0, n_train < 0, n_test < 0]) > 1:
-        raise Exception("Only one dataset may get all remaining files")
-    if n_eval < 0:
-        n_eval = len(data_files) - n_train - n_test
-    elif n_train < 0:
-        n_train = len(data_files) - n_eval - n_test
-    elif n_test < 0:
-        n_test = len(data_files) - n_eval - n_train
-    if len(data_files) < n_eval + n_train + n_test:
+    Each request is an absolute count, a fraction in (0, 1) of ``total``,
+    or negative meaning "all files not claimed by the others" (at most one
+    split may ask for the remainder).  Raises if the resolved counts
+    exceed ``total``.
+    """
+    counts = {
+        name: int(req * total) if 0 < req < 1 else int(req)
+        for name, req in requests.items()
+    }
+    remainder_splits = [name for name, c in counts.items() if c < 0]
+    if len(remainder_splits) > 1:
+        raise Exception("At most one split may claim the remaining files")
+    if remainder_splits:
+        claimed = sum(c for c in counts.values() if c >= 0)
+        counts[remainder_splits[0]] = total - claimed
+    if sum(counts.values()) > total:
+        detail = " + ".join(f"{name}={c}" for name, c in counts.items())
         raise Exception(
-            f"The dataset consists of {len(data_files)} files, "
-            f"but eval + train + test = {n_eval} + {n_train} + {n_test} = {n_eval + n_train + n_test}"
+            f"Split sizes exceed the dataset: {detail} "
+            f"sums to {sum(counts.values())} but only {total} files exist"
         )
-    indices = random_indices(data_files)
-    eval_files = [data_files[d] for d in indices[:n_eval]]
-    train_files = [data_files[d] for d in indices[n_eval : n_eval + n_train]]
-    test_files = [data_files[d] for d in indices[n_eval + n_train : n_eval + n_train + n_test]]
-    return train_files, test_files, eval_files
+    return counts
+
+
+def single_split(n_train, n_test, n_eval, data_files):
+    """Random three-way split with fraction/absolute/remainder sizes.
+
+    Capability of reference dataset.py:247-276; returns
+    ``(train, test, eval)`` lists drawn without replacement.
+    """
+    counts = _resolve_split_sizes(
+        {"eval": n_eval, "train": n_train, "test": n_test}, len(data_files)
+    )
+    order = iter(random_indices(data_files))
+    drawn = {
+        name: [data_files[next(order)] for _ in range(counts[name])]
+        for name in ("eval", "train", "test")
+    }
+    return drawn["train"], drawn["test"], drawn["eval"]
 
 
 def create_splits(data_files: List[str], num_splits: int):
-    """n-fold split generator (reference dataset.py:279-289)."""
+    """k-fold cross-validation splits: yields ``(rest, fold)`` per fold.
+
+    Capability of reference dataset.py:279-289.  Folds partition a
+    shuffled copy of the file list; every file appears in exactly one
+    held-out fold.
+    """
     pool = data_files.copy()
     shuffle(pool)
-    parts = list(chunks(pool, math.ceil(len(pool) / num_splits)))
-    for i in range(num_splits):
-        split: List[str] = []
-        for c in range(len(parts)):
-            if c != i:
-                split += parts[c]
-        yield split, parts[i]
+    fold_indices = np.array_split(np.arange(len(pool)), num_splits)
+    for held_out in fold_indices:
+        keep = set(held_out.tolist())
+        fold = [pool[i] for i in held_out]
+        rest = [f for i, f in enumerate(pool) if i not in keep]
+        yield rest, fold

@@ -18,37 +18,55 @@ from ..ops.cc import CC_STAT_HEIGHT, CC_STAT_WIDTH, connected_components_with_st
 from ..ops.threshold import otsu_binarize
 
 
+def _fg_confusion(pred: np.ndarray, mask: np.ndarray, bin: np.ndarray, n_labels: int) -> np.ndarray:
+    """(n_labels+1)² confusion matrix over foreground pixels.
+
+    Row = ground-truth label, column = predicted label, both offset by one
+    so row/column 0 holds the non-foreground pixels (``bin == 0``), which
+    by construction never mix with real labels.  One ``bincount`` pass
+    replaces the reference's per-class boolean scans (image_ops.py:22-55).
+    """
+    fg = bin.reshape(-1) != 0
+    p = np.where(fg, pred.reshape(-1).astype(np.int64) + 1, 0)
+    m = np.where(fg, mask.reshape(-1).astype(np.int64) + 1, 0)
+    side = n_labels + 1
+    return np.bincount(m * side + p, minlength=side * side).reshape(side, side)
+
+
 def fgpa(pred: np.ndarray, mask: np.ndarray, bin: np.ndarray) -> float:
-    """Foreground pixel accuracy (1 = foreground in ``bin``)."""
-    pfg = pred * bin
-    mfg = mask * bin
-    fg_count = np.count_nonzero(bin)
-    return (fg_count - np.count_nonzero(pfg != mfg)) / fg_count
+    """Foreground pixel accuracy (1 = foreground in ``bin``).
+
+    Same quantity as reference image_ops.py:8-19: the fraction of
+    foreground pixels whose predicted label matches the mask.
+    """
+    fg = bin != 0
+    correct = np.count_nonzero(fg & (pred == mask))
+    return correct / np.count_nonzero(fg)
 
 
 def fgoverlap_per_class(
     pred: np.ndarray, mask: np.ndarray, bin: np.ndarray, n_classes: int
 ) -> Tuple[List[float], List[int], List[int], List[int]]:
-    """Per-class foreground overlap (IoU), tp, fp, fn — arrays of length
-    n_classes+1 with index 0 = 'not classified' (the background shift)."""
-    pfg = (pred + 1) * bin - 1
-    mfg = (mask + 1) * bin - 1
+    """Per-class foreground overlap (IoU), tp, fp, fn.
 
-    def overlap_class(i: int) -> Tuple[float, int, int, int]:
-        actual = (pfg == i).astype(np.uint8)
-        expected = (mfg == i).astype(np.uint8)
-        pixels_of_interest = actual + expected
-        n_interest = np.count_nonzero(pixels_of_interest)
-        if n_interest == 0:
-            return np.nan, 0, 0, 0
-        fp = np.count_nonzero(actual > expected)
-        fn = np.count_nonzero(expected > actual)
-        tp = np.count_nonzero(pixels_of_interest == 2)
-        assert n_interest == fp + fn + tp
-        return tp / (tp + fp + fn), tp, fp, fn
-
-    overlaps, tps, fps, fns = map(list, zip(*[overlap_class(i) for i in range(n_classes + 1)]))
-    return overlaps, tps, fps, fns
+    Reference image_ops.py:22-55 contract: four lists of length
+    ``n_classes + 1`` indexed by label value (0 = 'not classified');
+    classes with no pixels of interest report ``nan`` overlap.  Derived
+    here from one shared confusion matrix instead of per-class masks.
+    """
+    conf = _fg_confusion(pred, mask, bin, n_classes + 1)
+    # drop the non-foreground row/column; labels 0..n_classes remain
+    per_gt = conf[1:, 1:].sum(axis=1)
+    per_pred = conf[1:, 1:].sum(axis=0)
+    # foreground predicted as label i while ground truth is non-fg (and
+    # vice versa) cannot occur: bin masks both maps identically
+    tp = np.diagonal(conf)[1:]
+    fp = per_pred - tp
+    fn = per_gt - tp
+    interest = tp + fp + fn
+    with np.errstate(invalid="ignore"):
+        overlap = np.where(interest > 0, tp / np.maximum(interest, 1), np.nan)
+    return overlap.tolist(), tp.tolist(), fp.tolist(), fn.tolist()
 
 
 def compute_char_height_arr(img: np.ndarray, inverse: bool) -> Optional[int]:

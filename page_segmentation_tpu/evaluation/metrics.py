@@ -9,28 +9,30 @@ replicate the *behavior*: fp counts mask∧¬pred, fn counts ¬mask∧pred),
 """
 from __future__ import annotations
 
-from typing import Callable, Generator, Tuple, TypeVar, Union
+from typing import Callable, Generator, Iterator, Tuple, TypeVar
 
 import numpy as np
 
-from ..ops.cc import cc_bbox_func, connected_components_with_stats
+from ..ops.cc import cc_window, connected_components_with_stats
 
 T = TypeVar("T")
 
 
 def count_matches(mask: np.ndarray, pred: np.ndarray, label: int) -> Tuple[int, int, int]:
-    """(tp, fp, fn) with the reference's (swapped) semantics."""
-    mask_label = mask == label
-    pred_label = pred == label
-    tp = np.count_nonzero(np.logical_and(mask_label, pred_label))
-    fp = np.count_nonzero(np.logical_and(mask_label, ~pred_label))
-    fn = np.count_nonzero(np.logical_and(~mask_label, pred_label))
-    return tp, fp, fn
+    """(tp, fp, fn) for one label, with the reference's (swapped) semantics.
+
+    Counted in one pass over the 2-bit code ``2·[mask==label] + [pred==label]``:
+    code 3 = tp, code 2 = fp (in mask only), code 1 = fn (in pred only).
+    """
+    code = 2 * (mask == label).astype(np.int8) + (pred == label).astype(np.int8)
+    counts = np.bincount(code.reshape(-1), minlength=4)
+    return int(counts[3]), int(counts[2]), int(counts[1])
 
 
 def total_accuracy(mask: np.ndarray, pred: np.ndarray) -> Tuple[int, int]:
-    equal = mask == pred
-    return np.count_nonzero(equal), equal.size
+    """(correct, total) pixel counts across all classes."""
+    wrong = np.count_nonzero(mask != pred)
+    return mask.size - wrong, mask.size
 
 
 def f1(precision: float, recall: float) -> float:
@@ -38,33 +40,47 @@ def f1(precision: float, recall: float) -> float:
 
 
 def f1_measures(tp: int, fp: int, fn: int) -> Tuple[float, float, float]:
-    """(precision, recall, f1)."""
+    """(precision, recall, f1); all-zero when there are no true positives."""
     if tp == 0:
         return 0.0, 0.0, 0.0
-    precision = tp / (tp + fp)
-    recall = tp / (tp + fn)
+    precision, recall = tp / (tp + fp), tp / (tp + fn)
     return precision, recall, f1(precision, recall)
 
 
+def _coverage(values: np.ndarray, label: int) -> float:
+    """Fraction of ``values`` equal to ``label``."""
+    return np.count_nonzero(values == label) / values.size
+
+
 def cc_equal(threshold: float) -> Callable[[np.ndarray, np.ndarray], bool]:
-    return lambda pred, mask: np.count_nonzero(pred == mask) / np.size(mask) >= threshold
+    """Component matcher: true when ≥ ``threshold`` of the pixels agree."""
+
+    def agree(pred: np.ndarray, mask: np.ndarray) -> bool:
+        return 1.0 - np.count_nonzero(pred != mask) / mask.size >= threshold
+
+    return agree
 
 
 def cc_matching(label: int, threshold_tp: float, threshold_fp: float, threshold_mask: float = None):
-    """Per-component matcher: returns [TP, FP, FN] indicator array."""
-    if not threshold_mask:
-        threshold_mask = threshold_tp
+    """Per-component matcher returning a ``[tp, fp, fn]`` indicator array.
 
-    def match(mask, pred):
-        size = np.size(mask)
-        pred_match_fp = np.count_nonzero(pred == label) / size >= threshold_fp
-        pred_match_tp = np.count_nonzero(pred == label) / size >= threshold_tp
-        mask_match = np.count_nonzero(mask == label) / size >= threshold_mask
+    A component counts as predicted when its ``label`` coverage in the
+    prediction clears ``threshold_tp`` (or the looser ``threshold_fp`` for
+    false-positive counting), and as expected when the mask coverage
+    clears ``threshold_mask`` (defaults to ``threshold_tp``).
+    """
+    threshold_mask = threshold_mask or threshold_tp
+
+    def match(mask: np.ndarray, pred: np.ndarray) -> np.ndarray:
+        pred_cov = _coverage(pred, label)
+        expected = _coverage(mask, label) >= threshold_mask
+        predicted = pred_cov >= threshold_tp
+        loosely_predicted = pred_cov >= threshold_fp
         return np.array(
             [
-                int(pred_match_tp and mask_match),
-                int(pred_match_fp and not mask_match),
-                int(mask_match and not pred_match_tp),
+                int(predicted and expected),
+                int(loosely_predicted and not expected),
+                int(expected and not predicted),
             ]
         )
 
@@ -72,8 +88,15 @@ def cc_matching(label: int, threshold_tp: float, threshold_fp: float, threshold_
 
 
 class ConnectedComponentEval:
-    """Run a metric per connected component of the binary image, with
-    optional label/threshold filtering (reference evaluation.py:71-117)."""
+    """Evaluate a metric on each connected component of the binary image.
+
+    Reference evaluation.py:71-117 capability: components come from the
+    re-owned connectedComponentsWithStats; ``only_label`` restricts the run
+    to components that carry the label in the mask (≥ threshold coverage)
+    or anywhere in the prediction.  Internally each component is reduced
+    to the (mask, pred) pixel vectors inside its bounding box once, and
+    both the filter and the metric consume those vectors.
+    """
 
     def __init__(
         self,
@@ -98,31 +121,26 @@ class ConnectedComponentEval:
         self.threshold = threshold
         return self
 
-    def _filter(self, component: Union[int, np.ndarray], bbox) -> bool:
+    def _component_pixels(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (mask_pixels, pred_pixels) vectors per component."""
+        for i in range(1, self.num_labels):
+            window = cc_window(self.stats, i)
+            inside = self.labels[window] == i
+            yield self.mask[window][inside], self.pred[window][inside]
+
+    def _keep(self, mask_px: np.ndarray, pred_px: np.ndarray) -> bool:
         if not self.filtered_label:
             return True
-        if type(component) is int:
-            component = bbox(self.labels) == component
         return (
-            self._label_ratio(bbox, self.mask, component) >= self.threshold
-            or self._label_ratio(bbox, self.pred, component) > 0
+            _coverage(mask_px, self.filtered_label) >= self.threshold
+            or _coverage(pred_px, self.filtered_label) > 0
         )
-
-    def _label_ratio(self, bbox, image, component) -> float:
-        selected = bbox(image)[component]
-        matches = np.count_nonzero(selected == self.filtered_label)
-        return matches / np.size(selected)
-
-    def _call_masked(self, component: Union[int, np.ndarray], func, bbox):
-        if type(component) is int:
-            component = bbox(self.labels) == component
-        return func(bbox(self.mask)[component], bbox(self.pred)[component])
 
     def run_per_component(
         self, func: Callable[[np.ndarray, np.ndarray], T]
     ) -> Generator[T, None, None]:
-        for i in range(1, self.num_labels):
-            bbox = cc_bbox_func(self.stats, i)
-            selection = bbox(self.labels) == i
-            if self._filter(selection, bbox):
-                yield self._call_masked(selection, func, bbox)
+        return (
+            func(mask_px, pred_px)
+            for mask_px, pred_px in self._component_pixels()
+            if self._keep(mask_px, pred_px)
+        )

@@ -17,7 +17,7 @@ lives in inference/postprocess.py.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 
@@ -95,20 +95,12 @@ def connected_components_with_stats(image: np.ndarray, connectivity: int = 4) ->
     return ConnectedComponents(num_labels, labels, stats, centroids)
 
 
-def cc_bbox(image: np.ndarray, cc_stats: np.ndarray, cc_index: int) -> np.ndarray:
-    """Slice the bounding box of a component out of ``image``
-    (reference cc.py:4-10)."""
-    left = cc_stats[cc_index, CC_STAT_LEFT]
-    top = cc_stats[cc_index, CC_STAT_TOP]
-    w = cc_stats[cc_index, CC_STAT_WIDTH]
-    h = cc_stats[cc_index, CC_STAT_HEIGHT]
-    return image[top : top + h, left : left + w]
+def cc_window(cc_stats: np.ndarray, cc_index: int) -> Tuple[slice, slice]:
+    """Row/column slices of one component's bounding box.
 
-
-def cc_bbox_func(cc_stats: np.ndarray, cc_index: int):
-    """Bounding-box slicer closure (reference cc.py:12-18)."""
-    left = cc_stats[cc_index, CC_STAT_LEFT]
-    top = cc_stats[cc_index, CC_STAT_TOP]
-    w = cc_stats[cc_index, CC_STAT_WIDTH]
-    h = cc_stats[cc_index, CC_STAT_HEIGHT]
-    return lambda image: image[top : top + h, left : left + w]
+    Covers the capability of reference cc.py:4-18 (bbox extraction); the
+    returned tuple indexes any same-shaped image: ``image[cc_window(...)]``.
+    """
+    top, left = cc_stats[cc_index, CC_STAT_TOP], cc_stats[cc_index, CC_STAT_LEFT]
+    h, w = cc_stats[cc_index, CC_STAT_HEIGHT], cc_stats[cc_index, CC_STAT_WIDTH]
+    return slice(top, top + h), slice(left, left + w)

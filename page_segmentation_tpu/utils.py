@@ -1,9 +1,9 @@
-"""Shape plumbing helpers (reference util.py capability).
+"""Shape plumbing helpers (capability of reference util.py:4-29).
 
-* ``gray_to_rgb`` (reference util.py:4-9)
-* ``image_to_batch`` (reference util.py:12-18)
-* ``preserving_resize`` (reference util.py:21-29) — order-0, no
-  anti-aliasing, over the re-owned nearest resize.
+Tiny array-massaging utilities shared by the network runtime, output
+rendering, and diagnostics: channel expansion to RGB, batching a single
+page, and a value-preserving (nearest-neighbour) resize built on the
+re-owned resize op.
 """
 from __future__ import annotations
 
@@ -13,16 +13,26 @@ from .ops.resize import resize_nearest
 
 
 def gray_to_rgb(img: np.ndarray) -> np.ndarray:
-    if len(img.shape) != 3 or img.shape[2] != 3:
-        img = img[..., np.newaxis]
-        return np.concatenate(3 * (img,), axis=-1)
-    return img
+    """Return an ``(..., 3)`` view-compatible array for any gray input.
+
+    Inputs that already carry a trailing 3-channel axis pass through
+    untouched; everything else (2-D pages, single-channel stacks) gets its
+    last axis broadcast to three identical channels.
+    """
+    if img.ndim == 3 and img.shape[-1] == 3:
+        return img
+    flat = img if img.ndim != 3 else img[..., 0]
+    return np.repeat(flat[..., None], 3, axis=-1)
 
 
 def image_to_batch(img: np.ndarray) -> np.ndarray:
-    if len(img.shape) == 2:
-        return np.expand_dims(np.expand_dims(img, axis=0), axis=-1)
-    return np.expand_dims(img, axis=0)
+    """Reshape one page into a batch-of-one NHWC array.
+
+    2-D ``(H, W)`` inputs gain both the batch and the channel axis;
+    anything already carrying channels only gains the batch axis.
+    """
+    want_channel = (1,) if img.ndim == 2 else ()
+    return img.reshape((1,) + img.shape + want_channel)
 
 
 def preserving_resize(image: np.ndarray, target_shape) -> np.ndarray:
