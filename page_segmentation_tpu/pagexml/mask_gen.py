@@ -1,19 +1,19 @@
 """PageXML ground-truth mask generation.
 
-Capability parity with reference pagexml.py: ``MaskType`` (:10-27),
+Covers the capability of reference pagexml.py: ``MaskType`` (:10-27),
 ``PCGTSVersion`` with namespace autodetect (:30-54), ``MaskSetting``
 (:57-63), ``PageXMLTypes`` — 19 region types with fixed RGB colors
-(:66-129), ``MaskGenerator`` (:148-158), region collection over
-TextRegion/ImageRegion/GraphicRegion/Maths/Table with nested
-TextLine/Baseline (:189-225), relative-path resolution (:228-241), and
-polygon/line rasterization (:244-265).  Rasterization is PIL (as in the
-reference — it is pure host-side dataset tooling, not a TPU path).
+(:66-129) — those tables are PAGE-schema facts — plus region collection
+and rasterization (:148-265) built here as a declarative harvest plan:
+each mask type maps to a list of (xpath, coords-tag, type) rules consumed
+by one generic collector, and rasterization is a painter callback over a
+shared canvas routine.  Rasterization is PIL (pure host-side dataset
+tooling, not a TPU path).
 """
 from __future__ import annotations
 
 import enum
 import os
-from itertools import chain
 from typing import List, NamedTuple, Optional, Set, Tuple
 
 import numpy as np
@@ -156,128 +156,129 @@ class MaskGenerator:
         self.settings = settings
 
     def save(self, file, output_dir) -> str:
-        page_regions = get_xml_regions(file, self.settings)
-        mask_pil = page_region_to_mask(page_regions, self.settings)
-        source = file if self.settings.use_xml_filename else page_regions.filename
-        filename_wo_ext = os.path.splitext(os.path.basename(source))[0]
+        """Rasterize one PAGE-XML file into ``<page>.mask.<ext>``."""
+        page = get_xml_regions(file, self.settings)
+        name_source = file if self.settings.use_xml_filename else page.filename
+        page_name = os.path.splitext(os.path.basename(name_source))[0]
         os.makedirs(output_dir, exist_ok=True)
-        out = os.path.join(
-            output_dir, filename_wo_ext + ".mask." + self.settings.mask_extension
-        )
-        mask_pil.save(out)
+        out = os.path.join(output_dir, f"{page_name}.mask.{self.settings.mask_extension}")
+        page_region_to_mask(page, self.settings).save(out)
         return out
 
 
 def string_to_lp(points: Optional[str]) -> List[Tuple[int, int]]:
-    lp_points: List[Tuple[int, int]] = []
-    if points is not None:
-        for point in points.split(" "):
-            x, y = point.split(",")
-            lp_points.append((int(x), int(y)))
-    return lp_points
+    """Parse a PAGE-XML points attribute ('x0,y0 x1,y1 ...') into tuples."""
+    if not points:
+        return []
+    return [tuple(int(v) for v in pair.split(",")) for pair in points.split(" ")]
 
 
-def coords_for_element(
-    element, namespaces, tag: str = "pcgts:Coords", type: Optional[PageXMLTypes] = None
-) -> Optional[Region]:
-    coords = element.find(tag, namespaces)
-    if coords is None:
-        return None
-    polyline = string_to_lp(coords.get("points"))
-    if not type:
-        type = (
-            PageXMLTypes(element.get("type"))
-            if "type" in element.attrib
-            else PageXMLTypes("paragraph")
-        )
-    return Region(polygon=polyline, type=type)
+class _Harvest(NamedTuple):
+    """One region-collection rule: which elements, where their points
+    live, and how to type them (None = read the element's @type)."""
+
+    xpath: str
+    coords_tag: str = "pcgts:Coords"
+    fixed_type: Optional[PageXMLTypes] = None
 
 
-def nested_child_regions(child, namespaces, tag: str = "pcgts:Coords") -> List[Region]:
-    return [
-        coords_for_element(textline, namespaces, tag)
-        for textline in child.findall("pcgts:TextLine", namespaces)
-        if textline is not None
-    ]
+_MASK_HARVESTS = {
+    # region-level masks read TextRegion outlines typed by their @type;
+    # ALLTYPES additionally rasterizes maths/table regions, and both
+    # graphic tags collapse onto the IMAGE color (ref pagexml.py:195-218)
+    MaskType.ALLTYPES: [
+        _Harvest(".//pcgts:TextRegion"),
+        _Harvest(".//pcgts:MathsRegion", fixed_type=PageXMLTypes.MATHS),
+        _Harvest(".//pcgts:TableRegion", fixed_type=PageXMLTypes.TABLE),
+        _Harvest(".//pcgts:ImageRegion", fixed_type=PageXMLTypes.IMAGE),
+        _Harvest(".//pcgts:GraphicRegion", fixed_type=PageXMLTypes.IMAGE),
+    ],
+    MaskType.TEXT_GRAPHICS: [
+        _Harvest(".//pcgts:TextRegion"),
+        _Harvest(".//pcgts:ImageRegion", fixed_type=PageXMLTypes.IMAGE),
+        _Harvest(".//pcgts:GraphicRegion", fixed_type=PageXMLTypes.IMAGE),
+    ],
+    MaskType.TEXT_ONLY: [_Harvest(".//pcgts:TextRegion")],
+    # line-level masks descend into TextLine children instead
+    MaskType.TEXT_LINE: [_Harvest(".//pcgts:TextRegion/pcgts:TextLine")],
+    MaskType.BASE_LINE: [
+        _Harvest(".//pcgts:TextRegion/pcgts:TextLine", coords_tag="pcgts:Baseline")
+    ],
+}
+
+
+def _element_type(element) -> PageXMLTypes:
+    return PageXMLTypes(element.attrib.get("type", "paragraph"))
+
+
+def _harvest_regions(root, namespaces, rules: List[_Harvest]) -> List[Region]:
+    regions: List[Region] = []
+    for rule in rules:
+        for element in root.findall(rule.xpath, namespaces):
+            coords = element.find(rule.coords_tag, namespaces)
+            if coords is None:
+                continue
+            regions.append(
+                Region(
+                    polygon=string_to_lp(coords.get("points")),
+                    type=rule.fixed_type or _element_type(element),
+                )
+            )
+    return regions
 
 
 def get_xml_regions(xml_file, setting: MaskSetting) -> PageRegions:
+    """Collect the regions a mask type needs from one PAGE-XML file."""
     root = etree.parse(xml_file).getroot()
-    if setting.pcgts_version:
-        namespaces = {"pcgts": setting.pcgts_version.get_namespace()}
-    else:
-        namespaces = {"pcgts": PCGTSVersion.detect(root).get_namespace()}
+    version = setting.pcgts_version or PCGTSVersion.detect(root)
+    namespaces = {"pcgts": version.get_namespace()}
 
-    regions: List[Region] = []
-    for child in root.findall(".//pcgts:TextRegion", namespaces):
-        if setting.mask_type in (MaskType.ALLTYPES, MaskType.TEXT_GRAPHICS, MaskType.TEXT_ONLY):
-            regions.append(coords_for_element(child, namespaces))
-        elif setting.mask_type is MaskType.TEXT_LINE:
-            regions += nested_child_regions(child, namespaces, "pcgts:Coords")
-        elif setting.mask_type is MaskType.BASE_LINE:
-            regions += nested_child_regions(child, namespaces, "pcgts:Baseline")
-
-    for region_tag in ("MathsRegion", "TableRegion"):
-        region_type = PageXMLTypes(region_tag)
-        if setting.mask_type is MaskType.ALLTYPES:
-            for child in root.findall(".//pcgts:" + region_tag, namespaces):
-                regions.append(coords_for_element(child, namespaces, type=region_type))
-
-    if setting.mask_type in (MaskType.TEXT_GRAPHICS, MaskType.ALLTYPES):
-        for child in chain(
-            root.findall(".//pcgts:ImageRegion", namespaces),
-            root.findall(".//pcgts:GraphicRegion", namespaces),
-        ):
-            coords = child.find("pcgts:Coords", namespaces)
-            if coords is not None:
-                regions.append(
-                    Region(
-                        polygon=string_to_lp(coords.get("points")),
-                        type=PageXMLTypes("ImageRegion"),
-                    )
-                )
+    regions = _harvest_regions(root, namespaces, _MASK_HARVESTS[setting.mask_type])
 
     page = root.find(".//pcgts:Page", namespaces)
-    page_height = page.get("imageHeight")
-    page_width = page.get("imageWidth")
-    f_name = resolve_relative_path(xml_file, page.get("imageFilename"))
     return PageRegions(
-        image_size=(int(page_height), int(page_width)),
-        xml_regions=[r for r in regions if r is not None],
-        filename=f_name,
+        image_size=(int(page.get("imageHeight")), int(page.get("imageWidth"))),
+        xml_regions=regions,
+        filename=resolve_relative_path(xml_file, page.get("imageFilename")),
     )
 
 
 def resolve_relative_path(base, path) -> str:
-    """Resolve ``path`` relative to ``base`` (file -> its directory)."""
-    from os.path import dirname, isabs, isfile, join, normpath
-
-    if isabs(path):
+    """Resolve ``path`` against ``base`` (a file resolves via its parent
+    directory); absolute paths pass through."""
+    if os.path.isabs(path):
         return path
-    if isfile(base):
-        base = dirname(base)
-    return normpath(join(base, path))
+    anchor = os.path.dirname(base) if os.path.isfile(base) else base
+    return os.path.normpath(os.path.join(anchor, path))
+
+
+def _rasterize(page_region: PageRegions, mode: str, background, paint) -> Image.Image:
+    """Draw every region of a page onto a fresh canvas via ``paint``."""
+    height, width = page_region.image_size
+    canvas = Image.new(mode, (width, height), background)
+    draw = ImageDraw.Draw(canvas)
+    for region in page_region.xml_regions:
+        paint(draw, region)
+    return canvas
 
 
 def page_region_to_binary_mask(page_region: PageRegions) -> np.ndarray:
-    height, width = page_region.image_size
-    pil_image = Image.new("1", (width, height), 0)
-    for region in page_region.xml_regions:
-        ImageDraw.Draw(pil_image).polygon(region.polygon, outline=1, fill=1)
-    return np.asarray(pil_image)
+    filled = _rasterize(
+        page_region, "1", 0, lambda draw, r: draw.polygon(r.polygon, outline=1, fill=1)
+    )
+    return np.asarray(filled)
 
 
 def page_region_to_mask(page_region: PageRegions, setting: MaskSetting) -> Image.Image:
-    height, width = page_region.image_size
-    pil_image = Image.new("RGB", (width, height), (255, 255, 255))
-    canvas = ImageDraw.Draw(pil_image)
-    for region in page_region.xml_regions:
+    """Color mask for one page: polygons for region/line masks, stroked
+    polylines for baselines; degenerate (≤2-point) region outlines are
+    skipped as in the reference (pagexml.py:258-261)."""
+
+    def paint(draw, region):
         color = setting.mask_type.get_color(region, setting.capital_is_text)
-        if (
-            setting.mask_type in (MaskType.ALLTYPES, MaskType.TEXT_GRAPHICS, MaskType.TEXT_ONLY)
-            and len(region.polygon) > 2
-        ) or setting.mask_type is MaskType.TEXT_LINE:
-            canvas.polygon(region.polygon, outline=color, fill=color)
-        elif setting.mask_type is MaskType.BASE_LINE:
-            canvas.line(region.polygon, fill=color, width=setting.line_width)
-    return pil_image
+        if setting.mask_type is MaskType.BASE_LINE:
+            draw.line(region.polygon, fill=color, width=setting.line_width)
+        elif setting.mask_type is MaskType.TEXT_LINE or len(region.polygon) > 2:
+            draw.polygon(region.polygon, outline=color, fill=color)
+
+    return _rasterize(page_region, "RGB", (255, 255, 255), paint)

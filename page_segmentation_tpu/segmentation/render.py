@@ -1,23 +1,96 @@
 """Region rendering back to mask images.
 
-Capability parity with reference render.py: ``render_regions`` (:16-31),
-``render_xycut`` (:34-41), ``render_morphological`` (:44-48),
-``render_rect_segments`` (:51-58), ``render_ocv_contours`` (:61-65) — PIL
-rectangles + polygon fills (no cv2).
+Covers the capability of reference render.py:16-65 (rect/contour region
+rasterization for the segmentation CLI) on a numpy canvas: rectangles are
+inclusive slice fills, polygons go through the re-owned ``fill_contour``
+(no cv2), and PIL only wraps the finished array for saving.
+
+Coordinate quirks preserved from the reference: ``render_xycut`` reverses
+``orig_shape`` into a (width, height) canvas size while
+``render_morphological`` passes it through unreversed (ref render.py:37,47),
+and rectangle fills include both endpoints (PIL semantics).
 """
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
-from PIL import Image, ImageDraw
+from PIL import Image
 from PIL.Image import Image as ImageType
 
 from ..core.colors import ColorMap
 from ..core.image_io import split_filename
 from ..ops.contours import fill_contour
 from .xycut import AnyRegion, CVContour, RectSegment, RGBColor
+
+WHITE: RGBColor = (255, 255, 255)
+
+
+def _canvas(pil_size: Tuple[int, int], color: RGBColor) -> np.ndarray:
+    """H×W×3 array for a PIL-convention (width, height) size."""
+    width, height = pil_size
+    return np.broadcast_to(np.asarray(color, np.uint8), (height, width, 3)).copy()
+
+
+def _paint_rects(canvas: np.ndarray, rects: Sequence[RectSegment], color: RGBColor) -> None:
+    """Fill rectangles in place; endpoints inclusive, as PIL draws them.
+
+    Per the RectSegment convention x indexes rows and y indexes columns.
+    """
+    fill = np.asarray(color, np.uint8)
+    for r in rects:
+        canvas[max(r.x_start, 0) : r.x_end + 1, max(r.y_start, 0) : r.y_end + 1] = fill
+
+
+def _paint_contours(canvas: np.ndarray, contours: Sequence[CVContour], color: RGBColor) -> None:
+    fill = np.asarray(color, canvas.dtype)
+    for contour in contours:
+        fill_contour(canvas, np.atleast_2d(contour.contour), fill)
+
+
+def render_rect_segments(
+    size: Tuple[int, int],
+    segment_groups: List[Tuple[RGBColor, List[RectSegment]]],
+    base_color: RGBColor = WHITE,
+) -> ImageType:
+    canvas = _canvas(size, base_color)
+    for color, segments in segment_groups:
+        _paint_rects(canvas, segments, color)
+    return Image.fromarray(canvas)
+
+
+def render_contours(
+    base_image: ImageType, contours: List[CVContour], color_rgb: RGBColor
+) -> ImageType:
+    canvas = np.array(base_image)
+    _paint_contours(canvas, contours, color_rgb)
+    return Image.fromarray(canvas)
+
+
+def render_xycut(
+    orig_shape: Tuple[int, int],
+    label_colors: ColorMap,
+    segments_text: List[RectSegment],
+    segments_image: List[RectSegment],
+) -> ImageType:
+    groups = [
+        (label_colors.color_for_label("text"), segments_text),
+        (label_colors.color_for_label("image"), segments_image),
+    ]
+    return render_rect_segments(tuple(reversed(orig_shape)), groups)
+
+
+def render_morphological(
+    orig_shape: Tuple[int, int],
+    label_colors: ColorMap,
+    segments_text: List[CVContour],
+    segments_image: List[RectSegment],
+) -> ImageType:
+    base = render_rect_segments(
+        orig_shape, [(label_colors.color_for_label("image"), segments_image)]
+    )
+    return render_contours(base, segments_text, label_colors.color_for_label("text"))
 
 
 def render_regions(
@@ -30,63 +103,13 @@ def render_regions(
     segments_text: List[AnyRegion],
     segments_image: List[AnyRegion],
 ) -> str:
-    mask_image = method(orig_shape, label_colors, segments_text, segments_image)
-    _, image_basename, _ = split_filename(prediction_path)
+    """Rasterize segments with ``method`` and save next to the prediction's
+    basename; returns the written path."""
     os.makedirs(output_dir, exist_ok=True)
-    outfile = os.path.join(output_dir, image_basename + "." + extension)
-    mask_image.save(outfile)
+    page_name = split_filename(prediction_path)[1]
+    outfile = os.path.join(output_dir, f"{page_name}.{extension}")
+    method(orig_shape, label_colors, segments_text, segments_image).save(outfile)
     return outfile
-
-
-def render_xycut(
-    orig_shape: Tuple[int, int],
-    label_colors: ColorMap,
-    segments_text: List[RectSegment],
-    segments_image: List[RectSegment],
-) -> ImageType:
-    size = tuple(reversed(orig_shape))
-    return render_rect_segments(
-        size,
-        [
-            (label_colors.color_for_label("text"), segments_text),
-            (label_colors.color_for_label("image"), segments_image),
-        ],
-    )
-
-
-def render_morphological(
-    orig_shape: Tuple[int, int],
-    label_colors: ColorMap,
-    segments_text: List[CVContour],
-    segments_image: List[RectSegment],
-) -> ImageType:
-    mask_image = render_rect_segments(
-        orig_shape, [(label_colors.color_for_label("image"), segments_image)]
-    )
-    return render_contours(mask_image, segments_text, label_colors.color_for_label("text"))
-
-
-def render_rect_segments(
-    size: Tuple[int, int],
-    segment_groups: List[Tuple[RGBColor, List[RectSegment]]],
-    base_color: Tuple[int, int, int] = (255, 255, 255),
-) -> ImageType:
-    pil_image = Image.new("RGB", size, base_color)
-    canvas = ImageDraw.Draw(pil_image)
-    for color, segments in segment_groups:
-        for segment in segments:
-            canvas.rectangle(segment.as_xy(), fill=color, outline=color)
-    return pil_image
-
-
-def render_contours(
-    base_image: ImageType, contours: List[CVContour], color_rgb: RGBColor
-) -> ImageType:
-    image_arr = np.array(base_image)
-    for contour in contours:
-        points = np.atleast_2d(contour.contour)
-        fill_contour(image_arr, points, np.array(color_rgb, dtype=image_arr.dtype))
-    return Image.fromarray(image_arr)
 
 
 # cv2-named alias kept for reference-API familiarity

@@ -1,18 +1,31 @@
 """Recursive XY-cut page segmentation.
 
-Capability parity with reference xycut.py: region dataclasses
-(Region/CVContour/RectSegment/Segment1D/Gap, :10-86), ``do_xy_cut`` (:95),
-``recursive_cut`` (:127-161), gap/segment extraction (:112-124, :164-173).
+Covers the capability of reference xycut.py:95-181 (region dataclasses,
+``do_xy_cut``, gap/segment extraction) with a different engine:
 
-The projection profiles (count_nonzero along an axis) vectorize on device
-for batched use; the recursion itself is host-side control flow over tiny
-1-D arrays — the correct split for XLA (SURVEY §7.6).
+* **Integral-image profiles.**  Two prefix-sum tables over the foreground
+  indicator are built once per page; the projection profile of *any*
+  rectangular subregion is then a difference of two table rows/columns,
+  so the cut recursion never rescans pixels.  The tables are plain
+  ``cumsum`` — they can be produced on device for a batch of pages
+  (`profile_tables_batch`) with the recursion left on host, which is the
+  correct split for XLA (SURVEY §7.6: host recursion over
+  device-computed profiles).
+* **Worklist instead of recursion.**  Subregions are absolute
+  row/column intervals processed depth-first from an explicit stack.
+
+Behavioral quirks of the reference are preserved deliberately (callers
+and golden outputs depend on them): the segment-list end sentinel uses
+``shape[axis]`` even when the profile runs over the other axis
+(ref xycut.py:150,176), leaf rectangles map the profile axis onto the
+row ("x") coordinate (ref :130-133), and a zero-sized child window
+aborts the remaining siblings at that level (ref :165-166).
 """
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
 from dataclasses import dataclass
-from typing import List, Tuple, TypeVar, Union
+from typing import List, Optional, Tuple, TypeVar, Union
 
 import numpy as np
 
@@ -31,6 +44,8 @@ class Region(ABC):
 
 @dataclass
 class CVContour(Region):
+    """A polygonal region as an (N, 2) point array."""
+
     contour: np.ndarray
 
     def __post_init__(self):
@@ -45,6 +60,9 @@ class CVContour(Region):
 
 @dataclass
 class RectSegment(Region):
+    """An axis-aligned rectangle; x indexes rows, y indexes columns
+    (the reference's convention — see render.py's ``as_xy`` ordering)."""
+
     x_start: int
     y_start: int
     x_end: int
@@ -98,12 +116,68 @@ def single_color(image: np.ndarray, color: Union[int, np.ndarray]) -> np.ndarray
     return mask
 
 
+class ProfileTables:
+    """Prefix sums of a page's foreground indicator.
+
+    ``down[r, c]``  = number of foreground pixels in rows [0, r) of column c
+    ``right[r, c]`` = number of foreground pixels in cols [0, c) of row r
+
+    ``profile`` answers "how many foreground pixels does each line of a
+    subregion hold" in O(extent) regardless of the subregion's area.
+    """
+
+    def __init__(self, down: np.ndarray, right: np.ndarray):
+        self.down = down
+        self.right = right
+
+    @classmethod
+    def of_image(cls, binary_image: np.ndarray) -> "ProfileTables":
+        fg = np.asarray(binary_image) != 0
+        h, w = fg.shape
+        down = np.zeros((h + 1, w), np.int32)
+        np.cumsum(fg, axis=0, out=down[1:])
+        right = np.zeros((h, w + 1), np.int32)
+        np.cumsum(fg, axis=1, out=right[:, 1:])
+        return cls(down, right)
+
+    def profile(self, rows: Segment1D, cols: Segment1D, axis: int) -> np.ndarray:
+        """Foreground count per column (axis=0) or per row (axis=1) of the
+        subregion ``rows × cols``."""
+        if axis == 0:
+            return self.down[rows.end, cols.start : cols.end] - self.down[rows.start, cols.start : cols.end]
+        return self.right[rows.start : rows.end, cols.end] - self.right[rows.start : rows.end, cols.start]
+
+
+def _get_gaps(indication: np.ndarray) -> List[Gap]:
+    """Maximal runs of False in a boolean vector, as (start, length) gaps."""
+    padded = np.concatenate(([True], np.asarray(indication, bool), [True]))
+    edges = np.flatnonzero(np.diff(padded))
+    starts, ends = edges[0::2], edges[1::2]
+    return [Gap(start=int(s), length=int(e - s)) for s, e in zip(starts, ends)]
+
+
+def _get_segments(gaps: List[Gap], length: int, px_threshold, split_size) -> List[Segment1D]:
+    """Intervals between significant gaps.
+
+    Gaps shorter than ``split_size`` are not worth cutting at; the spans
+    between the surviving gaps (bracketed by virtual gaps at 0 and
+    ``length``) become segments when wider than ``px_threshold``.
+    """
+    cut_ends = [g.start + g.length for g in gaps if g.length >= split_size]
+    cut_starts = [g.start for g in gaps if g.length >= split_size]
+    span_starts = np.array([0] + cut_ends)
+    span_ends = np.array(cut_starts + [length])
+    wide = span_ends - span_starts > px_threshold
+    return [Segment1D(int(s), int(e)) for s, e, keep in zip(span_starts, span_ends, wide) if keep]
+
+
 def do_xy_cut(
     binary_image: np.ndarray,
     px_threshold_line: int,
     px_threshold_column: int,
     split_size_horizontal: int,
     split_size_vertical: int,
+    tables: Optional[ProfileTables] = None,
 ) -> List[RectSegment]:
     """Recursive XY cut into rectangular regions.
 
@@ -112,70 +186,94 @@ def do_xy_cut(
     :param px_threshold_column: minimum width to further split vertically
     :param split_size_horizontal: free-space pixels for a horizontal cut
     :param split_size_vertical: free-space pixels for a vertical cut
+    :param tables: optional precomputed profile tables (e.g. produced on
+        device for a batch of pages); derived from the image when absent
     """
-    return recursive_cut(
-        binary_image,
-        (px_threshold_line, px_threshold_column),
-        (split_size_horizontal, split_size_vertical),
-        axis=0,
-    )
+    binary_image = np.asarray(binary_image)
+    if tables is None:
+        tables = ProfileTables.of_image(binary_image)
+    thresholds = (px_threshold_line, px_threshold_column)
+    min_gap = (split_size_horizontal, split_size_vertical)
 
+    out: List[RectSegment] = []
+    # depth-first worklist of absolute subregions; `final` marks nodes whose
+    # 1-D segments are emitted directly (parent produced a single segment)
+    stack: List[Tuple[Segment1D, Segment1D, int, bool]] = [
+        (Segment1D(0, binary_image.shape[0]), Segment1D(0, binary_image.shape[1]), 0, False)
+    ]
+    while stack:
+        rows, cols, axis, final = stack.pop()
+        extent = (len(rows), len(cols))
+        occupied = tables.profile(rows, cols, axis) >= thresholds[axis]
+        gaps = _get_gaps(occupied)
 
-def _get_gaps(indication: np.ndarray) -> List[Gap]:
-    no_indication = np.where(~indication)[0]
-    consecutive = np.split(no_indication, np.where(np.diff(no_indication) != 1)[0] + 1)
-    return [Gap(start=int(run[0]), length=len(run)) for run in consecutive if len(run) > 0]
-
-
-def _relative_seg(shape, start, end, pos) -> RectSegment:
-    return RectSegment(
-        x_start=pos[1] + start, x_end=pos[1] + end, y_start=pos[0], y_end=pos[0] + shape[1]
-    )
-
-
-def recursive_cut(
-    image: np.ndarray,
-    threshold: Tuple[int, int],
-    split_size: Tuple[int, int],
-    axis: int = 0,
-    position: Tuple[int, int] = (0, 0),
-    end_recurse: bool = False,
-) -> List[RectSegment]:
-    # projection profile: enough foreground along `axis` marks occupied lines
-    occupied = np.count_nonzero(image, axis=axis) >= threshold[axis]
-    gaps = _get_gaps(occupied)
-    if len(gaps) == 0:
-        return [_relative_seg(image.shape, 0, image.shape[axis], position)]
-
-    segments_for_axis = _get_segments(gaps, image.shape[axis], threshold[axis], split_size[axis])
-
-    if end_recurse:
-        return [_relative_seg(image.shape, s.start, s.end, position) for s in segments_for_axis]
-
-    recursive_segments: List[RectSegment] = []
-    for seg in segments_for_axis:
-        if len(seg) > threshold[axis]:
-            if axis == 1:
-                window = image[seg.start : seg.end, :]
-                pos = (position[0], position[1] + seg.start)
-            else:
-                window = image[:, seg.start : seg.end]
-                pos = (position[0] + seg.start, position[1])
-
-            if any(dim == 0 for dim in window.shape):
-                return recursive_segments
-
-            recursive_segments += recursive_cut(
-                window, threshold, split_size, 1 - axis, pos, len(segments_for_axis) == 1
+        # leaf: no free space at all — emit the whole subregion, with the
+        # profile-axis extent on the row coordinate (reference quirk)
+        if not gaps:
+            out.append(
+                RectSegment(
+                    x_start=rows.start,
+                    x_end=rows.start + extent[axis],
+                    y_start=cols.start,
+                    y_end=cols.start + extent[1],
+                )
             )
-    return recursive_segments
+            continue
+
+        segments = _get_segments(gaps, extent[axis], thresholds[axis], min_gap[axis])
+
+        if final:
+            out.extend(
+                RectSegment(
+                    x_start=rows.start + s.start,
+                    x_end=rows.start + s.end,
+                    y_start=cols.start,
+                    y_end=cols.start + extent[1],
+                )
+                for s in segments
+            )
+            continue
+
+        children = []
+        for s in segments:
+            if len(s) <= thresholds[axis]:
+                continue
+            # the quirky shape[axis] sentinel can push a segment past the
+            # subregion; clamp like the reference's implicit numpy slicing
+            if axis == 0:  # column profile → vertical cut
+                lo = cols.start + min(s.start, extent[1])
+                hi = cols.start + min(s.end, extent[1])
+                child = (rows, Segment1D(lo, hi))
+            else:  # row profile → horizontal cut
+                lo = rows.start + min(s.start, extent[0])
+                hi = rows.start + min(s.end, extent[0])
+                child = (Segment1D(lo, hi), cols)
+            if len(child[0]) == 0 or len(child[1]) == 0:
+                break  # reference quirk: abort remaining siblings
+            children.append((child[0], child[1], 1 - axis, len(segments) == 1))
+        stack.extend(reversed(children))  # preserve depth-first output order
+    return out
 
 
-def _get_segments(gaps: List[Gap], length: int, px_threshold, split_size) -> List[Segment1D]:
-    # drop gaps smaller than the split size, bracket with zero-width sentinels
-    gaps = [Gap(0, 0)] + [g for g in gaps if g.length >= split_size] + [Gap(length, 0)]
-    segments = []
-    for gap, nextgap in zip(gaps, gaps[1:]):
-        if nextgap.start - (gap.start + gap.length) > px_threshold:
-            segments.append(Segment1D(gap.start + gap.length, nextgap.start))
-    return segments
+def profile_tables_batch(binary_images) -> List[ProfileTables]:
+    """Build profile tables for a batch of same-shaped pages on device.
+
+    One fused pair of ``cumsum`` launches covers the whole batch; the
+    tables come back to host for the (tiny) cut recursion.
+    """
+    import jax.numpy as jnp
+
+    fg = jnp.asarray(np.asarray(binary_images) != 0, jnp.int32)
+    down = jnp.cumsum(fg, axis=1)
+    right = jnp.cumsum(fg, axis=2)
+    down_host = np.asarray(down)
+    right_host = np.asarray(right)
+    n, h, w = fg.shape
+    tables = []
+    for i in range(n):
+        d = np.zeros((h + 1, w), np.int32)
+        d[1:] = down_host[i]
+        r = np.zeros((h, w + 1), np.int32)
+        r[:, 1:] = right_host[i]
+        tables.append(ProfileTables(d, r))
+    return tables

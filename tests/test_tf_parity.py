@@ -24,6 +24,9 @@ from page_segmentation_tpu.models.registry import Architecture
 
 
 def _keras_fcn_skip(n_classes, input_shape=(64, 64, 1)):
+    # deterministic init: with unseeded glorot weights the argmax-agreement
+    # gates hover around their threshold on near-tie pixels (flake)
+    tf.keras.utils.set_random_seed(1234)
     L = tf.keras.layers
     inp = L.Input(input_shape)
     conv1 = L.Conv2D(20, (5, 5), padding="same", activation="relu")(inp)
