@@ -54,6 +54,47 @@ def make_step_fns(
             "fgpa": M.fgpa(batch["mask"], logits, batch["binary"], weights=w),
         }
 
+    # pixel-weighted pmean-style reductions: these metrics are weighted
+    # means over valid pixels, so shards must contribute proportionally to
+    # their weight sum — a shard that is pure mesh padding (weights all 0,
+    # from Trainer._pad_for_mesh) must contribute nothing, not a 0 at full
+    # weight.  Exact: psum(shard_mean·shard_wsum)/psum(shard_wsum) equals
+    # the single-device weighted mean.
+    _PIXEL_WEIGHTED = ("loss", "accuracy")
+
+    def reduce_metrics(step_metrics, batch):
+        w = batch.get("weights")
+        if w is None:
+            return jax.lax.pmean(step_metrics, data_axis)
+        shard_wsum = jnp.sum(w.astype(jnp.float32))
+        total_wsum = jnp.maximum(jax.lax.psum(shard_wsum, data_axis), 1.0)
+        return {
+            k: (
+                jax.lax.psum(v * shard_wsum, data_axis) / total_wsum
+                if k in _PIXEL_WEIGHTED
+                else jax.lax.pmean(v, data_axis)  # per-page means: shards are
+                # equal-sized, so pmean already matches the single-device value
+            )
+            for k, v in step_metrics.items()
+        }
+
+    def weight_share(batch):
+        """This shard's fraction of the global weight mass.
+
+        Scaling the *local* loss by it makes the global loss
+        Σᵢ sᵢ·ℓᵢ / Σᵢ sᵢ — the single-device weighted mean — and because
+        params enter shard_map replicated, reverse-mode AD inserts the
+        cross-shard psum on their cotangent automatically, so the implicit
+        gradient is exactly the single-device gradient.  Shards that are
+        pure mesh padding (weight 0) contribute nothing.
+        """
+        w = batch.get("weights")
+        if w is None:
+            return 1.0 / jax.lax.psum(jnp.float32(1.0), data_axis)
+        shard_wsum = jnp.sum(w.astype(jnp.float32))
+        total_wsum = jnp.maximum(jax.lax.psum(shard_wsum, data_axis), 1.0)
+        return shard_wsum / total_wsum
+
     def train_core(params, model_state, opt_state, batch, dropout_rng):
         mutable = list(model_state.keys())
 
@@ -77,27 +118,32 @@ def make_step_fns(
 
         def loss_of(p):
             logits, new_state = forward(p, batch["image"])
-            return loss_fn(batch["mask"], logits, weights=batch.get("weights")), (logits, new_state)
+            local = loss_fn(batch["mask"], logits, weights=batch.get("weights"))
+            if mesh is not None:
+                local = local * weight_share(batch)
+            return local, (logits, new_state)
 
         (loss_value, (logits, new_model_state)), grads = jax.value_and_grad(
             loss_of, has_aux=True
         )(params)
         if mesh is not None:
-            grads = jax.lax.pmean(grads, data_axis)
+            # grads are already globally psum'ed (replicated-param cotangent);
+            # batch_stats stay device-varying and need the explicit mean
             new_model_state = jax.lax.pmean(new_model_state, data_axis)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         step_metrics = compute_metrics(batch, logits)
-        step_metrics["loss"] = loss_value
-        if mesh is not None:
-            step_metrics = jax.lax.pmean(step_metrics, data_axis)
+        if mesh is None:
+            step_metrics["loss"] = loss_value
+        else:
+            step_metrics = reduce_metrics(step_metrics, batch)
         return new_params, new_model_state, new_opt_state, step_metrics
 
     def eval_core(params, model_state, batch):
         logits = module.apply({"params": params, **model_state}, batch["image"], train=False)
         m = compute_metrics(batch, logits)
         if mesh is not None:
-            m = jax.lax.pmean(m, data_axis)
+            m = reduce_metrics(m, batch)
         return m
 
     if mesh is None:

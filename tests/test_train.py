@@ -170,3 +170,58 @@ def test_progress_callback(tmp_path):
     assert calls["init"] == 1
     assert calls["loss"] == 6  # 3 pages x 2 epochs
     assert calls["best"] >= 1
+
+
+def test_ragged_mesh_metrics_match_single_device(tmp_path):
+    """A ragged batch (padded to the mesh with weights=0 rows) must report
+    the same loss/accuracy as the identical batch on one device — padding
+    shards contribute nothing to the weighted cross-shard reduction."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from page_segmentation_tpu.models.fcn import FCNSkip
+    from page_segmentation_tpu.parallel.mesh import make_mesh, shard_batch
+    from page_segmentation_tpu.train.steps import make_step_fns
+
+    module = FCNSkip(n_classes=2)
+    rng = np.random.RandomState(3)
+    h = w = 32
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 1)))["params"]
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+
+    # 5 real pages + 3 pure-padding rows -> 8 shards, 3 of them all-padding
+    n_real, n_total = 5, 8
+    batch = {
+        "image": np.zeros((n_total, h, w, 1), np.float32),
+        "mask": np.zeros((n_total, h, w), np.int32),
+        "binary": np.zeros((n_total, h, w), np.uint8),
+        "weights": np.zeros((n_total, h, w), np.float32),
+    }
+    batch["image"][:n_real] = rng.rand(n_real, h, w, 1)
+    batch["mask"][:n_real] = rng.randint(0, 2, (n_real, h, w))
+    batch["binary"][:n_real] = 1
+    batch["weights"][:n_real] = 1.0
+
+    single_train, single_eval = make_step_fns(module, optimizer, Loss.CATEGORICAL_CROSSENTROPY(), donate=False)
+    mesh = make_mesh(8)
+    mesh_train, mesh_eval = make_step_fns(module, optimizer, Loss.CATEGORICAL_CROSSENTROPY(), mesh=mesh, donate=False)
+
+    m_single = single_eval(params, {}, batch)
+    m_mesh = mesh_eval(params, {}, shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_mesh["accuracy"]), float(m_single["accuracy"]), rtol=1e-5)
+
+    # the train-step gradient must also be the single-device gradient
+    key = jax.random.PRNGKey(1)
+    p1, _, _, mt1 = single_train(params, {}, opt_state, batch, key)
+    p2, _, _, mt2 = mesh_train(params, {}, opt_state, shard_batch(mesh, batch), key)
+    np.testing.assert_allclose(float(mt2["loss"]), float(mt1["loss"]), rtol=1e-5)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    leaves2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
