@@ -17,7 +17,7 @@ validation), redesigned TPU-first:
 from __future__ import annotations
 
 import logging
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ class AugmentationSettings(NamedTuple):
     width_shift_range: float = 0.025
     height_shift_range: float = 0.025
     shear_range: float = 0.00
-    zoom_range: List[float] = [0.95, 1.05]  # noqa: RUF012 — NamedTuple default, parity with reference
+    zoom_range: Sequence[float] = (0.95, 1.05)
     horizontal_flip: bool = False
     vertical_flip: bool = False
     brightness_range: Optional[List[float]] = None
@@ -113,6 +113,7 @@ class TrainSettings(NamedTuple):
     checkpoint_backend: str = "msgpack"  # or "orbax" (async, versioned)
     device_augmentation: bool = False  # fused on-TPU affine (perf mode)
     remat: bool = False  # activation rematerialization (memory for FLOPs)
+    auto_resume: bool = False  # orbax backend: continue from the latest step
 
 
 class Trainer:
@@ -163,6 +164,28 @@ class Trainer:
         self.model_state = classifier.model_state  # batch_stats for BN models
         self.opt_state = self.optimizer.init(self.params)
 
+        # resume: restore optimizer moments + loop counters alongside the
+        # weights (reference network.py:76-107: Keras load_model restores
+        # optimizer state on continue_training; weights-only restarts the
+        # Adam moments and plateau bookkeeping silently)
+        self._resume_meta: Optional[dict] = None
+        if s.continue_training and s.load:
+            from .checkpoint import load_checkpoint, load_opt_state
+
+            restored_opt = load_opt_state(s.load, template=self.opt_state)
+            if restored_opt is not None:
+                self.opt_state = restored_opt
+                _, meta = load_checkpoint(s.load)
+                if meta.get("epoch") is not None:
+                    self._resume_meta = meta
+                logger.info(
+                    f"Resumed optimizer state from {s.load} "
+                    f"(epoch {meta.get('epoch')}, lr {meta.get('lr', meta.get('l_rate'))})"
+                )
+
+        if s.auto_resume and s.checkpoint_backend == "orbax":
+            self._try_orbax_resume()
+
         self.mesh = None
         if s.n_devices and s.n_devices > 1:
             from ..parallel.mesh import make_mesh
@@ -180,6 +203,35 @@ class Trainer:
 
         if s.compute_baseline:
             self._log_baseline()
+
+    # ------------------------------------------------------------- resume
+    def _try_orbax_resume(self) -> None:
+        """Continue from the newest Orbax step if the directory has one:
+        params, batch_stats, optimizer state, and the loop counters (epoch,
+        lr, best monitor value, early-stop wait) all come back."""
+        import os
+
+        from flax import serialization
+
+        from .checkpoint import OrbaxCheckpointer
+
+        s = self.settings
+        directory = os.path.join(s.output_dir, s.model_name + "_orbax")
+        if not os.path.isdir(directory):
+            return
+        self._orbax = OrbaxCheckpointer(directory)
+        restored = self._orbax.restore()
+        if restored is None:
+            return
+        step, state, meta = restored
+        variables = state["variables"]
+        self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
+        if "opt_state" in state:
+            self.opt_state = serialization.from_state_dict(self.opt_state, state["opt_state"])
+        self._resume_meta = dict(meta or {})
+        self._resume_meta.setdefault("epoch", step)
+        logger.info(f"Auto-resumed from orbax step {step} in {directory}")
 
     # ------------------------------------------------------------- baseline
     def _log_baseline(self):
@@ -286,9 +338,6 @@ class Trainer:
                 s.n_epoch * len(s.train_data.data), s.early_stopping_max_performance_drops
             )
 
-        rng = np.random.default_rng(s.seed)
-        dropout_key = jax.random.PRNGKey(s.seed)
-
         monitor = s.monitor
         best_value = np.inf if monitor.mode == "min" else -np.inf
         best_params = None
@@ -297,6 +346,20 @@ class Trainer:
         history = {"loss": [], "val_loss": [], "lr": []}
         stop = False
         global_step = 0
+        start_epoch = 0
+
+        if self._resume_meta:
+            meta = self._resume_meta
+            start_epoch = int(meta["epoch"]) + 1
+            lr = float(meta.get("lr", lr))
+            self._set_lr(lr)
+            if meta.get("best_value") is not None:
+                best_value = float(meta["best_value"])
+            wait = int(meta.get("wait", 0))
+            global_step = int(meta.get("global_step", 0))
+            logger.info(
+                f"Resuming at epoch {start_epoch} (lr={lr}, best={best_value}, wait={wait})"
+            )
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -308,7 +371,11 @@ class Trainer:
                 batch = self._pad_for_mesh(batch)
             return batch
 
-        for epoch in range(s.n_epoch):
+        for epoch in range(start_epoch, s.n_epoch):
+            # per-epoch derived RNG streams: a resumed run at epoch k draws
+            # exactly what the uninterrupted run would have drawn
+            rng = np.random.default_rng([s.seed, epoch])
+            dropout_key = jax.random.fold_in(jax.random.PRNGKey(s.seed), epoch)
             epoch_metrics = []
             batches = self._bucketed_batches(s.train_data, s.batch_size, shuffle_rng=rng)
             # host-prefetch pipeline: augmentation/padding of the next batch
@@ -390,7 +457,7 @@ class Trainer:
                 wait = 0
                 best_params = jax.device_get((self.params, self.model_state))
                 if s.save_best_model_only:
-                    self._save(best_value, epoch)
+                    self._save(best_value, epoch, lr=lr, best_value=best_value, wait=wait, global_step=global_step)
                 if callback:
                     callback.next_best(global_step, best_value, wait)
             else:
@@ -409,7 +476,7 @@ class Trainer:
                         self._set_lr(lr)
                         logger.info(f"ReduceLROnPlateau: lr -> {lr}")
             if not s.save_best_model_only:
-                self._save(current, epoch)
+                self._save(current, epoch, lr=lr, best_value=best_value, wait=wait, global_step=global_step)
             if stop:
                 break
 
@@ -464,7 +531,7 @@ class Trainer:
     def _set_lr(self, lr: float) -> None:
         self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
-    def _save(self, monitor_value: float, epoch: int) -> None:
+    def _save(self, monitor_value: float, epoch: int, **loop_state) -> None:
         import os
 
         s = self.settings
@@ -475,6 +542,8 @@ class Trainer:
             "monitor_value": float(monitor_value),
             "epoch": epoch,
             "l_rate": s.l_rate,
+            # loop counters for exact resume: lr, best_value, wait, global_step
+            **{k: (float(v) if v is not None else None) for k, v in loop_state.items()},
         }
         if s.checkpoint_backend == "orbax":
             if not hasattr(self, "_orbax"):

@@ -62,3 +62,69 @@ def test_legacy_meta_migration_hint(tmp_path):
     (tmp_path / "old.meta").write_bytes(b"tf1")
     with pytest.raises(FileNotFoundError, match="migrate"):
         PixelClassifier(n_classes=2, model_path=str(tmp_path / "old.h5"))
+
+
+def test_optimizer_state_resume_matches_uninterrupted(tmp_path):
+    """Train 4 epochs straight vs 2 epochs + resume-from-checkpoint for 2
+    more: the loss trajectories must match (optimizer moments, LR, and the
+    per-epoch RNG streams all restore exactly)."""
+    import numpy as np
+
+    from tests.test_train import _settings, _synthetic_dataset
+
+    from page_segmentation_tpu.train.trainer import Trainer
+
+    data = _synthetic_dataset(n_pages=3)
+
+    full = Trainer(_settings(tmp_path / "full", data, n_epoch=4, save_best_model_only=False))
+    h_full = full.train()
+
+    part = Trainer(_settings(tmp_path / "part", data, n_epoch=2, save_best_model_only=False))
+    part.train()
+
+    resumed = Trainer(
+        _settings(
+            tmp_path / "resumed",
+            data,
+            n_epoch=4,
+            save_best_model_only=False,
+            load=str(tmp_path / "part" / "out" / "model"),
+            continue_training=True,
+        )
+    )
+    h_res = resumed.train()
+
+    assert len(h_res["loss"]) == 2  # epochs 2 and 3 only
+    np.testing.assert_allclose(h_res["loss"], h_full["loss"][2:], rtol=1e-5)
+
+
+def test_orbax_auto_resume(tmp_path):
+    """auto_resume with the orbax backend restarts from the latest step."""
+    import numpy as np
+
+    from tests.test_train import _settings, _synthetic_dataset
+    from page_segmentation_tpu.train.trainer import Trainer
+
+    data = _synthetic_dataset(n_pages=3)
+    out = tmp_path / "run"
+
+    t1 = Trainer(
+        _settings(out, data, n_epoch=2, save_best_model_only=False, checkpoint_backend="orbax")
+    )
+    t1.train()
+    t1._orbax.wait()
+
+    t2 = Trainer(
+        _settings(
+            out, data, n_epoch=4, save_best_model_only=False,
+            checkpoint_backend="orbax", auto_resume=True,
+        )
+    )
+    h2 = t2.train()
+    assert len(h2["loss"]) == 2  # continued at epoch 2
+
+    full = Trainer(
+        _settings(tmp_path / "full", data, n_epoch=4, save_best_model_only=False)
+    )
+    h_full = full.train()
+    np.testing.assert_allclose(h2["loss"], h_full["loss"][2:], rtol=1e-5)
