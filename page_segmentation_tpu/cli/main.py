@@ -161,6 +161,8 @@ def cmd_train(args) -> int:
         optimizer=Optimizers(args.optimizer),
         load=args.load,
         continue_training=args.continue_training,
+        auto_resume=args.auto_resume,
+        pretrained_encoder=args.pretrained_encoder,
         compute_baseline=args.compute_baseline,
         foreground_masks=args.foreground_masks,
         tensorboard=args.tensorboard,
@@ -396,6 +398,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--tensorboard", action="store_true")
     t.add_argument("--load", default=None)
     t.add_argument("--continue_training", action="store_true")
+    t.add_argument("--auto_resume", action="store_true",
+                   help="orbax backend: continue from the latest saved step")
+    t.add_argument("--pretrained_encoder", default=None,
+                   help="keras-applications backbone .h5 to fine-tune from "
+                        "(mobilenet/resnet/efficientnet families)")
     t.add_argument("--batch_size", type=int, default=1)
     t.add_argument("--n_devices", type=int, default=None)
     t.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])

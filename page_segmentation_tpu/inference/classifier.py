@@ -96,12 +96,12 @@ class PixelClassifier:
                     f"(TF1 graph import is not supported by this framework)"
                 )
         if path.endswith(".h5"):
-            from ..models.h5_import import load_keras_h5
+            from ..models.h5_import import load_keras_variables
 
-            params, detected = load_keras_h5(path, self.architecture, self.n_classes)
+            variables, detected = load_keras_variables(path, self.architecture, self.n_classes)
             if detected is not None:
                 self._rebuild(detected)
-            self.variables = {"params": params}
+            self.variables = variables
         else:
             from ..train.checkpoint import load_checkpoint
 

@@ -21,73 +21,92 @@ from typing import Dict
 
 import numpy as np
 
-from .h5_import import _decode
 from .mobilenet_import import _bn_split, _merge, _set
 
 _BLOCK_RE = re.compile(r"^block(\d+)([a-z])_(.+)$")
 
 
-def load_effnet_encoder_h5(path: str):
+def load_effnet_encoder_h5(path_or_view):
     """Returns (params, batch_stats) trees for ``EffNetEncoder`` (any
     variant — the block population is inferred from the layer names)."""
-    import h5py
+    from .h5_import import as_weights_view
 
-    with h5py.File(path, "r") as f:
-        group = f["model_weights"] if "model_weights" in f else f
-        layer_names = [_decode(n) for n in group.attrs["layer_names"]]
+    view = as_weights_view(path_or_view)
 
-        def layer_weights(name):
-            layer_group = group[name]
-            weight_names = [_decode(n) for n in layer_group.attrs.get("weight_names", [])]
-            return [np.asarray(layer_group[wn]) for wn in weight_names]
+    params: Dict = {}
+    stats: Dict = {}
 
-        params: Dict = {}
-        stats: Dict = {}
+    def conv(dst, layer, depthwise=False):
+        weights = view.get(layer)
+        kernel = np.asarray(weights[0], np.float32)
+        if depthwise:
+            kernel = np.transpose(kernel, (0, 1, 3, 2))
+        entry = {"kernel": kernel}
+        if len(weights) > 1:
+            entry["bias"] = np.asarray(weights[1], np.float32)
+        _set(params, dst, entry)
 
-        def conv(dst, layer, depthwise=False):
-            weights = layer_weights(layer)
-            kernel = np.asarray(weights[0], np.float32)
-            if depthwise:
-                kernel = np.transpose(kernel, (0, 1, 3, 2))
-            entry = {"kernel": kernel}
-            if len(weights) > 1:
-                entry["bias"] = np.asarray(weights[1], np.float32)
-            _set(params, dst, entry)
+    def bn(dst, layer):
+        bn_params, bn_stats = _bn_split(view.get(layer))
+        _set(params, dst, bn_params)
+        _set(stats, dst, bn_stats)
 
-        def bn(dst, layer):
-            bn_params, bn_stats = _bn_split(layer_weights(layer))
-            _set(params, dst, bn_params)
-            _set(stats, dst, bn_stats)
+    conv("stem/conv", "stem_conv")
+    bn("stem/bn", "stem_bn")
 
-        conv("stem/conv", "stem_conv")
-        bn("stem/bn", "stem_bn")
-
-        for name in layer_names:
-            match = _BLOCK_RE.match(name)
-            if not match:
-                continue
-            stage = int(match.group(1)) - 1
-            block_index = ord(match.group(2)) - ord("a")
-            part = match.group(3)
-            dst = f"s{stage}_b{block_index}"
-            if part == "expand_conv":
-                conv(f"{dst}/expand/conv", name)
-            elif part == "expand_bn":
-                bn(f"{dst}/expand/bn", name)
-            elif part == "dwconv":
-                conv(f"{dst}/depthwise/conv", name, depthwise=True)
-            elif part == "bn":
-                bn(f"{dst}/depthwise/bn", name)
-            elif part == "se_reduce":
-                conv(f"{dst}/se/reduce", name)
-            elif part == "se_expand":
-                conv(f"{dst}/se/expand", name)
-            elif part == "project_conv":
-                conv(f"{dst}/project/conv", name)
-            elif part == "project_bn":
-                bn(f"{dst}/project/bn", name)
+    for name in view.order:
+        match = _BLOCK_RE.match(name)
+        if not match:
+            continue
+        stage = int(match.group(1)) - 1
+        block_index = ord(match.group(2)) - ord("a")
+        part = match.group(3)
+        dst = f"s{stage}_b{block_index}"
+        if part == "expand_conv":
+            conv(f"{dst}/expand/conv", name)
+        elif part == "expand_bn":
+            bn(f"{dst}/expand/bn", name)
+        elif part == "dwconv":
+            conv(f"{dst}/depthwise/conv", name, depthwise=True)
+        elif part == "bn":
+            bn(f"{dst}/depthwise/bn", name)
+        elif part == "se_reduce":
+            conv(f"{dst}/se/reduce", name)
+        elif part == "se_expand":
+            conv(f"{dst}/se/expand", name)
+        elif part == "project_conv":
+            conv(f"{dst}/project/conv", name)
+        elif part == "project_bn":
+            bn(f"{dst}/project/bn", name)
 
     return params, stats
+
+
+# decoder conv blocks of the reference eff_net model (model.py:387-404)
+_DECODER = [
+    "b_1",
+    "conv6_1", "conv6_2",
+    "conv7_1", "conv7_2",
+    "conv8_1", "conv8_2",
+    "conv9_1", "conv9_2",
+]
+
+
+def load_effnet_seg_h5(path_or_view):
+    """Full-variables import of a reference-trained eff_net_fine_tuning
+    model (reference model.py:368-407): EfficientNet encoder + the BN-free
+    conv_block_simple decoder + the 1x1 logits head."""
+    from .h5_import import as_weights_view
+
+    view = as_weights_view(path_or_view)
+    enc_params, enc_stats = load_effnet_encoder_h5(view)
+
+    params: Dict = {"encoder": enc_params}
+    for name in _DECODER + ["logits"]:
+        layer = name if name == "logits" else f"{name}_conv"
+        kernel, bias = view.get(layer)
+        params[name] = {"kernel": np.asarray(kernel, np.float32), "bias": np.asarray(bias, np.float32)}
+    return {"params": params, "batch_stats": {"encoder": enc_stats}}
 
 
 def load_into_effnet_seg(variables, h5_path: str):

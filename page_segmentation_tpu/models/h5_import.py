@@ -50,6 +50,55 @@ def _decode(value):
     return value.decode() if isinstance(value, bytes) else value
 
 
+class KerasWeights:
+    """Flat, name-addressable view of every weighted layer in a Keras .h5.
+
+    Layers inside nested functional sub-models (e.g. the reference
+    mobile_net wraps its MobileNetV2 down-stack as one nested Model,
+    model.py:113-119) are flattened into the same namespace: a weight path
+    ``<...>/<layer>/<weight>`` registers under ``<layer>``, with weights in
+    ``weight_names`` order (kernel/bias; BN gamma/beta/mean/variance —
+    Keras lists non-trainables last but per-layer order is preserved).
+    """
+
+    def __init__(self, h5group):
+        group = h5group["model_weights"] if "model_weights" in h5group else h5group
+        self.order: List[str] = []
+        self._weights = {}
+        for layer_name in (_decode(n) for n in group.attrs["layer_names"]):
+            layer_group = group[layer_name]
+            for wn in (_decode(n) for n in layer_group.attrs.get("weight_names", [])):
+                parts = wn.split("/")
+                scope = parts[-2] if len(parts) >= 2 else layer_name
+                if scope not in self._weights:
+                    self._weights[scope] = []
+                    self.order.append(scope)
+                self._weights[scope].append(np.asarray(layer_group[wn]))
+
+    @classmethod
+    def from_file(cls, path: str) -> "KerasWeights":
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return cls(f)
+
+    def get(self, name: str) -> List[np.ndarray]:
+        return self._weights[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._weights
+
+    def matching(self, predicate) -> List[str]:
+        """Layer names satisfying ``predicate``, in build order."""
+        return [n for n in self.order if predicate(n)]
+
+
+def as_weights_view(path_or_view) -> KerasWeights:
+    if isinstance(path_or_view, KerasWeights):
+        return path_or_view
+    return KerasWeights.from_file(path_or_view)
+
+
 def _weighted_layers(h5file) -> List[Tuple[str, np.ndarray, Optional[np.ndarray]]]:
     """[(layer_name, kernel, bias)] in model build order."""
     group = h5file["model_weights"] if "model_weights" in h5file else h5file
@@ -114,3 +163,105 @@ def load_keras_h5(path: str, architecture: Architecture, n_classes: int):
             entry["bias"] = bias.astype(np.float32)
         params[target] = entry
     return params, detected
+
+
+# architectures whose .h5 carries a BN-bearing pretrained encoder + decoder
+_PRETRAINED_FAMILY = {
+    "mobile_net": "mobilenet",
+    "image_res_net": "resnet",
+    **{f"effb{i}": "effnet" for i in range(8)},
+}
+
+
+def load_keras_variables(path: str, architecture: Architecture, n_classes: int):
+    """Full-variables import: returns ({'params', 'batch_stats'?}, detected).
+
+    Grayscale architectures map conv layers in build order (above); the
+    three pretrained segmentation families (reference model.py:95-148
+    mobile_net, :320-366 res_net, :368-407 eff_net) go through their
+    BN-aware family importers, which load encoder *and* decoder so a
+    reference-trained model predicts end-to-end.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        detected = detect_architecture(f)
+    arch = detected or architecture
+
+    family = _PRETRAINED_FAMILY.get(arch.value)
+    if family is None:
+        params, detected = load_keras_h5(path, architecture, n_classes)
+        return {"params": params}, detected
+
+    view = as_weights_view(path)
+    if family == "mobilenet":
+        from .mobilenet_import import load_mobilenet_seg_h5
+
+        return load_mobilenet_seg_h5(view), detected
+    if family == "resnet":
+        from .resnet_import import load_resnet_seg_h5
+
+        return load_resnet_seg_h5(view), detected
+
+    from .efficientnet_import import load_effnet_seg_h5
+    from .mobilenet_import import _merge
+
+    imported = load_effnet_seg_h5(view)
+    # the reference graph stops at block6a_expand (model.py:381), so the
+    # deeper encoder blocks never serialize; our encoder still declares
+    # them (their outputs are dead code XLA eliminates), so fill the holes
+    # with zeros from a shape-only init — no compile, values never read
+    template = _zero_variables(arch, n_classes)
+    return {
+        "params": _merge(template["params"], imported["params"]),
+        "batch_stats": _merge(template.get("batch_stats", {}), imported["batch_stats"]),
+    }, detected
+
+
+def _zero_variables(arch: Architecture, n_classes: int):
+    """Zero-filled variables matching ``arch``'s module structure, via
+    ``jax.eval_shape`` (no device compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    module = arch.model(n_classes)
+    side = 64
+
+    def init():
+        return module.init(jax.random.PRNGKey(0), jnp.zeros((1, side, side, 3)))
+
+    shapes = jax.eval_shape(init)
+    plain = jax.tree_util.tree_map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    # unfreeze to plain nested dicts for _merge
+    return json_like(plain)
+
+
+def json_like(tree):
+    if isinstance(tree, np.ndarray):
+        return tree
+    return {k: json_like(v) for k, v in dict(tree).items()}
+
+
+def load_encoder_into(variables, architecture: Architecture, h5_path: str):
+    """Fine-tuning entry: replace the encoder subtree of freshly-initialized
+    segmentation variables with backbone weights from a keras-applications
+    ``.h5`` (the reference gets this via ``weights='imagenet'`` inside
+    model construction, model.py:101,330,377; here the user supplies the
+    weight file and the decoder keeps its fresh init)."""
+    family = _PRETRAINED_FAMILY.get(architecture.value)
+    if family == "mobilenet":
+        from .mobilenet_import import load_into_mobilenet_seg
+
+        return load_into_mobilenet_seg(variables, h5_path)
+    if family == "resnet":
+        from .resnet_import import load_into_resnet_seg
+
+        return load_into_resnet_seg(variables, h5_path)
+    if family == "effnet":
+        from .efficientnet_import import load_into_effnet_seg
+
+        return load_into_effnet_seg(variables, h5_path)
+    raise ValueError(
+        f"pretrained encoders apply to the mobilenet/resnet/efficientnet "
+        f"families, not {architecture.value}"
+    )

@@ -31,51 +31,78 @@ def _bn_split(weights) -> Tuple[Dict, Dict]:
     return {"scale": gamma, "bias": beta}, {"mean": mean, "var": var}
 
 
-def load_mobilenet_encoder_h5(path: str):
+def load_mobilenet_encoder_h5(path_or_view):
     """Returns (params, batch_stats) trees for ``MobileNetV2Encoder``
-    (module name 'encoder')."""
-    import h5py
+    (module name 'encoder').  Accepts a file path or a ``KerasWeights``
+    view (the backbone may be nested inside a full segmentation model)."""
+    from .h5_import import as_weights_view
 
-    from .h5_import import _decode
+    view = as_weights_view(path_or_view)
 
-    with h5py.File(path, "r") as f:
-        group = f["model_weights"] if "model_weights" in f else f
-        layer_names = [_decode(n) for n in group.attrs["layer_names"]]
+    params: Dict = {}
+    stats: Dict = {}
 
-        def layer_weights(name):
-            layer_group = group[name]
-            weight_names = [_decode(n) for n in layer_group.attrs.get("weight_names", [])]
-            return [np.asarray(layer_group[wn]) for wn in weight_names]
+    def conv_bn(dst: str, conv_layer: str, bn_layer: str, depthwise: bool = False):
+        kernel = np.asarray(view.get(conv_layer)[0], np.float32)
+        if depthwise:
+            kernel = np.transpose(kernel, (0, 1, 3, 2))
+        if bn_layer in view:
+            bn_params, bn_stats = _bn_split(view.get(bn_layer))
+        else:
+            # the reference taps block_16_project PRE-BN as the deepest skip
+            # (model.py:109), so a full mobile_net .h5 never serializes that
+            # BN; an exactly-identity BN (var = 1 - eps so the 1e-3 epsilon
+            # cancels) makes our post-BN tap equal the reference's pre-BN one
+            channels = kernel.shape[-2] if depthwise else kernel.shape[-1]
+            bn_params = {"scale": np.ones(channels, np.float32), "bias": np.zeros(channels, np.float32)}
+            bn_stats = {"mean": np.zeros(channels, np.float32),
+                        "var": np.full(channels, 1.0 - 1e-3, np.float32)}
+        sub = {"dwconv" if depthwise else "conv": {"kernel": kernel}, "bn": bn_params}
+        _set(params, dst, sub)
+        _set(stats, dst, {"bn": bn_stats})
 
-        params: Dict = {}
-        stats: Dict = {}
-
-        def conv_bn(dst: str, conv_layer: str, bn_layer: str, depthwise: bool = False):
-            kernel = np.asarray(layer_weights(conv_layer)[0], np.float32)
-            if depthwise:
-                kernel = np.transpose(kernel, (0, 1, 3, 2))
-            bn_params, bn_stats = _bn_split(layer_weights(bn_layer))
-            sub = {"dwconv" if depthwise else "conv": {"kernel": kernel}, "bn": bn_params}
-            _set(params, dst, sub)
-            _set(stats, dst, {"bn": bn_stats})
-
-        conv_bn("stem", "Conv1", "bn_Conv1")
-        block_index = 0
-        while True:
-            prefix = "expanded_conv" if block_index == 0 else f"block_{block_index}"
-            if f"{prefix}_depthwise" not in layer_names:
-                break
-            block = f"block_{block_index}"
-            if f"{prefix}_expand" in layer_names:
-                conv_bn(f"{block}/expand", f"{prefix}_expand", f"{prefix}_expand_BN")
-            conv_bn(
-                f"{block}/depthwise", f"{prefix}_depthwise", f"{prefix}_depthwise_BN",
-                depthwise=True,
-            )
-            conv_bn(f"{block}/project", f"{prefix}_project", f"{prefix}_project_BN")
-            block_index += 1
+    conv_bn("stem", "Conv1", "bn_Conv1")
+    block_index = 0
+    while True:
+        prefix = "expanded_conv" if block_index == 0 else f"block_{block_index}"
+        if f"{prefix}_depthwise" not in view:
+            break
+        block = f"block_{block_index}"
+        if f"{prefix}_expand" in view:
+            conv_bn(f"{block}/expand", f"{prefix}_expand", f"{prefix}_expand_BN")
+        conv_bn(
+            f"{block}/depthwise", f"{prefix}_depthwise", f"{prefix}_depthwise_BN",
+            depthwise=True,
+        )
+        conv_bn(f"{block}/project", f"{prefix}_project", f"{prefix}_project_BN")
+        block_index += 1
 
     return params, stats
+
+
+def load_mobilenet_seg_h5(path_or_view):
+    """Full-variables import of a reference-trained mobile_net model
+    (reference model.py:95-148): nested MobileNetV2 down-stack + the five
+    Conv2DTranspose upsamplers + the 1x1 logits head."""
+    from .h5_import import as_weights_view
+
+    view = as_weights_view(path_or_view)
+    enc_params, enc_stats = load_mobilenet_encoder_h5(view)
+
+    params: Dict = {"encoder": enc_params}
+    ups = view.matching(lambda n: "conv2d_transpose" in n)
+    targets = ["up0", "up1", "up2", "up3", "up_final"]
+    if len(ups) != len(targets):
+        raise ValueError(
+            f"mobile_net decoder expects {len(targets)} Conv2DTranspose "
+            f"layers, found {len(ups)}: {ups}"
+        )
+    for dst, src in zip(targets, ups):
+        kernel, bias = view.get(src)
+        params[dst] = {"kernel": np.asarray(kernel, np.float32), "bias": np.asarray(bias, np.float32)}
+    kernel, bias = view.get("logits")
+    params["logits"] = {"kernel": np.asarray(kernel, np.float32), "bias": np.asarray(bias, np.float32)}
+    return {"params": params, "batch_stats": {"encoder": enc_stats}}
 
 
 def _set(tree: Dict, path: str, value: Dict) -> None:

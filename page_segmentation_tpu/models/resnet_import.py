@@ -13,53 +13,75 @@ from typing import Dict
 
 import numpy as np
 
-from .h5_import import _decode
 from .mobilenet_import import _bn_split, _merge, _set
 
 _BLOCKS = [3, 4, 6, 3]
 
 
-def load_resnet50_encoder_h5(path: str):
+def load_resnet50_encoder_h5(path_or_view):
     """Returns (params, batch_stats) trees for ``ResNet50Encoder``."""
-    import h5py
+    from .h5_import import as_weights_view
 
-    with h5py.File(path, "r") as f:
-        group = f["model_weights"] if "model_weights" in f else f
+    view = as_weights_view(path_or_view)
 
-        def layer_weights(name):
-            layer_group = group[name]
-            weight_names = [_decode(n) for n in layer_group.attrs.get("weight_names", [])]
-            return [np.asarray(layer_group[wn]) for wn in weight_names]
+    params: Dict = {}
+    stats: Dict = {}
 
-        params: Dict = {}
-        stats: Dict = {}
+    def conv(dst, layer):
+        weights = view.get(layer)
+        entry = {"kernel": np.asarray(weights[0], np.float32)}
+        if len(weights) > 1:
+            entry["bias"] = np.asarray(weights[1], np.float32)
+        _set(params, dst, entry)
 
-        def conv(dst, layer):
-            weights = layer_weights(layer)
-            entry = {"kernel": np.asarray(weights[0], np.float32)}
-            if len(weights) > 1:
-                entry["bias"] = np.asarray(weights[1], np.float32)
-            _set(params, dst, entry)
+    def bn(dst, layer):
+        bn_params, bn_stats = _bn_split(view.get(layer))
+        _set(params, dst, bn_params)
+        _set(stats, dst, bn_stats)
 
-        def bn(dst, layer):
-            bn_params, bn_stats = _bn_split(layer_weights(layer))
-            _set(params, dst, bn_params)
-            _set(stats, dst, bn_stats)
-
-        conv("stem_conv", "conv1_conv")
-        bn("stem_bn", "conv1_bn")
-        for stage, blocks in enumerate(_BLOCKS):
-            for b in range(blocks):
-                keras = f"conv{stage + 2}_block{b + 1}"
-                mine = f"stage{stage}_block{b}"
-                for idx, sub in ((1, "c1"), (2, "c2"), (3, "c3")):
-                    conv(f"{mine}/{sub}/conv", f"{keras}_{idx}_conv")
-                    bn(f"{mine}/{sub}/bn", f"{keras}_{idx}_bn")
-                if b == 0:
-                    conv(f"{mine}/shortcut/conv", f"{keras}_0_conv")
-                    bn(f"{mine}/shortcut/bn", f"{keras}_0_bn")
+    conv("stem_conv", "conv1_conv")
+    bn("stem_bn", "conv1_bn")
+    for stage, blocks in enumerate(_BLOCKS):
+        for b in range(blocks):
+            keras = f"conv{stage + 2}_block{b + 1}"
+            mine = f"stage{stage}_block{b}"
+            for idx, sub in ((1, "c1"), (2, "c2"), (3, "c3")):
+                conv(f"{mine}/{sub}/conv", f"{keras}_{idx}_conv")
+                bn(f"{mine}/{sub}/bn", f"{keras}_{idx}_bn")
+            if b == 0:
+                conv(f"{mine}/shortcut/conv", f"{keras}_0_conv")
+                bn(f"{mine}/shortcut/bn", f"{keras}_0_bn")
 
     return params, stats
+
+
+# decoder conv blocks of the reference res_net model (model.py:338-362);
+# Keras layer = "<name>_conv" (conv_block_simple, model.py:310-318)
+_DECODER = [
+    "b_1",
+    "conv6_1", "conv6_2",
+    "conv7_1", "conv7_2",
+    "conv8_1", "conv8_2",
+    "conv9_1", "conv9_2",
+    "conv10_1", "conv10_2",
+]
+
+
+def load_resnet_seg_h5(path_or_view):
+    """Full-variables import of a reference-trained res_net_fine_tuning
+    model (reference model.py:320-366): ResNet50 encoder + the BN-free
+    conv_block_simple decoder + the 1x1 logits head."""
+    from .h5_import import as_weights_view
+
+    view = as_weights_view(path_or_view)
+    enc_params, enc_stats = load_resnet50_encoder_h5(view)
+
+    params: Dict = {"encoder": enc_params}
+    for name in _DECODER + ["logits"]:
+        layer = name if name == "logits" else f"{name}_conv"
+        kernel, bias = view.get(layer)
+        params[name] = {"kernel": np.asarray(kernel, np.float32), "bias": np.asarray(bias, np.float32)}
+    return {"params": params, "batch_stats": {"encoder": enc_stats}}
 
 
 def load_into_resnet_seg(variables, h5_path: str):

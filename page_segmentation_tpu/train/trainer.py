@@ -114,6 +114,9 @@ class TrainSettings(NamedTuple):
     device_augmentation: bool = False  # fused on-TPU affine (perf mode)
     remat: bool = False  # activation rematerialization (memory for FLOPs)
     auto_resume: bool = False  # orbax backend: continue from the latest step
+    # keras-applications backbone .h5 to fine-tune from (reference gets
+    # imagenet weights inside model construction; here the file is supplied)
+    pretrained_encoder: Optional[str] = None
 
 
 class Trainer:
@@ -162,6 +165,17 @@ class Trainer:
             )
         self.params = classifier.params
         self.model_state = classifier.model_state  # batch_stats for BN models
+
+        if s.pretrained_encoder:
+            from ..models.h5_import import load_encoder_into
+
+            variables = load_encoder_into(
+                {"params": self.params, **self.model_state}, s.architecture, s.pretrained_encoder
+            )
+            self.params = variables["params"]
+            self.model_state = {k: v for k, v in variables.items() if k != "params"}
+            logger.info(f"Loaded pretrained encoder from {s.pretrained_encoder}")
+
         self.opt_state = self.optimizer.init(self.params)
 
         # resume: restore optimizer moments + loop counters alongside the
