@@ -116,8 +116,19 @@ class ThroughputPredictor:
         self.col_idx = nearest_index_array(out_w, in_w)
 
     # ------------------------------------------------------------ host steps
+    # native C kernels (ps_native.cpp) run the host stages GIL-free at
+    # ~3x the PIL/numpy speed on the 1-core host; the PIL/numpy path
+    # remains as the no-toolchain fallback
     def _prep(self, pages: np.ndarray, binaries: np.ndarray):
-        """Decimate pages (PIL box reduce) + nearest-gather binaries."""
+        """Decimate pages (box mean) + nearest-gather the ink mask."""
+        from .. import native
+
+        dec = native.decimate_u8(pages, self.host_decimate)
+        if dec is not None:
+            dec = dec[:, : self.decimated_shape[0], : self.decimated_shape[1]]
+            ink = native.gather_ink(binaries, self.row_idx, self.col_idx)
+            return jax.device_put(dec), ink.astype(bool)
+
         from PIL import Image
 
         n = pages.shape[0]
@@ -134,6 +145,11 @@ class ThroughputPredictor:
     def _finish(self, downloaded: np.ndarray, ink: np.ndarray):
         h, w = ink.shape[1:]
         if self.download == "pred":
+            from .. import native
+
+            fused = native.finish_masks(downloaded, ink.astype(np.uint8), self.palette_np)
+            if fused is not None:
+                return fused
             color = self.palette_np[downloaded[:, :h, :w]]
         else:
             color = downloaded[:, :h, :w]

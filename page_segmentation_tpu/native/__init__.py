@@ -61,6 +61,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.ps_contours.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int,
     ]
+    lib.ps_decimate_u8.restype = None
+    lib.ps_decimate_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+    ]
+    lib.ps_gather_ink.restype = None
+    lib.ps_gather_ink.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, ctypes.c_int, i32p, ctypes.c_int, u8p,
+    ]
+    lib.ps_finish.restype = None
+    lib.ps_finish.argtypes = [
+        u8p, u8p, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, u8p, u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -119,3 +134,49 @@ def contours(image: np.ndarray) -> Optional[List[np.ndarray]]:
         out.append(points[cursor : cursor + lens[i]].copy())
         cursor += lens[i]
     return out
+
+
+def decimate_u8(pages: np.ndarray, factor: int) -> Optional[np.ndarray]:
+    """Batch box-mean decimation of (N, H, W) uint8 pages; None if the
+    library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pages = np.ascontiguousarray(pages, np.uint8)
+    n, h, w = pages.shape
+    out = np.empty((n, h // factor, w // factor), np.uint8)
+    lib.ps_decimate_u8(pages, n, h, w, int(factor), out)
+    return out
+
+
+def gather_ink(binaries: np.ndarray, row_idx: np.ndarray, col_idx: np.ndarray) -> Optional[np.ndarray]:
+    """Ink mask (binary < 128) nearest-gathered to the normalized scale."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    binaries = np.ascontiguousarray(binaries, np.uint8)
+    row_idx = np.ascontiguousarray(row_idx, np.int32)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    n, h, w = binaries.shape
+    out = np.empty((n, len(row_idx), len(col_idx)), np.uint8)
+    lib.ps_gather_ink(binaries, n, h, w, row_idx, len(row_idx), col_idx, len(col_idx), out)
+    return out
+
+
+def finish_masks(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray):
+    """Fused color/overlay/inverted reconstruction from a (padded) class map
+    and the ink mask; None if the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(pred, np.uint8)
+    ink = np.ascontiguousarray(ink, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    n, ph, pw = pred.shape
+    oh, ow = ink.shape[1:]
+    color = np.empty((n, oh, ow, 3), np.uint8)
+    overlay = np.empty_like(color)
+    inverted = np.empty_like(color)
+    lib.ps_finish(pred, ink, palette, palette.shape[0], n, ph, pw, oh, ow,
+                  color, overlay, inverted)
+    return color, overlay, inverted

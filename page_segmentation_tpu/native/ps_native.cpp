@@ -247,3 +247,97 @@ int ps_contours(const uint8_t* img, int h, int w, int32_t* out_points,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- predict
+// Host stages of the fused predict pipeline (inference/pipeline.py): these
+// three kernels replace PIL box-reduce, the fancy-index binary gather, and
+// the numpy palette/overlay products — the 1-core host work that bounds
+// predict throughput (ROADMAP: ~7 ms/page).  All run GIL-free via ctypes.
+
+extern "C" {
+
+// Box-mean decimation of a batch of uint8 pages by an integer factor
+// (rounded mean, PIL Image.reduce semantics for full boxes; the ragged
+// right/bottom remainder is cropped as the pipeline never reads it).
+void ps_decimate_u8(const uint8_t* src, int n, int h, int w, int factor,
+                    uint8_t* dst) {
+    const int oh = h / factor, ow = w / factor;
+    const uint32_t area = static_cast<uint32_t>(factor) * factor;
+    const uint32_t half = area / 2;
+    // split the box sum into a vertical elementwise pass (u8 -> u16 row
+    // accumulator: straight-line adds the compiler vectorizes) and a
+    // short horizontal pass over each factor-wide run
+    std::vector<uint16_t> vsum(w);
+    for (int page = 0; page < n; ++page) {
+        const uint8_t* sp = src + static_cast<size_t>(page) * h * w;
+        uint8_t* dp = dst + static_cast<size_t>(page) * oh * ow;
+        for (int oy = 0; oy < oh; ++oy) {
+            const uint8_t* first_row = sp + static_cast<size_t>(oy) * factor * w;
+            for (int x = 0; x < w; ++x) vsum[x] = first_row[x];
+            for (int fy = 1; fy < factor; ++fy) {
+                const uint8_t* row = first_row + static_cast<size_t>(fy) * w;
+                for (int x = 0; x < w; ++x) vsum[x] += row[x];
+            }
+            uint8_t* orow = dp + static_cast<size_t>(oy) * ow;
+            const uint16_t* cell = vsum.data();
+            for (int ox = 0; ox < ow; ++ox, cell += factor) {
+                uint32_t s = 0;
+                for (int fx = 0; fx < factor; ++fx) s += cell[fx];
+                orow[ox] = static_cast<uint8_t>((s + half) / area);
+            }
+        }
+    }
+}
+
+// Nearest-neighbour gather of the ink mask (binary < 128) at precomputed
+// row/col indices — the host-resident half of the overlay reconstruction.
+void ps_gather_ink(const uint8_t* binary, int n, int h, int w,
+                   const int32_t* row_idx, int oh,
+                   const int32_t* col_idx, int ow, uint8_t* out) {
+    for (int page = 0; page < n; ++page) {
+        const uint8_t* bp = binary + static_cast<size_t>(page) * h * w;
+        uint8_t* op = out + static_cast<size_t>(page) * oh * ow;
+        for (int oy = 0; oy < oh; ++oy) {
+            const uint8_t* row = bp + static_cast<size_t>(row_idx[oy]) * w;
+            uint8_t* orow = op + static_cast<size_t>(oy) * ow;
+            for (int ox = 0; ox < ow; ++ox)
+                orow[ox] = row[col_idx[ox]] < 128 ? 1 : 0;
+        }
+    }
+}
+
+// Fused output reconstruction: class map + ink mask -> the color /
+// overlay / inverted RGB trio (output.py:44-60 semantics) in one pass.
+// pred rows may be padded (pred_w >= ow); palette is (n_colors, 3).
+void ps_finish(const uint8_t* pred, const uint8_t* ink, const uint8_t* palette,
+               int n_colors, int n, int pred_h, int pred_w, int oh, int ow,
+               uint8_t* color, uint8_t* overlay, uint8_t* inverted) {
+    for (int page = 0; page < n; ++page) {
+        const uint8_t* pp = pred + static_cast<size_t>(page) * pred_h * pred_w;
+        const uint8_t* ip = ink + static_cast<size_t>(page) * oh * ow;
+        const size_t base = static_cast<size_t>(page) * oh * ow * 3;
+        uint8_t* cp = color + base;
+        uint8_t* op = overlay + base;
+        uint8_t* vp = inverted + base;
+        for (int y = 0; y < oh; ++y) {
+            const uint8_t* prow = pp + static_cast<size_t>(y) * pred_w;
+            const uint8_t* irow = ip + static_cast<size_t>(y) * ow;
+            uint8_t* crow = cp + static_cast<size_t>(y) * ow * 3;
+            uint8_t* orow = op + static_cast<size_t>(y) * ow * 3;
+            uint8_t* vrow = vp + static_cast<size_t>(y) * ow * 3;
+            for (int x = 0; x < ow; ++x) {
+                int cls = prow[x];
+                if (cls >= n_colors) cls = n_colors - 1;
+                const uint8_t* rgb = palette + cls * 3;
+                const bool is_ink = irow[x] != 0;
+                for (int c = 0; c < 3; ++c) {
+                    crow[x * 3 + c] = rgb[c];
+                    orow[x * 3 + c] = is_ink ? 0 : rgb[c];
+                    vrow[x * 3 + c] = is_ink ? rgb[c] : 0;
+                }
+            }
+        }
+    }
+}
+
+}  // extern "C"

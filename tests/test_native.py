@@ -106,3 +106,49 @@ def test_native_cc_speed(lib):
     scipy_time = (time.perf_counter() - t) / 3
     # generous bound: native must be within 2x of scipy (usually faster)
     assert native_time < scipy_time * 2, (native_time, scipy_time)
+
+
+class TestPredictHostKernels:
+    """Native decimate/gather/finish match the PIL/numpy fallbacks exactly."""
+
+    def test_decimate_matches_pil(self):
+        from PIL import Image
+
+        from page_segmentation_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        rng = np.random.RandomState(0)
+        pages = rng.randint(0, 256, (3, 101, 83)).astype(np.uint8)
+        out = native.decimate_u8(pages, 4)
+        ref = np.stack([np.asarray(Image.fromarray(p).reduce(4)) for p in pages])
+        np.testing.assert_array_equal(out, ref[:, : out.shape[1], : out.shape[2]])
+
+    def test_gather_ink_matches_numpy(self):
+        from page_segmentation_tpu import native
+        from page_segmentation_tpu.inference.pipeline import nearest_index_array
+
+        if not native.available():
+            pytest.skip("no native lib")
+        rng = np.random.RandomState(1)
+        binaries = rng.randint(0, 256, (2, 90, 70)).astype(np.uint8)
+        ri = nearest_index_array(31, 90).astype(np.int32)
+        ci = nearest_index_array(23, 70).astype(np.int32)
+        out = native.gather_ink(binaries, ri, ci)
+        ref = np.stack([b[np.ix_(ri, ci)] < 128 for b in binaries])
+        np.testing.assert_array_equal(out.astype(bool), ref)
+
+    def test_finish_masks_matches_numpy(self):
+        from page_segmentation_tpu import native
+
+        if not native.available():
+            pytest.skip("no native lib")
+        rng = np.random.RandomState(2)
+        pred = rng.randint(0, 3, (2, 40, 36)).astype(np.uint8)  # padded
+        ink = rng.rand(2, 37, 33) < 0.4
+        palette = np.array([[255, 255, 255], [255, 0, 0], [0, 255, 0]], np.uint8)
+        color, overlay, inverted = native.finish_masks(pred, ink.astype(np.uint8), palette)
+        cref = palette[pred[:, :37, :33]]
+        np.testing.assert_array_equal(color, cref)
+        np.testing.assert_array_equal(overlay, cref * (~ink[..., None]).astype(np.uint8))
+        np.testing.assert_array_equal(inverted, cref * ink[..., None].astype(np.uint8))
