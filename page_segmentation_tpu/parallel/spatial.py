@@ -28,15 +28,42 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.pad import round_up
 
-# conservative half-receptive-field per architecture (rows), multiple of
-# the stride factor; FCN family RF radius is ~70 rows (5x5 stacks across
-# 3 pooling levels + transpose-conv decoder)
+# derived half-receptive-field margins (rows), rounded up to the stride
+# factor: measured by single-row perturbation (measure_half_rf) —
+# fcn_skip/fcn 72, unet 85, res_unet 109 — and pinned by
+# tests/test_spatial.py, which re-measures and checks these stay >= actual
 DEFAULT_MARGINS = {
-    "fcn_skip": 96,
-    "fcn": 96,
-    "unet": 192,
-    "res_unet": 192,
+    "fcn_skip": 80,
+    "fcn": 80,
+    "unet": 96,
+    "res_unet": 112,
 }
+
+
+def measure_half_rf(module, variables=None, height: int = 1024, width: int = 32) -> int:
+    """Empirical half receptive field of a conv module, in rows.
+
+    Perturb one input row and find the farthest output row whose logits
+    move — the exact support radius, independent of analytic layer
+    bookkeeping.  Works for any finite-RF architecture."""
+    if variables is None:
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    probe = height // 2
+    base = jnp.zeros((1, height, width, 1))
+    poked = base.at[0, probe].set(1.0)
+    clean = np.asarray(module.apply(variables, base))
+    moved = np.asarray(module.apply(variables, poked))
+    support = np.flatnonzero(np.abs(moved - clean)[0].max(axis=(1, 2)) > 1e-6)
+    if len(support) == 0:
+        raise ValueError("perturbation produced no logit change; RF unmeasurable")
+    return int(max(probe - support.min(), support.max() - probe))
+
+
+def derived_margin(architecture, variables=None) -> int:
+    """Stride-aligned halo margin for an architecture: measured half-RF
+    rounded up to the stride factor."""
+    half = measure_half_rf(architecture.model(3), variables)
+    return round_up(half, architecture.stride_factor)
 
 
 def spatial_forward(

@@ -69,3 +69,45 @@ def test_spatial_predict_entrypoint(setup):
     _, _, single_pred = net.predict_single_data(SingleData(image=image))
     agreement = (pred == single_pred).mean()
     assert agreement == 1.0
+
+
+ALL_ARCHS = ["fcn_skip", "fcn", "unet", "res_unet"]
+
+
+@pytest.mark.parametrize("name", ALL_ARCHS)
+def test_margin_table_covers_measured_rf(name):
+    """DEFAULT_MARGINS must dominate the empirically measured half
+    receptive field (single-row perturbation) for every architecture."""
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS, measure_half_rf
+
+    arch = Architecture(name)
+    half = measure_half_rf(arch.model(3))
+    margin = DEFAULT_MARGINS[name]
+    assert margin >= half, f"{name}: margin {margin} < measured half-RF {half}"
+    assert margin % arch.stride_factor == 0
+
+
+@pytest.mark.parametrize("name", ALL_ARCHS)
+def test_spatial_forward_exact_all_archs(name):
+    """Band-split forward equals the unsplit forward for every grayscale
+    architecture at its derived margin."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS
+
+    arch = Architecture(name)
+    module = arch.model(3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))))
+    mesh = make_mesh(2)
+    rng = np.random.RandomState(3)
+    image = rng.rand(768, 64, 1).astype(np.float32)
+
+    single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+    sharded = spatial_forward(
+        module, variables, image, mesh,
+        margin=DEFAULT_MARGINS[name], stride_factor=arch.stride_factor,
+    )
+    np.testing.assert_allclose(sharded, single, atol=5e-4)
+    assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
