@@ -21,9 +21,52 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _shift(arr, k: int, axis: int, fill, forward: bool):
+    """arr shifted k along axis: forward -> result[i] = arr[i-k]."""
+    import jax.lax as lax
+
+    pad_shape = list(arr.shape)
+    pad_shape[axis] = k
+    pad = jnp.full(pad_shape, fill, arr.dtype)
+    if forward:
+        kept = lax.slice_in_dim(arr, 0, arr.shape[axis] - k, axis=axis)
+        return jnp.concatenate([pad, kept], axis=axis)
+    kept = lax.slice_in_dim(arr, k, arr.shape[axis], axis=axis)
+    return jnp.concatenate([kept, pad], axis=axis)
+
+
+def _seg_min_scan(val, blocked, axis: int, forward: bool, big: int):
+    """Min-scan within contiguous unblocked runs along ``axis`` by
+    Hillis-Steele doubling: log2(extent) combine steps, each pure shifts +
+    elementwise — the in-kernel equivalent of pointer jumping (labels cross
+    a straight ink run in O(log run) instead of O(run)).
+
+    ``blocked`` is an int32 0/1 mask (Mosaic cannot shift/bitcast bool
+    vregs), 1 on background."""
+    k = 1
+    size = val.shape[axis]
+    while k < size:
+        upstream_val = _shift(val, k, axis, big, forward)
+        upstream_blk = _shift(blocked, k, axis, 1, forward)
+        val = jnp.where(blocked != 0, val, jnp.minimum(val, upstream_val))
+        blocked = jnp.maximum(blocked, upstream_blk)
+        k *= 2
+    return val
+
+
+def _scan_cycle(labels, ink, big: int):
+    """One propagation cycle: segmented min-scans along both directions of
+    both axes.  Dominates a 4-neighbor sweep; converges in O(#turns of the
+    component's geodesic) cycles instead of O(its length) sweeps."""
+    not_ink = 1 - ink.astype(jnp.int32)
+    for axis in (1, 0):
+        for forward in (True, False):
+            labels = _seg_min_scan(labels, not_ink, axis, forward, big)
+    return jnp.where(ink, labels, big)
+
+
 def _cc_kernel(ink_ref, labels_ref, iters_ref, *, max_iters: int, big: int):
     import jax.lax as lax
-    from jax.experimental import pallas as pl
 
     h, w = ink_ref.shape
     ink = ink_ref[:] != 0
@@ -33,12 +76,7 @@ def _cc_kernel(ink_ref, labels_ref, iters_ref, *, max_iters: int, big: int):
 
     def sweep(state):
         labels, _, it = state
-        up = jnp.concatenate([jnp.full((1, w), big, jnp.int32), labels[:-1, :]], axis=0)
-        down = jnp.concatenate([labels[1:, :], jnp.full((1, w), big, jnp.int32)], axis=0)
-        left = jnp.concatenate([jnp.full((h, 1), big, jnp.int32), labels[:, :-1]], axis=1)
-        right = jnp.concatenate([labels[:, 1:], jnp.full((h, 1), big, jnp.int32)], axis=1)
-        neighbor_min = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
-        new = jnp.where(ink, jnp.minimum(labels, neighbor_min), big)
+        new = _scan_cycle(labels, ink, big)
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 
@@ -80,13 +118,150 @@ def cc_min_label_pallas(ink, max_iters: int = 4096, interpret: bool = False):
     return labels, iters[0]
 
 
+# VMEM budget for the single-block kernel: labels + ink + neighbor temps
+# at int32 must fit comfortably under the ~16 MB/core VMEM
+_VMEM_BUDGET_PIXELS = 1_500_000  # ~6 MB of int32 x a few live buffers
+
+
+def _band_kernel(blocks_ref, ink_ref, out_ref, *, inner_iters: int, big: int):
+    """Converge min-propagation inside one row band (+1-row halos).
+
+    Block shapes: blocks/ink (1, T+2, W); out (1, T, W).  Halo rows carry
+    the neighbor bands' current labels and are read-only context."""
+    import jax.lax as lax
+
+    window = blocks_ref[0]
+    ink = ink_ref[0] != 0
+
+    def sweep(state):
+        labels, _, it = state
+        new = _scan_cycle(labels, ink, big)
+        # keep halo rows frozen: their updates belong to the other bands
+        new = jnp.concatenate([window[:1], new[1:-1], window[-1:]], axis=0)
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < inner_iters)
+
+    labels, _, _ = lax.while_loop(cond, sweep, (window, jnp.bool_(True), jnp.int32(0)))
+    out_ref[0] = labels[1:-1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band", "inner_iters", "max_outer", "interpret")
+)
+def cc_min_label_tiled(
+    ink,
+    band: int = 256,
+    inner_iters: int = 128,
+    max_outer: int = 256,
+    interpret: bool = False,
+):
+    """Tiled CC for pages whose label map exceeds VMEM.
+
+    Alternates (a) a Pallas grid pass that converges each ``band``-row
+    block locally in VMEM (halo rows expose the neighbor bands' labels)
+    with (b) one XLA pointer-jump — ``labels = min(labels, labels[labels])``
+    — that collapses label chains globally in O(log) rounds.  The outer
+    fixed-point loop guarantees exactness regardless of ``inner_iters``:
+    any unconverged pixel keeps the outer loop running.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    h, w = ink.shape
+    ink = ink.astype(jnp.int32)
+    n_bands = -(-h // band)
+    hp = n_bands * band
+    big = hp * w + 2
+    ink_p = jnp.pad(ink, ((0, hp - h), (0, 0)))
+
+    import jax.lax as lax
+
+    row_ids = lax.broadcasted_iota(jnp.int32, (hp, w), 0)
+    col_ids = lax.broadcasted_iota(jnp.int32, (hp, w), 1)
+    init = jnp.where(ink_p != 0, row_ids * w + col_ids + 1, big)
+
+    ink_bands = ink_p.reshape(n_bands, band, w)
+    halo_pad = jnp.full((1, 1, w), 0, jnp.int32)
+    ink_blocks = jnp.concatenate(
+        [
+            jnp.concatenate([halo_pad, ink_bands[:-1, -1:]], axis=0),
+            ink_bands,
+            jnp.concatenate([ink_bands[1:, :1], halo_pad], axis=0),
+        ],
+        axis=1,
+    )  # (B, band+2, w); halo ink rows are real so halo labels stay coherent
+
+    kernel = functools.partial(_band_kernel, inner_iters=inner_iters, big=big)
+    band_pass = functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid=(n_bands,),
+        out_shape=jax.ShapeDtypeStruct((n_bands, band, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((1, band + 2, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band + 2, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, band, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )()
+
+    def outer(state):
+        labels, _, it = state
+        bands = labels.reshape(n_bands, band, w)
+        big_row = jnp.full((1, 1, w), big, jnp.int32)
+        blocks = jnp.concatenate(
+            [
+                jnp.concatenate([big_row, bands[:-1, -1:]], axis=0),
+                bands,
+                jnp.concatenate([bands[1:, :1], big_row], axis=0),
+            ],
+            axis=1,
+        )
+        new = band_pass(blocks, ink_blocks).reshape(hp, w)
+        # global pointer jump: follow each label to its current root value
+        flat = new.ravel()
+        root = jnp.where(flat < big, jnp.take(flat, jnp.maximum(flat - 1, 0)), big)
+        new = jnp.minimum(new, root.reshape(hp, w))
+        changed = jnp.any(new != labels)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_outer)
+
+    labels, _, iters = lax.while_loop(cond, outer, (init, jnp.bool_(True), jnp.int32(0)))
+    labels = jnp.where(ink_p != 0, labels, 0)
+    return labels[:h], iters
+
+
+def _fit_band(w: int, budget_pixels: int = 240_000) -> int:
+    """Band height whose (band+2, W) working set fits the ~16 MB VMEM:
+    the scan-cycle kernel keeps ~13 live int32 buffers (val/blocked plus
+    shifted temps), so the block must stay under ~1 MB."""
+    rows = max(budget_pixels // max(w, 1) - 2, 8)
+    return max((rows // 8) * 8, 8)
+
+
+def cc_min_label(ink, interpret: bool = False):
+    """Size-dispatching CC: the single-block VMEM kernel for pages that
+    fit, the tiled band+pointer-jump path for larger ones."""
+    h, w = ink.shape
+    if h * w <= _VMEM_BUDGET_PIXELS:
+        return cc_min_label_pallas(ink, interpret=interpret)
+    return cc_min_label_tiled(ink, band=_fit_band(w), interpret=interpret)
+
+
 def cc_vote_pallas(pred, binary, n_classes: int, interpret: bool = False):
     """cc-majority vote with the Pallas labeler (device counterpart of
     inference/postprocess.vote_connected_component_class)."""
     pred = jnp.asarray(pred)
     ink = jnp.asarray(binary) != 0
     h, w = pred.shape
-    labels, _ = cc_min_label_pallas(ink, interpret=interpret)
+    labels, _ = cc_min_label(ink, interpret=interpret)
 
     comp = labels.ravel()
     classes = pred.ravel().astype(jnp.int32)
