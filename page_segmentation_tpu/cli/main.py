@@ -123,6 +123,11 @@ def cmd_train(args) -> int:
     from ..data.loader import DatasetLoader
     from ..models.registry import Architecture, Optimizers
     from ..train.metrics import Loss, Monitor
+
+    if args.distributed:
+        from ..parallel import distributed
+
+        distributed.initialize()
     from ..train.trainer import AugmentationSettings, Trainer, TrainSettings
 
     color_map = _load_color_map(args.color_map)
@@ -169,6 +174,7 @@ def cmd_train(args) -> int:
         batch_size=args.batch_size,
         compute_dtype=args.dtype,
         n_devices=args.n_devices,
+        distributed=args.distributed,
         seed=args.seed,
         device_augmentation=args.device_augmentation,
         checkpoint_backend=args.checkpoint_backend,
@@ -405,6 +411,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(mobilenet/resnet/efficientnet families)")
     t.add_argument("--batch_size", type=int, default=1)
     t.add_argument("--n_devices", type=int, default=None)
+    t.add_argument("--distributed", action="store_true",
+                   help="multi-host training: runs jax.distributed.initialize "
+                        "(env: JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID) "
+                        "and meshes every host's chips")
     t.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     t.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"])
     t.add_argument("--display", type=int, default=100)

@@ -117,6 +117,9 @@ class TrainSettings(NamedTuple):
     # keras-applications backbone .h5 to fine-tune from (reference gets
     # imagenet weights inside model construction; here the file is supplied)
     pretrained_encoder: Optional[str] = None
+    # multi-host (DCN) training: mesh over every process's devices; call
+    # parallel.distributed.initialize() before constructing the Trainer
+    distributed: bool = False
 
 
 class Trainer:
@@ -201,7 +204,26 @@ class Trainer:
             self._try_orbax_resume()
 
         self.mesh = None
-        if s.n_devices and s.n_devices > 1:
+        self._multi_host = False
+        if s.distributed:
+            # multi-host (DCN) mode: jax.distributed.initialize must have
+            # run (parallel/distributed.initialize); the mesh spans every
+            # chip of every host, each process loads only its dataset
+            # shard, and batches are assembled with
+            # make_array_from_process_local_data
+            from ..parallel import distributed
+
+            self.mesh = distributed.global_mesh()
+            self._multi_host = jax.process_count() > 1
+            if self._multi_host:
+                from ..data.dataset import Dataset
+
+                self.settings = s = s._replace(
+                    train_data=Dataset(
+                        distributed.local_shard(s.train_data.data), s.train_data.color_map
+                    )
+                )
+        elif s.n_devices and s.n_devices > 1:
             from ..parallel.mesh import make_mesh
 
             self.mesh = make_mesh(s.n_devices)
@@ -381,6 +403,13 @@ class Trainer:
 
         def build_batch(samples):
             batch = self._make_batch(samples, augment=host_augment, rng=rng)
+            if self._multi_host:
+                # every process contributes its local rows to the global
+                # batch; bucket shapes must agree across processes (all
+                # processes see identically-bucketed shards)
+                from ..parallel import distributed
+
+                return distributed.global_batch(self.mesh, batch)
             if self.mesh is not None:
                 batch = self._pad_for_mesh(batch)
             return batch

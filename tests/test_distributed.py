@@ -1,0 +1,80 @@
+"""Multi-host (DCN) path: 2 real processes x 4 virtual CPU devices take one
+data-parallel step over the global 8-device mesh (the jax multiprocess
+test pattern); losses must agree across processes and with a
+single-device oracle over the same global batch."""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step():
+    worker = os.path.join(os.path.dirname(__file__), "_dcn_worker.py")
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outputs = []
+    for p in procs:
+        out, err = p.communicate(timeout=280)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outputs.append(out)
+
+    losses = {}
+    for out in outputs:
+        for line in out.splitlines():
+            if line.startswith("DCN_LOSS"):
+                _, pid, loss = line.split()
+                losses[int(pid)] = float(loss)
+    assert sorted(losses) == [0, 1], f"missing loss lines: {outputs}"
+    assert np.isfinite(losses[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    trainer_losses = {}
+    for out in outputs:
+        for line in out.splitlines():
+            if line.startswith("DCN_TRAINER_LOSS"):
+                _, pid, loss = line.split()
+                trainer_losses[int(pid)] = float(loss)
+    assert sorted(trainer_losses) == [0, 1], f"missing trainer lines: {outputs}"
+    assert np.isfinite(trainer_losses[0])
+    np.testing.assert_allclose(trainer_losses[0], trainer_losses[1], rtol=1e-6)
+
+    # single-device oracle over the same (full) global batch
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from page_segmentation_tpu.models.fcn import FCNSkip
+    from page_segmentation_tpu.train.metrics import Loss
+    from page_segmentation_tpu.train.steps import make_step_fns
+
+    module = FCNSkip(n_classes=2)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    optimizer = optax.sgd(1e-2)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_step_fns(module, optimizer, Loss.CATEGORICAL_CROSSENTROPY())
+
+    rng = np.random.RandomState(0)
+    h = w = 32
+    batch = {
+        "image": rng.rand(8, h, w, 1).astype(np.float32),
+        "mask": rng.randint(0, 2, (8, h, w)).astype(np.int32),
+        "binary": np.ones((8, h, w), np.uint8),
+        "weights": np.ones((8, h, w), np.float32),
+    }
+    _, _, _, metrics = train_step(params, {}, opt_state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(losses[0], float(metrics["loss"]), rtol=1e-5)
