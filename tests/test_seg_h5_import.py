@@ -80,8 +80,11 @@ def _keras_eff_net():
     # preprocessed input (architecture.py preprocess, torch mode);
     # tf.keras.applications adds an in-model Rescaling(1/255) — neutralize
     # it so this test model matches the reference convention (the
-    # Normalization layer in this Keras build is already identity)
-    base.get_layer("rescaling").scale = 1.0
+    # Normalization layer in this Keras build is already identity).
+    # looked up by type: Keras layer auto-names are process-global counters
+    for layer in base.layers:
+        if type(layer).__name__ == "Rescaling":
+            layer.scale = 1.0
     conv1 = base.get_layer("block2a_expand_activation").output
     conv2 = base.get_layer("block3a_expand_activation").output
     conv3 = base.get_layer("block4a_expand_activation").output
