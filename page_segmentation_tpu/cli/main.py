@@ -297,10 +297,25 @@ def cmd_page_segmentation(args) -> int:
                 args.output_dir, args.extension, image.shape[:2], path, color_map,
                 render_morphological, contours, segments_image,
             )
+            text_regions = contours
         else:
             render_regions(
                 args.output_dir, args.extension, image.shape[:2], path, color_map,
                 render_xycut, segments_text, segments_image,
+            )
+            text_regions = segments_text
+        if args.xml_output_dir:
+            from ..core.image_io import split_filename
+            from ..pagexml.xml_gen import save_pagexml
+
+            os.makedirs(args.xml_output_dir, exist_ok=True)
+            page_name = split_filename(path)[1]
+            save_pagexml(
+                os.path.join(args.xml_output_dir, page_name + ".xml"),
+                os.path.basename(path),
+                image.shape[:2],
+                text_regions=text_regions,
+                image_regions=segments_image,
             )
     return 0
 
@@ -472,6 +487,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--resize_height", type=int, default=300)
     s.add_argument("--color_map", default=None)
     s.add_argument("--text_contours", action="store_true", help="morphological text polygons")
+    s.add_argument("--xml_output_dir", default=None,
+                   help="also emit the regions as PAGE-XML documents here")
     s.add_argument("--extension", default="png")
     s.set_defaults(func=cmd_page_segmentation)
 
