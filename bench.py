@@ -186,22 +186,30 @@ def bench_train(args, module, compute_dtype, emit=True):
     from page_segmentation_tpu.train.metrics import Loss
     from page_segmentation_tpu.train.steps import make_step_fns
 
+    from page_segmentation_tpu.models.registry import Architecture
+
     params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1), jnp.float32))["params"]
     optimizer = optax.inject_hyperparams(
         lambda learning_rate: Optimizers.ADAM.make(learning_rate)
     )(learning_rate=1e-4)
     opt_state = optimizer.init(params)
-    train_step, _ = make_step_fns(module, optimizer, Loss.CATEGORICAL_CROSSENTROPY())
+    train_step, _ = make_step_fns(
+        module, optimizer, Loss.CATEGORICAL_CROSSENTROPY(),
+        device_preprocess=Architecture.FCN_SKIP.device_preprocess(),
+    )
 
     batch_size, h, w = args.batch, 424, 304
 
     def make_batch(seed):
+        # compact transfer layout: uint8 pixels/masks + valid dims
+        # (~4x fewer bytes over the link than f32 image + i32 mask + f32
+        # weights; normalization and the weights map happen on device)
         r = np.random.RandomState(seed)
         return {
-            "image": jax.device_put(r.rand(batch_size, h, w, 1).astype(np.float32)),
-            "mask": jax.device_put(r.randint(0, 3, (batch_size, h, w)).astype(np.int32)),
+            "image": jax.device_put(r.randint(0, 256, (batch_size, h, w, 1)).astype(np.uint8)),
+            "mask": jax.device_put(r.randint(0, 3, (batch_size, h, w)).astype(np.uint8)),
             "binary": jax.device_put(np.ones((batch_size, h, w), np.uint8)),
-            "weights": jax.device_put(np.ones((batch_size, h, w), np.float32)),
+            "dims": jax.device_put(np.tile(np.int32([h, w]), (batch_size, 1))),
         }
 
     batches = [make_batch(i) for i in range(6)]

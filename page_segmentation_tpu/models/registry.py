@@ -116,6 +116,35 @@ class Architecture(enum.Enum):
             return table[self]
         return (_imagenet_torch_preprocess, True)  # EfficientNet family
 
+    def device_preprocess(self) -> Callable:
+        """jnp-traceable twin of :meth:`preprocess`'s function, for fusing
+        the normalization into the jitted step (compact uint8 transfers
+        ship raw pixels and normalize on device)."""
+        import jax.numpy as jnp
+
+        def caffe(x):
+            return x[..., ::-1] - jnp.array([103.939, 116.779, 123.68], jnp.float32)
+
+        def tf_mode(x):
+            return x / 127.5 - 1.0
+
+        def torch_mode(x):
+            mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+            return (x / 255.0 - mean) / std
+
+        table = {
+            Architecture.RES_NET: caffe,
+            Architecture.MOBILE_NET: tf_mode,
+        }
+        if self in table:
+            return table[self]
+        if self.preprocess()[0] is default_preprocess or self in (
+            Architecture.FCN_SKIP, Architecture.FCN, Architecture.RES_UNET, Architecture.UNET,
+        ):
+            return lambda x: x / 255.0
+        return torch_mode  # EfficientNet family
+
     @property
     def stride_factor(self) -> int:
         """Total downsampling factor: input H/W must be a multiple of this."""

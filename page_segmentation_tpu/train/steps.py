@@ -33,6 +33,7 @@ def make_step_fns(
     data_axis: str = "data",
     donate: bool = True,
     remat: bool = False,
+    device_preprocess: Optional[Callable] = None,
 ):
     """Returns (train_step, eval_step).
 
@@ -42,7 +43,34 @@ def make_step_fns(
 
     ``model_state`` carries non-param collections (batch_stats for the
     BN-bearing encoder families); pass {} for BN-free models.
+
+    Batches may arrive in the compact-transfer layout — raw uint8 pixels,
+    uint8 masks, and per-sample valid ``dims`` instead of a float weights
+    map (~4x fewer host->device bytes) — in which case normalization
+    (``device_preprocess``, default /255) and the weights map are
+    materialized on device inside the step.
     """
+
+    def unpack(batch):
+        if "dims" not in batch:
+            return batch
+        image = batch["image"]
+        x = image.astype(jnp.float32)
+        if image.dtype == jnp.uint8:
+            x = device_preprocess(x) if device_preprocess else x / 255.0
+        n, h, w = image.shape[:3]
+        dims = batch["dims"]  # (N, 2) int32 valid (rows, cols)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+        weights = (
+            (rows < dims[:, 0, None, None]) & (cols < dims[:, 1, None, None])
+        ).astype(jnp.float32)
+        return {
+            "image": x,
+            "mask": batch["mask"].astype(jnp.int32),
+            "binary": batch["binary"],
+            "weights": weights,
+        }
 
     def compute_metrics(batch, logits):
         w = batch.get("weights")
@@ -96,6 +124,7 @@ def make_step_fns(
         return shard_wsum / total_wsum
 
     def train_core(params, model_state, opt_state, batch, dropout_rng):
+        batch = unpack(batch)
         mutable = list(model_state.keys())
 
         def forward(p, image):
@@ -140,6 +169,7 @@ def make_step_fns(
         return new_params, new_model_state, new_opt_state, step_metrics
 
     def eval_core(params, model_state, batch):
+        batch = unpack(batch)
         logits = module.apply({"params": params, **model_state}, batch["image"], train=False)
         m = compute_metrics(batch, logits)
         if mesh is not None:
@@ -151,30 +181,48 @@ def make_step_fns(
         eval_step = jax.jit(eval_core)
         return train_step, eval_step
 
-    batch_spec = {"image": P(data_axis), "mask": P(data_axis), "binary": P(data_axis), "weights": P(data_axis)}
-
     def train_sharded(params, model_state, opt_state, batch, dropout_rng):
         # distinct dropout stream per shard
         dropout_rng = jax.random.fold_in(dropout_rng, jax.lax.axis_index(data_axis))
         return train_core(params, model_state, opt_state, batch, dropout_rng)
 
-    train_step = jax.jit(
-        shard_map(
-            train_sharded,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), batch_spec, P()),
-            out_specs=(P(), P(), P(), P()),
-        ),
-        donate_argnums=(0, 1, 2) if donate else (),
-    )
-    eval_step = jax.jit(
-        shard_map(
-            eval_core,
-            mesh=mesh,
-            in_specs=(P(), P(), batch_spec),
-            out_specs=P(),
+    # in_specs must mirror the batch dict's keys, which depend on the
+    # transfer layout (weights map vs compact dims); build per key-set
+    _compiled = {}
+
+    def _build(keys):
+        batch_spec = {key: P(data_axis) for key in keys}
+        train = jax.jit(
+            shard_map(
+                train_sharded,
+                mesh=mesh,
+                in_specs=(P(), P(), P(), batch_spec, P()),
+                out_specs=(P(), P(), P(), P()),
+            ),
+            donate_argnums=(0, 1, 2) if donate else (),
         )
-    )
+        evaluate = jax.jit(
+            shard_map(
+                eval_core,
+                mesh=mesh,
+                in_specs=(P(), P(), batch_spec),
+                out_specs=P(),
+            )
+        )
+        return train, evaluate
+
+    def _steps_for(batch):
+        keys = frozenset(batch)
+        if keys not in _compiled:
+            _compiled[keys] = _build(keys)
+        return _compiled[keys]
+
+    def train_step(params, model_state, opt_state, batch, dropout_rng):
+        return _steps_for(batch)[0](params, model_state, opt_state, batch, dropout_rng)
+
+    def eval_step(params, model_state, batch):
+        return _steps_for(batch)[1](params, model_state, batch)
+
     return train_step, eval_step
 
 

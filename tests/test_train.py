@@ -225,3 +225,30 @@ def test_ragged_mesh_metrics_match_single_device(tmp_path):
     leaves2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_compact_transfer_matches_float_layout(tmp_path):
+    """The uint8 compact transfer (device-side normalize + weights) must
+    reproduce the float layout's loss trajectory (no augmentation, so the
+    pixels are integers and /255 is bit-identical on either side)."""
+    data = _synthetic_dataset(n_pages=3)
+    h_compact = Trainer(
+        _settings(tmp_path / "a", data, n_epoch=2, compact_transfer=True)
+    ).train()
+    h_float = Trainer(
+        _settings(tmp_path / "b", data, n_epoch=2, compact_transfer=False)
+    ).train()
+    np.testing.assert_allclose(h_compact["loss"], h_float["loss"], rtol=1e-5)
+
+
+def test_compact_transfer_mesh(tmp_path):
+    """Compact batches through the shard_map step (dims-keyed specs)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    data = _synthetic_dataset(n_pages=4)
+    settings = _settings(tmp_path, data, n_epoch=2, batch_size=4, n_devices=4,
+                         compact_transfer=True)
+    history = Trainer(settings).train()
+    assert history["loss"][-1] < history["loss"][0]
