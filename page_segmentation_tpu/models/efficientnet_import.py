@@ -92,6 +92,50 @@ _DECODER = [
 ]
 
 
+def infer_effnet_variant(path_or_view) -> str:
+    """Which B0..B7 the file holds, from its block population.
+
+    The reference names every eff_net model 'effb0' regardless of the
+    backbone actually used (model.py:407 name='effb0', default efnet =
+    EfficientNetB1!), so the variant must come from the weights: depth
+    scaling uniquely determines the per-stage block counts, and width
+    scaling the stem channel count — together they identify the variant
+    even for files truncated at the block6a skip cut.
+    """
+    from .efficientnet import _STAGES, _VARIANTS, _round_filters, _round_repeats
+    from .h5_import import as_weights_view
+
+    view = as_weights_view(path_or_view)
+    blocks_per_stage: Dict[int, int] = {}
+    for name in view.order:
+        match = _BLOCK_RE.match(name)
+        if match and match.group(3) == "dwconv":
+            stage = int(match.group(1)) - 1
+            blocks_per_stage[stage] = max(
+                blocks_per_stage.get(stage, 0), ord(match.group(2)) - ord("a") + 1
+            )
+    stem_channels = view.get("stem_conv")[0].shape[-1]
+
+    for variant, (width, depth) in _VARIANTS.items():
+        if _round_filters(32, width) != stem_channels:
+            continue
+        ok = True
+        for stage, present in blocks_per_stage.items():
+            expected = _round_repeats(_STAGES[stage][2], depth)
+            # a segmentation file is cut at block6a: the deepest observed
+            # stage may be partial, every earlier one must match exactly
+            if stage == max(blocks_per_stage):
+                ok = ok and present <= expected
+            else:
+                ok = ok and present == expected
+        if ok:
+            return variant
+    raise ValueError(
+        f"cannot identify an EfficientNet variant: stem={stem_channels} "
+        f"blocks={blocks_per_stage}"
+    )
+
+
 def load_effnet_seg_h5(path_or_view):
     """Full-variables import of a reference-trained eff_net_fine_tuning
     model (reference model.py:368-407): EfficientNet encoder + the BN-free

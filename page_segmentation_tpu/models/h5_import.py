@@ -203,9 +203,12 @@ def load_keras_variables(path: str, architecture: Architecture, n_classes: int):
 
         return load_resnet_seg_h5(view), detected
 
-    from .efficientnet_import import load_effnet_seg_h5
+    from .efficientnet_import import infer_effnet_variant, load_effnet_seg_h5
     from .mobilenet_import import _merge
 
+    # the reference names every eff_net model 'effb0' (model.py:407), so
+    # the true variant comes from the weight structure, not the name
+    arch = Architecture(infer_effnet_variant(view))
     imported = load_effnet_seg_h5(view)
     # the reference graph stops at block6a_expand (model.py:381), so the
     # deeper encoder blocks never serialize; our encoder still declares
@@ -215,7 +218,7 @@ def load_keras_variables(path: str, architecture: Architecture, n_classes: int):
     return {
         "params": _merge(template["params"], imported["params"]),
         "batch_stats": _merge(template.get("batch_stats", {}), imported["batch_stats"]),
-    }, detected
+    }, arch
 
 
 def _zero_variables(arch: Architecture, n_classes: int):

@@ -72,10 +72,11 @@ def _keras_res_net():
     return tf.keras.Model(inp, out, name="image_res_net")
 
 
-def _keras_eff_net():
+def _keras_eff_net(builder=None):
     tf.keras.utils.set_random_seed(7)
     inp = L.Input((HW, HW, 3))
-    base = tf.keras.applications.EfficientNetB0(weights=None, include_top=False, input_tensor=inp)
+    base = (builder or tf.keras.applications.EfficientNetB0)(
+        weights=None, include_top=False, input_tensor=inp)
     # the reference uses the efn package whose models take externally
     # preprocessed input (architecture.py preprocess, torch mode);
     # tf.keras.applications adds an in-model Rescaling(1/255) — neutralize
@@ -106,6 +107,12 @@ CASES = {
     "mobile_net": (_keras_mobile_net, Architecture.MOBILE_NET, lambda: MobileNetSeg(n_classes=N_CLASSES)),
     "image_res_net": (_keras_res_net, Architecture.RES_NET, lambda: ResNet50Seg(n_classes=N_CLASSES)),
     "effb0": (_keras_eff_net, Architecture.EFFNETB0, lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb0")),
+    # B1 = the reference's actual eff_net default (model.py:368 efnet=EfficientNetB1)
+    "effb1": (
+        lambda: _keras_eff_net(tf.keras.applications.EfficientNetB1),
+        Architecture.EFFNETB1,
+        lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb1"),
+    ),
 }
 
 
