@@ -41,6 +41,10 @@ def __getattr__(name):
         "ParallelPredictor": ("page_segmentation_tpu.parallel.executor", "ParallelPredictor"),
         "make_mesh": ("page_segmentation_tpu.parallel.mesh", "make_mesh"),
         "spatial_predict": ("page_segmentation_tpu.parallel.spatial", "spatial_predict"),
+        "get_text_contours": ("page_segmentation_tpu.segmentation.pc_segmentation", "get_text_contours"),
+        "build_pagexml": ("page_segmentation_tpu.pagexml.xml_gen", "build_pagexml"),
+        "save_pagexml": ("page_segmentation_tpu.pagexml.xml_gen", "save_pagexml"),
+        "distributed": ("page_segmentation_tpu.parallel", "distributed"),
     }
     if name in lazy:
         import importlib

@@ -52,3 +52,47 @@ def crop_to(array: np.ndarray, shape: Sequence[int]) -> np.ndarray:
     """Crop top-left (H, W) region — the inverse of pad_to
     (reference model.py:29-42)."""
     return array[: int(shape[0]), : int(shape[1])]
+
+
+def bucket_report(
+    shapes: Sequence[Sequence[int]],
+    factor: int = STRIDE_FACTOR,
+    granularities: Sequence[int] = (1, 2, 4, 8),
+) -> dict:
+    """Bucketing-policy study over a page-shape distribution.
+
+    For each granularity: how many distinct buckets the shapes fall into
+    (= XLA compiles) and the mean padded-FLOPs overhead (padded pixels /
+    real pixels − 1).  The trade is explicit: coarser buckets compile
+    less and pad more.
+    """
+    report = {}
+    for granularity in granularities:
+        buckets = {}
+        real = padded = 0
+        for shape in shapes:
+            bucket = bucket_shape(shape, factor, granularity)
+            buckets[bucket] = buckets.get(bucket, 0) + 1
+            real += int(shape[0]) * int(shape[1])
+            padded += bucket[0] * bucket[1]
+        report[int(granularity)] = {
+            "buckets": len(buckets),
+            "padding_overhead": padded / real - 1.0,
+            "largest_bucket_share": max(buckets.values()) / max(len(shapes), 1),
+        }
+    return report
+
+
+def suggest_granularity(
+    shapes: Sequence[Sequence[int]],
+    factor: int = STRIDE_FACTOR,
+    max_buckets: int = 8,
+    granularities: Sequence[int] = (1, 2, 4, 8, 16),
+) -> int:
+    """Smallest-overhead granularity whose bucket count (compile count)
+    stays within ``max_buckets``; falls back to the coarsest option."""
+    report = bucket_report(shapes, factor, granularities)
+    eligible = [g for g, r in report.items() if r["buckets"] <= max_buckets]
+    if not eligible:
+        return max(report, key=lambda g: g)
+    return min(eligible, key=lambda g: report[g]["padding_overhead"])

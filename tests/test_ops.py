@@ -154,3 +154,35 @@ def test_dilate_jax_matches_host(shape):
     host = dilate(img, (3, 3))
     dev = np.asarray(dilate_jax(img, (3, 3)))
     np.testing.assert_array_equal(host, dev)
+
+
+class TestBucketPolicy:
+    def test_bucket_report_tradeoff(self):
+        from page_segmentation_tpu.ops.pad import bucket_report
+
+        rng = np.random.RandomState(0)
+        shapes = [(int(h), int(w)) for h, w in
+                  zip(rng.randint(300, 700, 200), rng.randint(200, 500, 200))]
+        report = bucket_report(shapes, factor=8, granularities=(1, 4, 16))
+        # coarser granularity: monotonically fewer buckets, more padding
+        assert report[1]["buckets"] >= report[4]["buckets"] >= report[16]["buckets"]
+        assert report[1]["padding_overhead"] <= report[4]["padding_overhead"] + 1e-9
+        assert report[16]["padding_overhead"] >= report[4]["padding_overhead"] - 1e-9
+        assert report[1]["padding_overhead"] < 0.1
+
+    def test_suggest_granularity_respects_budget(self):
+        from page_segmentation_tpu.ops.pad import bucket_report, suggest_granularity
+
+        rng = np.random.RandomState(1)
+        shapes = [(int(h), int(w)) for h, w in
+                  zip(rng.randint(300, 700, 100), rng.randint(200, 500, 100))]
+        g = suggest_granularity(shapes, factor=8, max_buckets=15)
+        assert bucket_report(shapes, 8, (g,))[g]["buckets"] <= 15
+        # infeasible budget falls back to the coarsest option
+        assert suggest_granularity(shapes, factor=8, max_buckets=1,
+                                   granularities=(1, 2)) == 2
+
+    def test_suggest_granularity_single_shape(self):
+        from page_segmentation_tpu.ops.pad import suggest_granularity
+
+        assert suggest_granularity([(424, 304)], factor=8, max_buckets=8) == 1
