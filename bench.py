@@ -93,6 +93,12 @@ def main():
     args = parser.parse_args()
 
     import jax
+
+    # persistent XLA compile cache: repeat bench runs skip the ~2 min
+    # first-compile of the fused pipeline
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ps_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP

@@ -134,6 +134,74 @@ def spatial_forward(
     return np.asarray(logits)[:h, :w]
 
 
+def spatial_forward_batch(
+    module,
+    variables,
+    pages: np.ndarray,
+    mesh: Mesh,
+    margin: int = 96,
+    data_axis: str = "data",
+    space_axis: str = "space",
+    stride_factor: int = 8,
+):
+    """Forward a batch of same-sized pages over a 2-D (pages x bands) mesh.
+
+    The batch splits across ``data_axis`` and every page's rows split
+    across ``space_axis`` with the same uniform-window halo scheme as
+    :func:`spatial_forward` (exact vs the unsplit forward).  This is the
+    growth layout when both many pages *and* pages too big for one chip
+    are in play: grads/batches ride the data axis, halos ride the space
+    axis, both over ICI.
+    """
+    n_space = dict(zip(mesh.axis_names, mesh.devices.shape))[space_axis]
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+    margin = round_up(margin, stride_factor)
+    n, h, w = pages.shape[:3]
+    c = pages.shape[3] if pages.ndim == 4 else 1
+    arr = np.asarray(pages, np.float32).reshape(n, h, w, c)
+
+    padded_n = round_up(n, n_data)
+    padded_h = round_up(h, n_space * stride_factor)
+    padded_w = round_up(w, stride_factor)
+    full = np.zeros((padded_n, padded_h, padded_w, c), np.float32)
+    full[:n, :h, :w] = arr
+    band_h = padded_h // n_space
+
+    if band_h < 2 * margin:
+        raise ValueError(
+            f"band height {band_h} smaller than 2x halo margin {margin}; "
+            f"use fewer space-axis devices or taller pages"
+        )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, space_axis)),
+        out_specs=P(data_axis, space_axis),
+    )
+    def run(vars_, band):
+        # band: (N/n_data, band_h, W, C) local shard
+        index = lax.axis_index(space_axis)
+        down = [(i, (i + 1) % n_space) for i in range(n_space)]
+        up = [(i, (i - 1) % n_space) for i in range(n_space)]
+        above2 = lax.ppermute(band[:, -2 * margin :], space_axis, down)
+        below2 = lax.ppermute(band[:, : 2 * margin], space_axis, up)
+
+        window_top = jnp.concatenate([band, below2], axis=1)
+        window_mid = jnp.concatenate([above2[:, margin:], band, below2[:, :margin]], axis=1)
+        window_bot = jnp.concatenate([above2, band], axis=1)
+        window = jnp.where(
+            index == 0, window_top,
+            jnp.where(index == n_space - 1, window_bot, window_mid),
+        )
+        logits = module.apply(vars_, window)
+        offset = jnp.where(index == 0, 0, jnp.where(index == n_space - 1, 2 * margin, margin))
+        return lax.dynamic_slice_in_dim(logits, offset, band.shape[1], axis=1)
+
+    logits = run(variables, jnp.asarray(full))
+    return np.asarray(logits)[:n, :h, :w]
+
+
 def spatial_predict(
     classifier,
     image: np.ndarray,

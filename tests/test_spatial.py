@@ -111,3 +111,23 @@ def test_spatial_forward_exact_all_archs(name):
     )
     np.testing.assert_allclose(sharded, single, atol=5e-4)
     assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
+
+
+def test_spatial_forward_batch_2d_mesh():
+    """Pages x bands 2-D mesh: batch over 'data', rows over 'space' — must
+    equal the unsplit forward exactly."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from page_segmentation_tpu.parallel.spatial import spatial_forward_batch
+
+    module = FCNSkip(n_classes=3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1))))
+    mesh = make_mesh(4, shape=(2, 2), axis_names=("data", "space"))
+    rng = np.random.RandomState(5)
+    pages = rng.rand(3, 512, 40, 1).astype(np.float32)  # ragged batch of 3
+
+    single = np.asarray(module.apply(variables, jnp.asarray(pages)))
+    sharded = spatial_forward_batch(module, variables, pages, mesh, margin=96)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+    assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
