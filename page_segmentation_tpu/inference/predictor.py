@@ -120,13 +120,24 @@ class Predictor:
                 color_h, overlay_h, inverted_h = np.asarray(masks_d)
                 for i, d in enumerate(chunk):
                     h, w = d.image.shape[:2]
-                    result = (
-                        d,
-                        pred_h[i, :h, :w],
-                        color_h[i, :h, :w],
-                        overlay_h[i, :h, :w],
-                        inverted_h[i, :h, :w],
-                    )
+                    pred_i = pred_h[i, :h, :w]
+                    if self.settings.post_process:
+                        # post-processors mutate the label map, so the mask
+                        # trio is rebuilt host-side from the final labels
+                        from .output import generate_output_masks
+
+                        for post in self.settings.post_process:
+                            pred_i = post(pred_i, d)
+                        masks = generate_output_masks(d, pred_i, color_map)
+                        result = (d, pred_i, masks.color, masks.overlay, masks.inverted_overlay)
+                    else:
+                        result = (
+                            d,
+                            pred_i,
+                            color_h[i, :h, :w],
+                            overlay_h[i, :h, :w],
+                            inverted_h[i, :h, :w],
+                        )
                     if write_output and self.settings.output:
                         from ..core.image_io import imsave
 

@@ -122,3 +122,40 @@ def test_find_postprocessor_aliases():
     assert find_postprocessor("cc_majority") is vote_connected_component_class
     assert find_postprocessor("CC-Vote") is vote_connected_component_class
     assert find_postprocessor("bbox") is add_bounding_boxes
+
+
+def test_fast_path_applies_postprocessors(tmp_path):
+    """predict_dataset_fast with a post_process chain: voted labels, mask
+    trio rebuilt from the final label map."""
+    from page_segmentation_tpu.core.colors import ColorMap
+    from page_segmentation_tpu.data.dataset import Dataset, SingleData
+    from page_segmentation_tpu.inference.postprocess import (
+        find_postprocessor,
+        vote_connected_component_class,
+    )
+    from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+
+    cmap = ColorMap({"(255, 255, 255)": (0, "background"), "(255, 0, 0)": (1, "text"),
+                     "(0, 255, 0)": (2, "image")})
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (48, 40)).astype(np.uint8)
+    binary = np.zeros((48, 40), np.uint8)
+    binary[10:30, 10:30] = 1  # one ink component
+    data = SingleData(image=image, binary=binary)
+    dataset = Dataset([data], cmap)
+
+    settings = PredictSettings(output=str(tmp_path), color_map=cmap, n_classes=3,
+                               post_process=[find_postprocessor("cc_vote")])
+    predictor = Predictor(settings)
+    d, pred, color, overlay, inverted = next(predictor.predict_dataset_fast(dataset))
+
+    # the voted labels inside the component are uniform
+    component = pred[10:30, 10:30]
+    assert len(np.unique(component)) == 1
+    # and match running the postprocessor on the unvoted fast-path output
+    plain = next(Predictor(PredictSettings(output=str(tmp_path / "plain"), color_map=cmap,
+                                           n_classes=3),
+                           network=predictor.network).predict_dataset_fast(dataset))[1]
+    np.testing.assert_array_equal(pred, vote_connected_component_class(plain, d))
+    # mask trio is consistent with the voted labels
+    np.testing.assert_array_equal(color, cmap.to_rgb_array(pred))
