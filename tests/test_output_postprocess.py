@@ -144,9 +144,12 @@ def test_fast_path_applies_postprocessors(tmp_path):
     data = SingleData(image=image, binary=binary)
     dataset = Dataset([data], cmap)
 
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+
+    net = PixelClassifier(n_classes=3)
     settings = PredictSettings(output=str(tmp_path), color_map=cmap, n_classes=3,
                                post_process=[find_postprocessor("cc_vote")])
-    predictor = Predictor(settings)
+    predictor = Predictor(settings, network=net)
     d, pred, color, overlay, inverted = next(predictor.predict_dataset_fast(dataset))
 
     # the voted labels inside the component are uniform
