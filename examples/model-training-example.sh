@@ -25,3 +25,17 @@ python -m page_segmentation_tpu.cli predict \
     --binary dataset_root/binary_images \
     --norm dataset_root/normalizations \
     --color_map "$COLOR_MAP"
+
+# --- optional variants -------------------------------------------------
+# fine-tune from a keras-applications backbone (imagenet weights file):
+#   python -m page_segmentation_tpu.cli train ... \
+#       --architecture mobile_net --pretrained_encoder mobilenetv2.h5
+#
+# resume an interrupted run (optimizer state + LR + early-stop counters):
+#   python -m page_segmentation_tpu.cli train ... \
+#       --load "$MODEL_OUT/model" --continue_training
+#   # or, with the orbax backend: --checkpoint_backend orbax --auto_resume
+#
+# multi-chip data parallelism: --n_devices 8 --batch_size 8
+# multi-host (DCN):            --distributed  (one process per host, env:
+#                              JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID)
