@@ -438,8 +438,12 @@ class Trainer:
 
                 return distributed.global_batch(self.mesh, batch)
             if self.mesh is not None:
-                batch = self._pad_for_mesh(batch)
-            return batch
+                from ..parallel.mesh import shard_batch
+
+                return shard_batch(self.mesh, self._pad_for_mesh(batch))
+            # eager placement here (the prefetch thread) overlaps the
+            # host->device transfer with the in-flight device step
+            return jax.tree_util.tree_map(jax.device_put, batch)
 
         for epoch in range(start_epoch, s.n_epoch):
             # per-epoch derived RNG streams: a resumed run at epoch k draws
