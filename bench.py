@@ -81,7 +81,7 @@ def main():
     parser.add_argument("--width", type=int, default=2480)
     parser.add_argument("--target-line-height", type=int, default=6)
     parser.add_argument("--host-decimate", type=int, default=8)
-    parser.add_argument("--download", default="pred", choices=["color", "pred"])
+    parser.add_argument("--download", default="packed", choices=["color", "pred", "packed"])
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--repeats", type=int, default=7)
     parser.add_argument("--skip-train", action="store_true",

@@ -162,3 +162,30 @@ def test_fast_path_applies_postprocessors(tmp_path):
     np.testing.assert_array_equal(pred, vote_connected_component_class(plain, d))
     # mask trio is consistent with the voted labels
     np.testing.assert_array_equal(color, cmap.to_rgb_array(pred))
+
+
+def test_throughput_predictor_download_modes_agree(tmp_path):
+    """packed (2-bit, 12x fewer link bytes), pred, and color downloads
+    produce identical output trios."""
+    import jax
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    module = FCNSkip(n_classes=3)
+    rng = np.random.RandomState(0)
+    pages = rng.randint(0, 255, (3, 400, 296)).astype(np.uint8)
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+    outs = {}
+    for mode in ("pred", "packed", "color"):
+        tp = ThroughputPredictor(module, params, DEFAULT_IMAGE_MAP.palette,
+                                 (400, 296), 6 / 50, host_decimate=8,
+                                 compute_dtype=jnp.float32, download=mode)
+        outs[mode] = list(tp.run(pages, binaries, batch_size=3))[0]
+    for i in range(3):
+        np.testing.assert_array_equal(outs["pred"][i], outs["packed"][i])
+        np.testing.assert_array_equal(outs["pred"][i], outs["color"][i])
