@@ -23,7 +23,6 @@ import numpy as np
 from ..data.dataset import SingleData
 from ..models.registry import Architecture
 from ..ops.pad import bucket_shape, crop_to, pad_to
-from .output import masks_on_device
 
 
 class PixelClassifier:
@@ -146,14 +145,19 @@ class PixelClassifier:
         return logit, prob, pred
 
     def predict_batch_masks(self, images: np.ndarray, binaries: np.ndarray, palette: np.ndarray):
-        """Fused batched forward + argmax + color/overlay/inverted on device.
+        """Fused batched forward + argmax with link-disciplined transfers.
 
         images: (N, H, W) uint8 prepared pages, all one bucket shape.
         binaries: (N, H, W) uint8 (1 = ink).
-        Returns device arrays (pred, masks) with masks stacked as
-        (3, N, H, W, 3) uint8 = [color, overlay, inverted].
+        Returns host arrays (pred (N, H, W) uint8, masks (3, N, H, W, 3)
+        uint8 = [color, overlay, inverted]).  Upload is raw uint8 when
+        normalization fuses on device; only the class map crosses back
+        (2-bit packed when n_classes <= 4) and the mask trio is rebuilt
+        host-side from the binary via the native finish kernel.
         """
-        key = ("masks", images.shape)
+        palette = np.ascontiguousarray(palette, np.uint8)
+        pack = self.n_classes <= 4 and images.shape[2] % 4 == 0
+        key = ("masks", images.shape, pack)
         if key not in self._masks_cache:
             module = self.module
             preprocess_on_device = not self.rgb  # grayscale archs: x/255 fuses on device
@@ -161,24 +165,45 @@ class PixelClassifier:
             rgb = self.rgb
 
             @jax.jit
-            def fused(variables, images_f32, binaries_u8, palette_u8):
-                x = images_f32
+            def fused(variables, x):
+                # u8 pixels in when preprocessing fuses on device (1/4 the
+                # upload bytes); only the class map comes back — packed to
+                # 2 bits/pixel when the class count allows — and the mask
+                # trio is rebuilt host-side from the host-resident binary
                 if preprocess_on_device:
-                    x = x[..., None] / 255.0
+                    x = x.astype(jnp.float32)[..., None] / 255.0
                 logits = module.apply(variables, x)
-                pred, color, overlay, inverted = masks_on_device(logits, binaries_u8, palette_u8)
-                # one stacked download instead of three (the link is
-                # latency-bound; see inference/pipeline.py)
-                return pred, jnp.stack([color, overlay, inverted])
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+                if pack:
+                    n, h, w = pred.shape
+                    quads = pred.reshape(n, h, w // 4, 4)
+                    return jnp.sum(quads << jnp.array([0, 2, 4, 6], jnp.uint8), axis=-1)
+                return pred
 
             self._masks_cache[key] = (fused, preprocess_on_device, host_preprocess, rgb)
         fused, on_device, host_preprocess, rgb = self._masks_cache[key]
         if on_device:
-            x = images.astype(np.float32)
+            x = images  # uint8, normalized on device
         else:
             x = np.stack([images] * 3, axis=-1).astype(np.float32) if rgb else images[..., None]
             x = np.asarray(host_preprocess(x), np.float32)
-        return fused(self.variables, x, binaries, palette)
+        downloaded = np.asarray(fused(self.variables, x))
+        if pack:
+            quads = (downloaded[..., None] >> np.uint8([0, 2, 4, 6])) & 3
+            pred = quads.reshape(downloaded.shape[0], downloaded.shape[1], -1)
+        else:
+            pred = downloaded
+
+        ink = (binaries != 0).astype(np.uint8)  # 1 = ink in prepared binaries
+        from .. import native
+
+        finished = native.finish_masks(pred, ink, palette)
+        if finished is None:
+            clipped = np.minimum(pred, len(palette) - 1)
+            color = palette[clipped]
+            ink3 = ink[..., None]
+            finished = (color, color * (1 - ink3), color * ink3)
+        return pred, np.stack(finished)
 
 
 def network_for_model(model_path: str, n_classes: int, **kwargs) -> PixelClassifier:
