@@ -172,9 +172,16 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
     assert rc == 0
     assert len(os.listdir(seg_out)) == 3
 
-    # evaluate: GT vs GT is perfect
+    # evaluate: GT vs GT is perfect (incl. the foreground-pixel accuracy
+    # path over the binarizations)
+    binary_dir = workdir / "binary_named"
+    binary_dir.mkdir(exist_ok=True)
+    for i in range(3):
+        (binary_dir / f"page{i}.mask.png").write_bytes(
+            open(os.path.join(CORPUS, "binary", f"page{i}.png"), "rb").read())
     rc = cli(["evaluate",
               "--masks", str(ds / "masks"),
               "--predictions", str(ds / "masks"),
+              "--binary", str(binary_dir),
               "--color_map", str(workdir / "image_map.json")])
     assert rc == 0
