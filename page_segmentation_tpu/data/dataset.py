@@ -137,11 +137,19 @@ def list_dataset(
 
         norm_files = _scan_dir(norm_dir)
         if verify_filenames:
+            # match per joined page stem (pages the join dropped must not
+            # contribute normalization files)
             by_stem = {_stem(p): p for p in norm_files}
-            norm_files = [by_stem[s] for s in sorted(by_stem) if s in
-                          {_stem(b) for b in columns["binary_path"]}]
+            joined = [_stem(b) for b in columns["binary_path"]]
+            missing = [s for s in joined if s not in by_stem]
+            if missing:
+                raise Exception(f"No normalization files for pages: {missing}")
+            norm_files = [by_stem[s] for s in joined]
         heights = [char_height_of(p) for p in norm_files]
-        assert len(heights) == n_pages
+        if len(heights) != n_pages:
+            raise Exception(
+                f"{len(heights)} normalization files for {n_pages} pages in {norm_dir}"
+            )
 
     return [
         {"binary_path": b, "image_path": i, "mask_path": m, "line_height_px": h}

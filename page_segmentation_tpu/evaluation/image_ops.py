@@ -19,17 +19,26 @@ from ..ops.threshold import otsu_binarize
 
 
 def _fg_confusion(pred: np.ndarray, mask: np.ndarray, bin: np.ndarray, n_labels: int) -> np.ndarray:
-    """(n_labels+1)² confusion matrix over foreground pixels.
+    """(n_labels+2)² confusion matrix over foreground pixels.
 
-    Row = ground-truth label, column = predicted label, both offset by one
-    so row/column 0 holds the non-foreground pixels (``bin == 0``), which
-    by construction never mix with real labels.  One ``bincount`` pass
-    replaces the reference's per-class boolean scans (image_ops.py:22-55).
+    Row = ground-truth label, column = predicted label, offset by one so
+    row/column 0 holds the non-foreground pixels (``bin == 0``), which by
+    construction never mix with real labels; the final row/column absorbs
+    out-of-range labels (they count as "some other class" — a mismatch for
+    every tracked label, matching the per-class scans they replace).  One
+    ``bincount`` pass replaces the reference's per-class boolean scans
+    (image_ops.py:22-55).
     """
     fg = bin.reshape(-1) != 0
-    p = np.where(fg, pred.reshape(-1).astype(np.int64) + 1, 0)
-    m = np.where(fg, mask.reshape(-1).astype(np.int64) + 1, 0)
-    side = n_labels + 1
+    side = n_labels + 2
+
+    def bucket(values):
+        v = values.reshape(-1).astype(np.int64)
+        out_of_range = (v < 0) | (v >= n_labels)
+        slot = np.where(out_of_range, side - 1, v + 1)
+        return np.where(fg, slot, 0)
+
+    p, m = bucket(pred), bucket(mask)
     return np.bincount(m * side + p, minlength=side * side).reshape(side, side)
 
 
@@ -54,13 +63,16 @@ def fgoverlap_per_class(
     classes with no pixels of interest report ``nan`` overlap.  Derived
     here from one shared confusion matrix instead of per-class masks.
     """
-    conf = _fg_confusion(pred, mask, bin, n_classes + 1)
-    # drop the non-foreground row/column; labels 0..n_classes remain
-    per_gt = conf[1:, 1:].sum(axis=1)
-    per_pred = conf[1:, 1:].sum(axis=0)
-    # foreground predicted as label i while ground truth is non-fg (and
-    # vice versa) cannot occur: bin masks both maps identically
-    tp = np.diagonal(conf)[1:]
+    n_labels = n_classes + 1  # label values 0..n_classes
+    conf = _fg_confusion(pred, mask, bin, n_labels)
+    # rows/cols: 0 = non-foreground, 1..n_labels = labels, last = out-of-
+    # range labels (count as mismatches for every tracked label).  fg
+    # pixels never pair with the non-fg slot (bin masks both maps), so
+    # summing from column/row 1 is exact.
+    labels = slice(1, n_labels + 1)
+    per_gt = conf[labels, 1:].sum(axis=1)
+    per_pred = conf[1:, labels].sum(axis=0)
+    tp = np.diagonal(conf)[labels]
     fp = per_pred - tp
     fn = per_gt - tp
     interest = tp + fp + fn

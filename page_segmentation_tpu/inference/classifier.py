@@ -164,6 +164,8 @@ class PixelClassifier:
             host_preprocess = self.preprocess
             rgb = self.rgb
 
+            from .output import pack_classes_device
+
             @jax.jit
             def fused(variables, x):
                 # u8 pixels in when preprocessing fuses on device (1/4 the
@@ -174,11 +176,7 @@ class PixelClassifier:
                     x = x.astype(jnp.float32)[..., None] / 255.0
                 logits = module.apply(variables, x)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-                if pack:
-                    n, h, w = pred.shape
-                    quads = pred.reshape(n, h, w // 4, 4)
-                    return jnp.sum(quads << jnp.array([0, 2, 4, 6], jnp.uint8), axis=-1)
-                return pred
+                return pack_classes_device(pred) if pack else pred
 
             self._masks_cache[key] = (fused, preprocess_on_device, host_preprocess, rgb)
         fused, on_device, host_preprocess, rgb = self._masks_cache[key]
@@ -187,23 +185,12 @@ class PixelClassifier:
         else:
             x = np.stack([images] * 3, axis=-1).astype(np.float32) if rgb else images[..., None]
             x = np.asarray(host_preprocess(x), np.float32)
+        from .output import finish_mask_trio, unpack_classes
+
         downloaded = np.asarray(fused(self.variables, x))
-        if pack:
-            quads = (downloaded[..., None] >> np.uint8([0, 2, 4, 6])) & 3
-            pred = quads.reshape(downloaded.shape[0], downloaded.shape[1], -1)
-        else:
-            pred = downloaded
-
+        pred = unpack_classes(downloaded) if pack else downloaded
         ink = (binaries != 0).astype(np.uint8)  # 1 = ink in prepared binaries
-        from .. import native
-
-        finished = native.finish_masks(pred, ink, palette)
-        if finished is None:
-            clipped = np.minimum(pred, len(palette) - 1)
-            color = palette[clipped]
-            ink3 = ink[..., None]
-            finished = (color, color * (1 - ink3), color * ink3)
-        return pred, np.stack(finished)
+        return pred, np.stack(finish_mask_trio(pred, ink, palette))
 
 
 def network_for_model(model_path: str, n_classes: int, **kwargs) -> PixelClassifier:

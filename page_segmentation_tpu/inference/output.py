@@ -103,3 +103,42 @@ def masks_on_device(logits, binary, palette):
     overlay = jnp.where(ink, jnp.uint8(0), color)
     inverted = jnp.where(ink, color, jnp.uint8(0))
     return pred, color, overlay, inverted
+
+
+def pack_classes_device(pred):
+    """Pack a (N, H, W) class map into 2 bits/pixel on device (device half
+    of the link-disciplined download; valid while classes fit in 2 bits,
+    W a multiple of 4).  Returns (N, H, W//4) uint8."""
+    import jax.numpy as jnp
+
+    n, h, w = pred.shape
+    quads = pred.astype(jnp.uint8).reshape(n, h, w // 4, 4)
+    packed = jnp.sum(
+        quads.astype(jnp.uint32) << jnp.array([0, 2, 4, 6], jnp.uint32), axis=-1
+    )
+    return packed.astype(jnp.uint8)
+
+
+def unpack_classes(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of :func:`pack_classes_device`: (N, H, W//4) uint8 ->
+    (N, H, W) uint8 class map."""
+    quads = (packed[..., None] >> np.uint8([0, 2, 4, 6])) & np.uint8(3)
+    return quads.reshape(packed.shape[0], packed.shape[1], -1)
+
+
+def finish_mask_trio(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray):
+    """(color, overlay, inverted) for a batch of (padded) class maps and
+    their ink masks — native C kernel when available, numpy fallback.
+    ``pred`` may be wider/taller than ``ink``; the trio crops to ink."""
+    from .. import native
+
+    palette = np.ascontiguousarray(palette, np.uint8)
+    ink_u8 = np.ascontiguousarray(ink, np.uint8)
+    fused = native.finish_masks(pred, ink_u8, palette)
+    if fused is not None:
+        return fused
+    h, w = ink.shape[1:]
+    clipped = np.minimum(pred[:, :h, :w], len(palette) - 1)
+    color = palette[clipped]
+    ink3 = ink_u8[..., None]
+    return color, color * (1 - ink3), color * ink3

@@ -70,9 +70,9 @@ def make_fused_predict(
         if download == "packed":
             # 2 bits/class, 4 pixels/byte: the link carries 1/4 the bytes
             # of the raw class map (valid while n_classes <= 4)
-            quads = pred.astype(jnp.uint8).reshape(n, pad_h, pad_w // 4, 4)
-            shifts = jnp.array([0, 2, 4, 6], jnp.uint8)
-            return jnp.sum(quads << shifts, axis=-1).astype(jnp.uint8)
+            from .output import pack_classes_device
+
+            return pack_classes_device(pred)
         if download == "pred":
             return pred.astype(jnp.uint8)
         return jnp.take(palette, jnp.clip(pred, 0, palette.shape[0] - 1), axis=0)
@@ -152,9 +152,9 @@ class ThroughputPredictor:
     def _finish(self, downloaded: np.ndarray, ink: np.ndarray):
         h, w = ink.shape[1:]
         if self.download == "packed":
-            quads = (downloaded[..., None] >> np.uint8([0, 2, 4, 6])) & 3
-            downloaded = quads.reshape(downloaded.shape[0], downloaded.shape[1], -1)
-            return self._finish_pred(downloaded, ink)
+            from .output import unpack_classes
+
+            return self._finish_pred(unpack_classes(downloaded), ink)
         if self.download == "pred":
             return self._finish_pred(downloaded, ink)
         color = downloaded[:, :h, :w]
@@ -166,17 +166,9 @@ class ThroughputPredictor:
 
     def _finish_pred(self, pred: np.ndarray, ink: np.ndarray):
         """color/overlay/inverted from a (padded) uint8 class map."""
-        h, w = ink.shape[1:]
-        from .. import native
+        from .output import finish_mask_trio
 
-        fused = native.finish_masks(pred, ink.astype(np.uint8), self.palette_np)
-        if fused is not None:
-            return fused
-        clipped = np.minimum(pred[:, :h, :w], len(self.palette_np) - 1)
-        color = self.palette_np[clipped]
-        not_ink3 = (~ink[..., None]).astype(np.uint8)
-        ink3 = ink[..., None].astype(np.uint8)
-        return color, color * not_ink3, color * ink3
+        return finish_mask_trio(pred, ink, self.palette_np)
 
     # -------------------------------------------------------------- pipeline
     def run(self, pages: np.ndarray, binaries: np.ndarray, batch_size: int = 16):

@@ -77,8 +77,8 @@ def bucket_report(
             padded += bucket[0] * bucket[1]
         report[int(granularity)] = {
             "buckets": len(buckets),
-            "padding_overhead": padded / real - 1.0,
-            "largest_bucket_share": max(buckets.values()) / max(len(shapes), 1),
+            "padding_overhead": padded / real - 1.0 if real else 0.0,
+            "largest_bucket_share": (max(buckets.values()) / len(shapes)) if shapes else 0.0,
         }
     return report
 

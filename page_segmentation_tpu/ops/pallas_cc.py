@@ -118,9 +118,12 @@ def cc_min_label_pallas(ink, max_iters: int = 4096, interpret: bool = False):
     return labels, iters[0]
 
 
-# VMEM budget for the single-block kernel: labels + ink + neighbor temps
-# at int32 must fit comfortably under the ~16 MB/core VMEM
-_VMEM_BUDGET_PIXELS = 1_500_000  # ~6 MB of int32 x a few live buffers
+# VMEM budget for the single-block kernel: the scan-cycle body keeps ~13
+# live int32 buffers (labels/blocked + shifted temps), so the whole label
+# map must stay under ~1 MB to fit the ~16 MB/core VMEM — same accounting
+# as _fit_band below.  Normalized pages (~420x300 = 128 K px) qualify;
+# anything larger takes the tiled path.
+_VMEM_BUDGET_PIXELS = 240_000
 
 
 def _band_kernel(blocks_ref, ink_ref, out_ref, *, inner_iters: int, big: int):

@@ -208,23 +208,54 @@ class Trainer:
 
         self.mesh = None
         self._multi_host = False
+        self._forced_bucket = None
         if s.distributed:
             # multi-host (DCN) mode: jax.distributed.initialize must have
             # run (parallel/distributed.initialize); the mesh spans every
             # chip of every host, each process loads only its dataset
             # shard, and batches are assembled with
-            # make_array_from_process_local_data
+            # make_array_from_process_local_data.  Contract: every process
+            # loads the SAME dataset (the sharding happens here), so the
+            # batch count and bucket shape below agree without any
+            # cross-host negotiation.
             from ..parallel import distributed
 
             self.mesh = distributed.global_mesh()
             self._multi_host = jax.process_count() > 1
             if self._multi_host:
+                import math
+
                 from ..data.dataset import Dataset
 
-                self.settings = s = s._replace(
-                    train_data=Dataset(
-                        distributed.local_shard(s.train_data.data), s.train_data.color_map
+                # lockstep requirements: every process must take the same
+                # number of identically-shaped steps per epoch, or the
+                # psums deadlock.  (a) one bucket shape for the whole
+                # (global) dataset; (b) equal shard lengths — short shards
+                # wrap around their own pages (at most process_count - 1
+                # duplicates per epoch globally)
+                self._forced_bucket = (
+                    max(
+                        bucket_shape(d.image.shape[:2], s.architecture.stride_factor,
+                                     s.bucket_granularity)[0]
+                        for d in s.train_data.data
+                    ),
+                    max(
+                        bucket_shape(d.image.shape[:2], s.architecture.stride_factor,
+                                     s.bucket_granularity)[1]
+                        for d in s.train_data.data
+                    ),
+                )
+                shard = distributed.local_shard(s.train_data.data)
+                if not shard:
+                    raise Exception(
+                        f"dataset has {len(s.train_data.data)} pages for "
+                        f"{jax.process_count()} processes; every process needs at least one"
                     )
+                target_len = math.ceil(len(s.train_data.data) / jax.process_count())
+                while len(shard) < target_len:  # strided shards differ by <= 1
+                    shard.append(shard[0])
+                self.settings = s = s._replace(
+                    train_data=Dataset(shard, s.train_data.color_map)
                 )
         elif s.n_devices and s.n_devices > 1:
             from ..parallel.mesh import make_mesh
@@ -295,7 +326,9 @@ class Trainer:
     # --------------------------------------------------------------- batches
     def _make_batch(self, samples, augment: bool, rng: Optional[np.random.Generator]):
         s = self.settings
-        target = (0, 0)
+        # multi-host lockstep: all processes pad to the same (global max)
+        # bucket regardless of their local pages
+        target = self._forced_bucket or (0, 0)
         prepared = []
         for d in samples:
             image, binary, mask = d.image, d.binary, d.mask
@@ -367,11 +400,16 @@ class Trainer:
         return batch
 
     def _bucketed_batches(self, dataset: Dataset, batch_size: int, shuffle_rng=None):
-        """Group pages by bucket shape, yield same-bucket batches."""
+        """Group pages by bucket shape, yield same-bucket batches.
+
+        Multi-host mode forces one bucket (the global max): every process
+        must take the same number of identically-shaped steps."""
         s = self.settings
         groups = {}
         for d in dataset.data:
-            shape = bucket_shape(d.image.shape[:2], s.architecture.stride_factor, s.bucket_granularity)
+            shape = self._forced_bucket or bucket_shape(
+                d.image.shape[:2], s.architecture.stride_factor, s.bucket_granularity
+            )
             groups.setdefault(shape, []).append(d)
         order = []
         for shape, members in groups.items():
@@ -429,21 +467,9 @@ class Trainer:
         host_augment = s.data_augmentation and not s.device_augmentation
 
         def build_batch(samples):
-            batch = self._make_batch(samples, augment=host_augment, rng=rng)
-            if self._multi_host:
-                # every process contributes its local rows to the global
-                # batch; bucket shapes must agree across processes (all
-                # processes see identically-bucketed shards)
-                from ..parallel import distributed
-
-                return distributed.global_batch(self.mesh, batch)
-            if self.mesh is not None:
-                from ..parallel.mesh import shard_batch
-
-                return shard_batch(self.mesh, self._pad_for_mesh(batch))
-            # eager placement here (the prefetch thread) overlaps the
-            # host->device transfer with the in-flight device step
-            return jax.tree_util.tree_map(jax.device_put, batch)
+            # placement happens here, in the prefetch thread, so the
+            # host->device transfer of batch k+1 overlaps step k
+            return self._place_batch(self._make_batch(samples, augment=host_augment, rng=rng))
 
         for epoch in range(start_epoch, s.n_epoch):
             # per-epoch derived RNG streams: a resumed run at epoch k draws
@@ -573,19 +599,22 @@ class Trainer:
         return metrics
 
     def _run_eval(self, dataset: Dataset) -> dict:
+        # multi-host note: every process holds the full validation set, so
+        # each page appears process_count times in the global eval batch —
+        # harmless, the metrics are weighted means (duplicates scale the
+        # numerator and denominator together)
         results = []
         for samples in self._bucketed_batches(dataset, self.settings.batch_size):
-            batch = self._make_batch(samples, augment=False, rng=None)
-            if self.mesh is not None:
-                batch = self._pad_for_mesh(batch)
+            batch = self._place_batch(self._make_batch(samples, augment=False, rng=None))
             results.append(self._eval_step(self.params, self.model_state, batch))
         return {k: float(np.mean([float(m[k]) for m in results])) for k in results[0]}
 
     # --------------------------------------------------------------- helpers
-    def _pad_for_mesh(self, batch):
-        """Pad the batch dim to a multiple of the mesh size (weights=0 rows
-        are no-ops in the weighted objectives)."""
-        n_dev = self.mesh.devices.size
+    def _pad_for_mesh(self, batch, n_dev: Optional[int] = None):
+        """Pad the batch dim to a multiple of ``n_dev`` (default: the mesh
+        size); zero rows carry weight 0, so they are no-ops in the
+        weighted objectives."""
+        n_dev = n_dev or self.mesh.devices.size
         n = batch["image"].shape[0]
         if n % n_dev == 0:
             return batch
@@ -593,6 +622,20 @@ class Trainer:
         for key, arr in batch.items():
             batch[key] = np.concatenate([arr, np.zeros((pad_n,) + arr.shape[1:], arr.dtype)])
         return batch
+
+    def _place_batch(self, batch):
+        """Final placement of a host batch for the configured topology."""
+        if self._multi_host:
+            from ..parallel import distributed
+
+            # local rows must tile the local devices; padded rows weigh 0
+            local = self._pad_for_mesh(batch, n_dev=len(jax.local_devices()))
+            return distributed.global_batch(self.mesh, local)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(self.mesh, self._pad_for_mesh(batch))
+        return jax.tree_util.tree_map(jax.device_put, batch)
 
     def _monitor_value(self, monitor: Monitor, train_avg: dict, val_avg: Optional[dict]) -> float:
         key = monitor.value

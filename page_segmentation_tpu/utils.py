@@ -21,8 +21,7 @@ def gray_to_rgb(img: np.ndarray) -> np.ndarray:
     """
     if img.ndim == 3 and img.shape[-1] == 3:
         return img
-    flat = img if img.ndim != 3 else img[..., 0]
-    return np.repeat(flat[..., None], 3, axis=-1)
+    return np.repeat(img[..., None], 3, axis=-1)
 
 
 def image_to_batch(img: np.ndarray) -> np.ndarray:

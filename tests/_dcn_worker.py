@@ -73,24 +73,33 @@ def main():
     from page_segmentation_tpu.train.trainer import Trainer, TrainSettings
 
     cmap = ColorMap({"(255, 255, 255)": (0, "background"), "(255, 0, 0)": (1, "text")})
-    pages = []
-    for i in range(n_global):
-        mask = np.zeros((h, w), np.uint8)
-        mask[8:24, 8:24] = 1
-        image = np.where(mask == 1, 200, 10 + i).astype(np.uint8)
-        pages.append(SingleData(image=image, binary=(mask == 1).astype(np.uint8), mask=mask))
-    data = Dataset(pages, cmap)
+
+    def make_pages(count, seed_offset=0):
+        pages = []
+        for i in range(count):
+            mask = np.zeros((h, w), np.uint8)
+            mask[8:24, 8:24] = 1
+            image = np.where(mask == 1, 200, 10 + i + seed_offset).astype(np.uint8)
+            pages.append(SingleData(image=image, binary=(mask == 1).astype(np.uint8), mask=mask))
+        return pages
+
+    # 9 pages across 2 processes: unequal strided shards (5 vs 4) exercise
+    # the lockstep machinery (shard wrap + ragged-batch padding); the
+    # validation set rides the eval path through global batches
+    data = Dataset(make_pages(9), cmap)
+    val = Dataset(make_pages(2, seed_offset=50), cmap)
     trainer = Trainer(
         TrainSettings(
             n_epoch=1, n_classes=2, l_rate=1e-3, train_data=data,
-            validation_data=None, display=10,
+            validation_data=val, display=10,
             output_dir=tempfile.mkdtemp(), threads=1, monitor=Monitor.LOSS,
             early_stopping_max_performance_drops=0, reduce_lr_on_plateau=False,
             batch_size=4, distributed=True,
         )
     )
-    assert len(trainer.settings.train_data) == n_global // num_processes
+    assert len(trainer.settings.train_data) == 5  # ceil(9 / 2), wrapped
     history = trainer.train()
+    assert np.isfinite(history["val_loss"][0])
     print(f"DCN_TRAINER_LOSS {process_id} {history['loss'][0]:.8f}", flush=True)
     jax.distributed.shutdown()
 

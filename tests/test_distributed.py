@@ -29,7 +29,7 @@ def test_two_process_train_step():
     ]
     outputs = []
     for p in procs:
-        out, err = p.communicate(timeout=280)
+        out, err = p.communicate(timeout=560)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outputs.append(out)
 

@@ -127,3 +127,17 @@ def test_compute_char_height_file(tmp_path):
     assert compute_char_height(str(tmp_path / "page.png"), inverse=False) == 20
     with pytest.raises(Exception, match="does not exist"):
         compute_char_height(str(tmp_path / "missing.png"), inverse=False)
+
+
+def test_fgoverlap_out_of_range_labels():
+    """Stale labels beyond n_classes count as mismatches (fn for the
+    expected class) instead of crashing (reference scans ignored them)."""
+    pred = np.array([[5, 1], [1, 1]])  # label 5 out of range for n_classes=2
+    mask = np.array([[1, 1], [1, 1]])
+    binary = np.ones((2, 2), np.int64)
+    overlaps, tps, fps, fns = fgoverlap_per_class(pred, mask, binary, n_classes=2)
+    assert tps[1] == 3 and fns[1] == 1 and fps[1] == 0
+    # negative labels are out-of-range too, not background
+    pred2 = np.array([[-1, 1], [1, 1]])
+    _, tps2, _, fns2 = fgoverlap_per_class(pred2, mask, binary, n_classes=2)
+    assert tps2[1] == 3 and fns2[1] == 1

@@ -189,3 +189,18 @@ def test_throughput_predictor_download_modes_agree(tmp_path):
     for i in range(3):
         np.testing.assert_array_equal(outs["pred"][i], outs["packed"][i])
         np.testing.assert_array_equal(outs["pred"][i], outs["color"][i])
+
+
+def test_pack_classes_wire_dtype():
+    """The packed download must actually be uint8 bytes on the wire
+    (a sum that promotes to uint32 would silently quadruple link bytes)."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.inference.output import pack_classes_device, unpack_classes
+
+    rng = np.random.RandomState(0)
+    pred = jnp.asarray(rng.randint(0, 4, (2, 8, 16)).astype(np.uint8))
+    packed = pack_classes_device(pred)
+    assert packed.dtype == jnp.uint8
+    assert packed.shape == (2, 8, 4)
+    np.testing.assert_array_equal(unpack_classes(np.asarray(packed)), np.asarray(pred))

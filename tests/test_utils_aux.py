@@ -66,3 +66,12 @@ def test_scalar_logger(tmp_path):
 
     record = json.loads(open(logger.path).read().strip())
     assert record["loss"] == 1.5
+
+
+def test_gray_to_rgb_batched_stack():
+    """(N, H, W) page stacks broadcast to (N, H, W, 3), data intact."""
+    stack = np.arange(24).reshape(2, 3, 4).astype(np.uint8)
+    rgb = gray_to_rgb(stack)
+    assert rgb.shape == (2, 3, 4, 3)
+    np.testing.assert_array_equal(rgb[..., 0], stack)
+    np.testing.assert_array_equal(rgb[..., 2], stack)
