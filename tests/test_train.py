@@ -252,3 +252,22 @@ def test_compact_transfer_mesh(tmp_path):
                          compact_transfer=True)
     history = Trainer(settings).train()
     assert history["loss"][-1] < history["loss"][0]
+
+
+def test_train_mixed_page_sizes(tmp_path):
+    """Pages of different sizes: bucketed batches, ragged groups, compact
+    transfers — loss decreases and eval runs."""
+    cmap = ColorMap({"(255, 255, 255)": (0, "background"), "(255, 0, 0)": (1, "text")})
+    rng = np.random.RandomState(0)
+    pages = []
+    for h, w in [(40, 32), (40, 32), (72, 48), (72, 48), (56, 64)]:
+        mask = np.zeros((h, w), np.uint8)
+        mask[h // 4 : -h // 4, w // 4 : -w // 4] = 1
+        image = np.where(mask == 1, 200, 10).astype(np.uint8)
+        image = np.clip(image + rng.randint(-5, 5, image.shape), 0, 255).astype(np.uint8)
+        pages.append(SingleData(image=image, binary=(mask == 1).astype(np.uint8), mask=mask))
+    data = Dataset(pages, cmap)
+    settings = _settings(tmp_path, data, n_epoch=3, batch_size=2, validation_data=data)
+    history = Trainer(settings).train()
+    assert history["loss"][-1] < history["loss"][0]
+    assert np.isfinite(history["val_loss"][-1])
