@@ -41,14 +41,22 @@ def _expand(patterns: Optional[List[str]]) -> List[str]:
 
 
 def _resolve_split_files(args, key: str) -> List[str]:
-    """Dataset-JSON files for one split: the per-split flags name files
-    directly; --split_file is itself a dataset JSON (create-dataset-file
-    output) contributing whichever of its splits are non-empty."""
+    """Dataset-JSON files for one split.
+
+    The per-split flags name dataset files directly.  --split_file accepts
+    both formats: the reference's split file (reference README.md:91-108 —
+    its train/test/eval arrays hold dataset-file *paths*), and a dataset
+    JSON itself (create-dataset-file output, arrays of page entries), in
+    which case the file contributes whichever of its splits are non-empty.
+    """
     files = _expand(getattr(args, key, None))
     if getattr(args, "split_file", None):
         with open(args.split_file) as f:
             split = json.load(f)
-        if split.get(key):
+        entries = split.get(key) or []
+        if entries and isinstance(entries[0], str):
+            files = files + entries
+        elif entries:
             files = files + [args.split_file]
     return files
 

@@ -192,3 +192,31 @@ def test_evaluate_cli(tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["accuracy"] == 399 / 400
     assert report["label_1"]["recall"] > 0.98
+
+
+def test_split_file_reference_format(dataset_dir, tmp_path):
+    """--split_file in the reference's format: train/test/eval arrays hold
+    dataset-file PATHS (reference README.md:91-108), optionally labeled."""
+    dataset_json = tmp_path / "dataset.json"
+    main([
+        "create-dataset-file",
+        "--dataset_path", str(dataset_dir),
+        "--output_file", str(dataset_json),
+        "--n_train", "3", "--n_test", "1", "--n_eval", "0",
+    ])
+    split_file = tmp_path / "split.json"
+    split_file.write_text(json.dumps({
+        "label": "round-trip split",
+        "train": [str(dataset_json)],
+        "test": [str(dataset_json)],
+        "eval": [],
+    }))
+    out = tmp_path / "model_out"
+    rc = main([
+        "train", "--split_file", str(split_file),
+        "--output", str(out), "--n_epoch", "1",
+        "--color_map", str(dataset_dir / "image_map.json"),
+        "--target_line_height", "8",
+    ])
+    assert rc == 0
+    assert (out / "model" / "params.msgpack").exists()
