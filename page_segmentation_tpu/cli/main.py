@@ -275,9 +275,17 @@ def cmd_gen_masks(args) -> int:
         for f in sorted(os.listdir(args.input_dir))
         if f.endswith(".xml")
     ]
-    for xml_file in xml_files:
-        generator.save(xml_file, args.output_dir)
-    map_path = os.path.join(args.output_dir, "image_map.json")
+    if args.threads and args.threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.threads) as pool:
+            list(pool.map(lambda x: generator.save(x, args.output_dir), xml_files))
+    else:
+        for xml_file in xml_files:
+            generator.save(xml_file, args.output_dir)
+    map_dir = args.image_map_dir or args.output_dir
+    os.makedirs(map_dir, exist_ok=True)
+    map_path = os.path.join(map_dir, "image_map.json")
     ColorMap(PageXMLTypes.image_map(setting.mask_type)).save(map_path)
     print(f"Generated {len(xml_files)} masks + {map_path}")
     return 0
@@ -373,12 +381,37 @@ def cmd_evaluate(args) -> int:
 
 
 # -------------------------------------------------------------------- parser
+class _DashAliasParser(argparse.ArgumentParser):
+    """Accepts every dash/underscore spelling of a flag.
+
+    The reference's documented walkthroughs mix the separators freely —
+    README.md writes --input_dir, dataset-creation-example.sh writes
+    --input-dir and even --image-map_dir — so option tokens are normalized
+    (dashes -> underscores) against the registered snake_case names before
+    parsing.
+    """
+
+    def parse_known_args(self, args=None, namespace=None):
+        if args is None:
+            args = sys.argv[1:]
+        return super().parse_known_args([self._canonical(a) for a in args], namespace)
+
+    def _canonical(self, token: str) -> str:
+        if not token.startswith("--"):
+            return token
+        body, eq, value = token[2:].partition("=")
+        candidate = "--" + body.replace("-", "_")
+        if candidate in self._option_string_actions:
+            return candidate + (eq + value if eq else "")
+        return token
+
+
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(
+    parser = _DashAliasParser(
         prog="page-segmentation-tpu",
         description="TPU-native page segmentation (pixel classifier) toolkit",
     )
-    sub = parser.add_subparsers(dest="command", required=True)
+    sub = parser.add_subparsers(dest="command", required=True, parser_class=_DashAliasParser)
 
     # predict
     p = sub.add_parser("predict", help="run a model over images")
@@ -485,6 +518,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--line_width", type=int, default=5)
     g.add_argument("--capital_is_text", action="store_true")
     g.add_argument("--use_xml_filename", action="store_true")
+    g.add_argument("--threads", type=int, default=1,
+                   help="parallel mask rasterization workers")
+    g.add_argument("--image_map_dir", default=None,
+                   help="write image_map.json here instead of output_dir")
     g.set_defaults(func=cmd_gen_masks)
 
     # page-segmentation

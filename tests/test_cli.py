@@ -220,3 +220,26 @@ def test_split_file_reference_format(dataset_dir, tmp_path):
     ])
     assert rc == 0
     assert (out / "model" / "params.msgpack").exists()
+
+
+def test_dash_case_flag_aliases(tmp_path):
+    """Reference walkthroughs use --dash-case flags (dataset-creation-
+    example.sh); both spellings must work."""
+    xml = tmp_path / "p.xml"
+    xml.write_text("""<?xml version="1.0"?>
+<PcGts xmlns="http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15">
+  <Page imageFilename="p.png" imageHeight="40" imageWidth="30">
+    <TextRegion id="r" type="paragraph"><Coords points="5,5 25,5 25,35 5,35"/></TextRegion>
+  </Page>
+</PcGts>""")
+    rc = main([
+        "gen-masks",
+        "--input-dir", str(tmp_path),
+        "--output-dir", str(tmp_path / "masks"),
+        "--image-map_dir", str(tmp_path / "maps"),
+        "--threads", "2",
+        "--setting", "text_nontext",
+    ])
+    assert rc == 0
+    assert (tmp_path / "masks" / "p.mask.png").exists()
+    assert (tmp_path / "maps" / "image_map.json").exists()
