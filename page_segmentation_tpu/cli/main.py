@@ -550,6 +550,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
+    if argv is None:
+        argv = sys.argv[1:]
+    # bare invocation is predict (reference README.md:30: the base command
+    # "is an alias for ... predict")
+    if argv and argv[0].startswith("-") and argv[0] not in ("-h", "--help"):
+        argv = ["predict"] + list(argv)
     args = build_parser().parse_args(argv)
     return args.func(args)
 

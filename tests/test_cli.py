@@ -243,3 +243,25 @@ def test_dash_case_flag_aliases(tmp_path):
     assert rc == 0
     assert (tmp_path / "masks" / "p.mask.png").exists()
     assert (tmp_path / "maps" / "image_map.json").exists()
+
+
+def test_bare_invocation_is_predict(dataset_dir, tmp_path):
+    """The base command without a subcommand aliases predict (README.md:30)."""
+    out = tmp_path / "model_out"
+    # train a tiny model first via the documented path
+    dataset_json = tmp_path / "dataset.json"
+    main(["create-dataset-file", "--dataset_path", str(dataset_dir),
+          "--output_file", str(dataset_json), "--n_train", "-1"])
+    main(["train", "--train", str(dataset_json), "--output", str(out),
+          "--n_epoch", "1", "--color_map", str(dataset_dir / "image_map.json"),
+          "--target_line_height", "8"])
+    pred_out = tmp_path / "pred"
+    rc = main([
+        "--load", str(out / "model"), "--output", str(pred_out),
+        "--images", str(dataset_dir / "images"),
+        "--binary", str(dataset_dir / "binary_images"),
+        "--char_height", "8",
+        "--color_map", str(dataset_dir / "image_map.json"),
+    ])
+    assert rc == 0
+    assert (pred_out / "color").is_dir()
