@@ -136,6 +136,23 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
     color_files = sorted(os.listdir(pred_dir / "color"))
     assert len(color_files) == 3
 
+    # the batched fast path (packed class-map download) must write the
+    # same color masks as the per-page parity path
+    fast_dir = workdir / "pred_fast"
+    rc = cli(["predict", "--load", str(out / "model"),
+              "--output", str(fast_dir), "--fast",
+              "--images", os.path.join(CORPUS, "images"),
+              "--binary", os.path.join(CORPUS, "binary"),
+              "--norm", str(ds / "normalizations"),
+              "--color_map", str(workdir / "image_map.json"),
+              "--target_line_height", "10"])
+    assert rc == 0
+    for name in color_files:
+        slow = imread_rgb(str(pred_dir / "color" / name))
+        fast = imread_rgb(str(fast_dir / "color" / name))
+        agreement = (slow == fast).all(axis=-1).mean()
+        assert agreement >= 0.995, f"fast vs parity path diverged on {name}: {agreement:.4f}"
+
     # output colors must come from the map's palette only
     cmap = ColorMap(SEG_MAP)
     page = imread_rgb(str(pred_dir / "color" / color_files[0]))
