@@ -26,7 +26,14 @@ def imread(path, as_gray: bool = False) -> np.ndarray:
                 im = im.convert("L")
             arr = np.asarray(im)
             if arr.dtype != np.uint8:
-                arr = (arr.astype(np.float64) * (255.0 / max(arr.max(), 1))).astype(np.uint8)
+                # scale by the dtype range, not the per-image max: the same
+                # physical intensity must map to the same uint8 value on
+                # every page (content-dependent scaling breaks the fixed
+                # binarization threshold downstream)
+                if arr.dtype == np.uint16:
+                    arr = (arr // 257).astype(np.uint8)
+                else:  # 32-bit 'I' mode and friends
+                    arr = np.clip(arr.astype(np.float64) / 257.0, 0, 255).astype(np.uint8)
             return arr
         return np.asarray(im.convert("RGB"))
 

@@ -55,7 +55,11 @@ def prepare_images(
             bin_scaled = rescale_nearest(bin_scaled, n_scale)
             img = _scale_image(img, bin_scaled.shape, resize_backend)
 
-    img = np.clip(img * 255, 0, 255).astype(np.uint8)
+    # reference dataset.py:147 casts straight to uint8, so cubic-overshoot
+    # values WRAP modulo 256 (e.g. 271 -> 15); replicated verbatim — models
+    # trained on reference-prepared inputs see those exact pixels at sharp
+    # ink edges, and clipping instead diverges on every overshoot pixel
+    img = (img * 255).astype(np.uint8)
     bin_scaled = bin_scaled.astype(np.uint8)
     if keep_orig_bin:
         return img, bin_scaled, (1 - orig_bin).astype(np.uint8)

@@ -176,6 +176,9 @@ class ThroughputPredictor:
         n = pages.shape[0]
         starts = list(range(0, n, batch_size))
 
+        if not starts:
+            return
+
         def prep(start):
             stop = min(start + batch_size, n)
             return self._prep(pages[start:stop], binaries[start:stop])

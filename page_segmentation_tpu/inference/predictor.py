@@ -110,8 +110,12 @@ class Predictor:
             for start in range(0, len(members), batch_size):
                 chunk = members[start : start + batch_size]
                 n = len(chunk)
-                images = np.zeros((n,) + shape, dtype=np.uint8)
-                binaries = np.zeros((n,) + shape, dtype=np.uint8)
+                # ragged tail chunks pad to the full batch size (zero
+                # pages, results cropped per page below) so every chunk of
+                # a bucket reuses one compiled program
+                n_padded = batch_size if len(members) > batch_size else n
+                images = np.zeros((n_padded,) + shape, dtype=np.uint8)
+                binaries = np.zeros((n_padded,) + shape, dtype=np.uint8)
                 for i, d in enumerate(chunk):
                     images[i] = pad_to(d.image, shape)
                     binaries[i] = pad_to(d.binary, shape)
@@ -124,8 +128,6 @@ class Predictor:
                     if self.settings.post_process:
                         # post-processors mutate the label map, so the mask
                         # trio is rebuilt host-side from the final labels
-                        from .output import generate_output_masks
-
                         for post in self.settings.post_process:
                             pred_i = post(pred_i, d)
                         masks = generate_output_masks(d, pred_i, color_map)

@@ -196,28 +196,46 @@ int ps_contours(const uint8_t* img, int h, int w, int32_t* out_points,
     int n_contours = 0;
     int point_cursor = 0;
     std::vector<std::pair<int, int>> trace;
+    // next boundary move from (cy, cx) scanning clockwise after `backtrack`;
+    // returns the direction taken or -1 for an isolated pixel
+    auto next_move = [&](int cy, int cx, int backtrack, int label, int* ny, int* nx) {
+        for (int k = 0; k < 8; ++k) {
+            const int d = (backtrack + 1 + k) % 8;
+            const int ty = cy + dy[d], tx = cx + dx[d];
+            if (ty < 0 || ty >= h || tx < 0 || tx >= w) continue;
+            if (labels[static_cast<size_t>(ty) * w + tx] != label) continue;
+            *ny = ty; *nx = tx;
+            return d;
+        }
+        return -1;
+    };
     for (int l = 1; l < num_labels; ++l) {
         if (n_contours >= max_contours) return -1;
         const int sy0 = first[l] / w, sx0 = first[l] % w;
         trace.clear();
         trace.emplace_back(sy0, sx0);
-        int cy = sy0, cx = sx0, prev_dir = 0;
-        const int64_t limit = 4 * static_cast<int64_t>(size);
-        for (int64_t step = 0; step < limit; ++step) {
-            bool found = false;
-            for (int k = 0; k < 8; ++k) {
-                const int d = (prev_dir + 1 + k) % 8;
-                const int ny = cy + dy[d], nx = cx + dx[d];
-                if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-                if (labels[static_cast<size_t>(ny) * w + nx] != l) continue;
-                if (ny == sy0 && nx == sx0 && trace.size() > 2) { found = false; step = limit; break; }
-                trace.emplace_back(ny, nx);
+        // west of the topmost-leftmost pixel is background
+        int fy, fx;
+        const int first_dir = next_move(sy0, sx0, 0, l, &fy, &fx);
+        if (first_dir >= 0) {
+            int cy = fy, cx = fx, backtrack = (first_dir + 4) % 8;
+            const int64_t limit = 4 * static_cast<int64_t>(size);
+            for (int64_t step = 0; step < limit; ++step) {
+                trace.emplace_back(cy, cx);
+                int ny, nx;
+                const int d = next_move(cy, cx, backtrack, l, &ny, &nx);
+                if (d < 0) break;
+                if (ny == sy0 && nx == sx0) {
+                    // Jacob's criterion: closed iff the initial move from
+                    // the start would repeat (mere start re-entry truncates
+                    // boundaries that pass through the start pixel twice)
+                    int ay, ax;
+                    const int after = next_move(sy0, sx0, (d + 4) % 8, l, &ay, &ax);
+                    if (after == first_dir && ay == fy && ax == fx) break;
+                }
                 cy = ny; cx = nx;
-                prev_dir = (d + 4) % 8;
-                found = true;
-                break;
+                backtrack = (d + 4) % 8;
             }
-            if (!found) break;
         }
         // compress collinear runs (CHAIN_APPROX_SIMPLE-style)
         std::vector<std::pair<int, int>> simple;

@@ -18,32 +18,41 @@ _NEIGHBORS = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -
 
 def _trace_boundary(mask: np.ndarray, start: tuple) -> List[tuple]:
     """Moore-neighbor boundary trace of the component containing ``start``
-    (topmost-leftmost foreground pixel).  Returns [(y, x), ...]."""
+    (topmost-leftmost foreground pixel).  Returns [(y, x), ...].
+
+    Terminates on Jacob's criterion — the walk is about to repeat its
+    very first move (start pixel exited in the same direction) — not on
+    mere re-entry of the start pixel, which truncates contours whenever
+    the boundary legitimately passes through the start more than once
+    (e.g. two lobes joined at the topmost pixel).
+    """
     h, w = mask.shape
-    boundary = [start]
-    # backtrack points west of start (we scanned row-major, so west is background)
-    prev_dir = 0
-    current = start
-    for _ in range(4 * mask.size):
-        found = False
-        # start searching from the neighbor after the backtrack direction
+
+    def next_from(current, backtrack):
+        # clockwise scan starting just after the backtrack direction
         for k in range(8):
-            d = (prev_dir + 1 + k) % 8
+            d = (backtrack + 1 + k) % 8
             dy, dx = _NEIGHBORS[d]
             ny, nx = current[0] + dy, current[1] + dx
             if 0 <= ny < h and 0 <= nx < w and mask[ny, nx]:
-                if (ny, nx) == start and len(boundary) > 2:
-                    return boundary
-                boundary.append((ny, nx))
-                current = (ny, nx)
-                # new backtrack: direction pointing back to previous pixel
-                prev_dir = (d + 4) % 8
-                # rotate so next search starts just after backtrack
-                prev_dir = (prev_dir - 0) % 8
-                found = True
-                break
-        if not found:  # isolated pixel
-            return boundary
+                return (ny, nx), d
+        return None, None
+
+    # west of start is background (row-major scan found start first)
+    second, first_dir = next_from(start, 0)
+    if second is None:  # isolated pixel
+        return [start]
+
+    boundary = [start]
+    current, backtrack = second, (first_dir + 4) % 8
+    for _ in range(4 * mask.size):
+        boundary.append(current)
+        nxt, d = next_from(current, backtrack)
+        if nxt == start:
+            after, after_dir = next_from(start, (d + 4) % 8)
+            if (after, after_dir) == (second, first_dir):
+                return boundary  # closed: the initial move would repeat
+        current, backtrack = nxt, (d + 4) % 8
     return boundary
 
 
@@ -89,7 +98,7 @@ def find_external_contours(binary: np.ndarray) -> List[np.ndarray]:
         return []
     objects = ndi.find_objects(labels)
     contours = []
-    order = []
+    # scipy labels are raster-ordered, so iteration order == discovery order
     for i, slc in enumerate(objects, start=1):
         if slc is None:
             continue
@@ -101,9 +110,7 @@ def find_external_contours(binary: np.ndarray) -> List[np.ndarray]:
         pts = _simplify(traced)
         # back to full-image coordinates, as (x, y)
         xy = np.stack([pts[:, 1] + slc[1].start, pts[:, 0] + slc[0].start], axis=1)
-        order.append((slc[0].start, slc[1].start))
         contours.append(xy.astype(np.int32))
-    # raster order of component starts (scipy labels are already raster-ordered)
     return contours
 
 

@@ -138,3 +138,55 @@ def test_contours_roundtrip():
         fill_contour(refilled, c, 255)
     # refilling the traced contours reproduces the rectangles
     np.testing.assert_array_equal(refilled > 0, mask > 0)
+
+
+def _exterior_boundary(mask):
+    """Oracle: component pixels 4-adjacent to the exterior background
+    (the pixels Moore tracing must visit for 8-connected components)."""
+    from scipy import ndimage as ndi
+
+    padded = np.pad(mask, 1).astype(bool)
+    ext, _ = ndi.label(~padded)  # 4-connectivity
+    exterior = ext == ext[0, 0]
+    return (ndi.binary_dilation(exterior) & padded)[1:-1, 1:-1]
+
+
+def _polyline_pixels(points):
+    out = []
+    pts = [tuple(p) for p in points]
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        n = max(abs(x1 - x0), abs(y1 - y0)) or 1
+        for k in range(n + 1):
+            out.append((y0 + (y1 - y0) * k // n, x0 + (x1 - x0) * k // n))
+    if pts:
+        out.append((pts[-1][1], pts[-1][0]))
+    return out
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_contours_cover_all_boundary_pixels(use_native, monkeypatch):
+    """Fuzz both tracers: every exterior-boundary pixel of every component
+    must appear on its traced contour (Jacob's stopping criterion —
+    the weak start-reentry criterion truncated ~10% of random masks)."""
+    from page_segmentation_tpu import native
+    from page_segmentation_tpu.ops.contours import find_external_contours
+
+    if use_native and not native.available():
+        pytest.skip("no native lib")
+    if not use_native:
+        monkeypatch.setattr(native, "contours", lambda *_: None)
+
+    rng = np.random.RandomState(7)
+    cases = [np.array([[0, 1, 0, 0], [1, 0, 1, 0], [1, 0, 1, 1]], np.uint8)]
+    for _ in range(120):
+        cases.append(
+            (rng.rand(rng.randint(4, 18), rng.randint(4, 18)) > rng.uniform(0.3, 0.7)).astype(np.uint8)
+        )
+    for mask in cases:
+        want = _exterior_boundary(mask)
+        covered = np.zeros_like(mask, bool)
+        for contour in find_external_contours(mask):
+            for y, x in _polyline_pixels(np.atleast_2d(contour)):
+                covered[y, x] = True
+        missing = want & ~covered
+        assert not missing.any(), f"untraced boundary pixels:\n{mask}\n{missing.astype(int)}"
