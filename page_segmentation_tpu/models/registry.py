@@ -18,28 +18,37 @@ from typing import Callable, Tuple
 import numpy as np
 
 
+# normalization-mode constants shared by the host (numpy) and device (jnp)
+# implementations — one source of truth so compact uint8 transfers (device
+# normalization) stay bit-identical to the host path
+_CAFFE_MEAN = (103.939, 116.779, 123.68)  # BGR order after the flip
+_TORCH_MEAN = (0.485, 0.456, 0.406)
+_TORCH_STD = (0.229, 0.224, 0.225)
+
+
+def _make_preprocess(mode: str, xp):
+    """The normalization function for a mode in either array namespace.
+
+    Modes follow Keras preprocess_input conventions (reference
+    architecture.py:45-68): 'gray' /255, 'caffe' BGR minus ImageNet means
+    (ResNet50), 'tf' [-1, 1] (MobileNetV2), 'torch' [0,1] then ImageNet
+    mean/std (EfficientNet).
+    """
+    if mode == "gray":
+        return lambda x: x / 255.0
+    if mode == "caffe":
+        mean = xp.asarray(_CAFFE_MEAN, dtype=xp.float32)
+        return lambda x: x[..., ::-1] - mean
+    if mode == "tf":
+        return lambda x: x / 127.5 - 1.0
+    mean = xp.asarray(_TORCH_MEAN, dtype=xp.float32)
+    std = xp.asarray(_TORCH_STD, dtype=xp.float32)
+    return lambda x: (x / 255.0 - mean) / std
+
+
 def default_preprocess(x):
     """Grayscale normalization (reference architecture.py:67-68)."""
     return x / 255.0
-
-
-def _imagenet_caffe_preprocess(x):
-    """Keras 'caffe' mode: RGB->BGR, subtract ImageNet means (ResNet50)."""
-    x = np.asarray(x, dtype=np.float32)[..., ::-1]
-    return x - np.array([103.939, 116.779, 123.68], dtype=np.float32)
-
-
-def _imagenet_tf_preprocess(x):
-    """Keras 'tf' mode: scale to [-1, 1] (MobileNetV2)."""
-    return np.asarray(x, dtype=np.float32) / 127.5 - 1.0
-
-
-def _imagenet_torch_preprocess(x):
-    """Keras 'torch' mode: [0,1] then ImageNet mean/std (EfficientNet)."""
-    x = np.asarray(x, dtype=np.float32) / 255.0
-    mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
-    std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
-    return (x - mean) / std
 
 
 class Architecture(enum.Enum):
@@ -102,48 +111,38 @@ class Architecture(enum.Enum):
             return MobileNetSeg(n_classes=n_classes, dtype=dtype)
         raise KeyError(self)
 
+    @property
+    def preprocess_mode(self) -> str:
+        """Keras normalization mode (reference architecture.py:45-64);
+        the single source of truth for host AND device normalization."""
+        return {
+            Architecture.FCN_SKIP: "gray",
+            Architecture.FCN: "gray",
+            Architecture.UNET: "gray",
+            Architecture.RES_UNET: "gray",
+            Architecture.RES_NET: "caffe",
+            Architecture.MOBILE_NET: "tf",
+        }.get(self, "torch")  # EfficientNet family
+
     def preprocess(self) -> Tuple[Callable, bool]:
-        """(preprocess fn, needs-RGB) — reference architecture.py:45-64."""
-        table = {
-            Architecture.FCN_SKIP: (default_preprocess, False),
-            Architecture.FCN: (default_preprocess, False),
-            Architecture.RES_NET: (_imagenet_caffe_preprocess, True),
-            Architecture.RES_UNET: (default_preprocess, False),
-            Architecture.MOBILE_NET: (_imagenet_tf_preprocess, True),
-            Architecture.UNET: (default_preprocess, False),
-        }
-        if self in table:
-            return table[self]
-        return (_imagenet_torch_preprocess, True)  # EfficientNet family
+        """(host preprocess fn, needs-RGB)."""
+        mode = self.preprocess_mode
+        host = _make_preprocess(mode, np)
+        if mode == "gray":
+            return host, False
+
+        def as_float(x, _host=host):
+            return _host(np.asarray(x, dtype=np.float32))
+
+        return as_float, True
 
     def device_preprocess(self) -> Callable:
-        """jnp-traceable twin of :meth:`preprocess`'s function, for fusing
-        the normalization into the jitted step (compact uint8 transfers
-        ship raw pixels and normalize on device)."""
+        """jnp twin of :meth:`preprocess`'s function, for fusing the
+        normalization into the jitted step (compact uint8 transfers ship
+        raw pixels and normalize on device)."""
         import jax.numpy as jnp
 
-        def caffe(x):
-            return x[..., ::-1] - jnp.array([103.939, 116.779, 123.68], jnp.float32)
-
-        def tf_mode(x):
-            return x / 127.5 - 1.0
-
-        def torch_mode(x):
-            mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-            std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
-            return (x / 255.0 - mean) / std
-
-        table = {
-            Architecture.RES_NET: caffe,
-            Architecture.MOBILE_NET: tf_mode,
-        }
-        if self in table:
-            return table[self]
-        if self.preprocess()[0] is default_preprocess or self in (
-            Architecture.FCN_SKIP, Architecture.FCN, Architecture.RES_UNET, Architecture.UNET,
-        ):
-            return lambda x: x / 255.0
-        return torch_mode  # EfficientNet family
+        return _make_preprocess(self.preprocess_mode, jnp)
 
     @property
     def stride_factor(self) -> int:

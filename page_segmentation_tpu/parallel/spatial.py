@@ -92,7 +92,7 @@ def spatial_forward(
     full[:h, :w] = arr
     band_h = padded_h // n_dev
 
-    if band_h < 2 * margin:
+    if n_dev != 1 and band_h < 2 * margin:
         raise ValueError(
             f"band height {band_h} smaller than 2x halo margin {margin}; "
             f"use fewer devices or a taller page"
@@ -106,6 +106,12 @@ def spatial_forward(
     # ends at the true bottom (crop offset 2*margin), interior devices are
     # centered (offset margin).  All windows contain only real page rows,
     # so each output band equals the unsplit forward exactly.
+    if n_dev == 1:
+        # no split: the ppermute ring would wrap the band onto itself and
+        # corrupt the edge rows
+        logits = module.apply(variables, jnp.asarray(full)[None])[0]
+        return np.asarray(logits)[:h, :w]
+
     @partial(
         shard_map,
         mesh=mesh,
@@ -167,11 +173,20 @@ def spatial_forward_batch(
     full[:n, :h, :w] = arr
     band_h = padded_h // n_space
 
-    if band_h < 2 * margin:
+    if n_space != 1 and band_h < 2 * margin:
         raise ValueError(
             f"band height {band_h} smaller than 2x halo margin {margin}; "
             f"use fewer space-axis devices or taller pages"
         )
+
+    if n_space == 1:
+        # data-parallel only: halo exchange would wrap each band onto itself
+        @partial(shard_map, mesh=mesh, in_specs=(P(), P(data_axis)), out_specs=P(data_axis))
+        def run_data_only(vars_, batch):
+            return module.apply(vars_, batch)
+
+        logits = run_data_only(variables, jnp.asarray(full))
+        return np.asarray(logits)[:n, :h, :w]
 
     @partial(
         shard_map,

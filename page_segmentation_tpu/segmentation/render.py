@@ -37,9 +37,13 @@ def _paint_rects(canvas: np.ndarray, rects: Sequence[RectSegment], color: RGBCol
     """Fill rectangles in place; endpoints inclusive, as PIL draws them.
 
     Per the RectSegment convention x indexes rows and y indexes columns.
+    Rectangles fully outside the canvas paint nothing (a raw negative end
+    index would wrap into a from-the-end slice and flood the canvas).
     """
     fill = np.asarray(color, np.uint8)
     for r in rects:
+        if r.x_end < 0 or r.y_end < 0:
+            continue
         canvas[max(r.x_start, 0) : r.x_end + 1, max(r.y_start, 0) : r.y_end + 1] = fill
 
 

@@ -121,3 +121,12 @@ class OrbaxCheckpointer:
 
     def close(self) -> None:
         self.manager.close()
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    """Just the checkpoint metadata (meta.json) — no weight deserialization."""
+    meta_file = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_file):
+        return {}
+    with open(meta_file, "r") as f:
+        return json.load(f)

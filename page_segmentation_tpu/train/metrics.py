@@ -61,6 +61,24 @@ def accuracy(labels, logits, weights=None):
     return _wmean(correct, weights)
 
 
+def page_validity(weights):
+    """Per-page 0/1 validity from a padding-weights map (None -> None).
+
+    Batch rows that are pure mesh padding (weights all zero) must not
+    contribute to per-page-mean metrics."""
+    if weights is None:
+        return None
+    return (jnp.sum(weights.astype(jnp.float32), axis=(1, 2)) > 0).astype(jnp.float32)
+
+
+def _valid_page_mean(per_page, valid):
+    """Mean over pages, restricted to valid ones when a mask is given."""
+    if valid is None:
+        return jnp.mean(per_page, axis=0)
+    shaped = valid.reshape((-1,) + (1,) * (per_page.ndim - 1))
+    return jnp.sum(per_page * shaped, axis=0) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def fgpa(labels, logits, binary, weights=None):
     """Foreground pixel accuracy (reference metrics.py:36-57)."""
     labels = _squeeze_labels(labels)
@@ -72,7 +90,7 @@ def fgpa(labels, logits, binary, weights=None):
         fg = fg * weights.astype(jnp.float32)
     correct = jnp.sum(equals * fg, axis=(1, 2))
     total = jnp.sum(fg, axis=(1, 2))
-    return jnp.mean(correct / jnp.maximum(total, 1.0))
+    return _valid_page_mean(correct / jnp.maximum(total, 1.0), page_validity(weights))
 
 
 def fgpl(labels, logits, binary, weights=None):
@@ -103,7 +121,9 @@ def jacard_coef(labels, logits, smooth: float = 100.0, weights=None):
     intersection = jnp.sum(jnp.abs(one_hot * probs), axis=(1, 2))
     union_sum = jnp.sum(jnp.abs(one_hot + probs), axis=(1, 2))
     jac = (intersection + smooth) / (union_sum - intersection + smooth)
-    return jnp.mean(jac, axis=0)  # per-class, like the reference
+    # per-class, like the reference; padding-only pages excluded (their
+    # coefficient is the degenerate smooth/smooth = 1)
+    return _valid_page_mean(jac, page_validity(weights))
 
 
 def jacard_coef_loss(labels, logits, weights=None):
@@ -115,7 +135,7 @@ def dice_coef(labels, logits, smooth: float = 100.0, weights=None):
     intersection = jnp.sum(jnp.abs(one_hot * probs), axis=(1, 2))
     union_sum = jnp.sum(jnp.abs(one_hot + probs), axis=(1, 2))
     dice = (2.0 * intersection + smooth) / (union_sum + smooth)
-    return jnp.mean(dice, axis=0)
+    return _valid_page_mean(dice, page_validity(weights))
 
 
 def dice_coef_loss(labels, logits, weights=None):

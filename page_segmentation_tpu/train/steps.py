@@ -65,6 +65,12 @@ def make_step_fns(
         weights = (
             (rows < dims[:, 0, None, None]) & (cols < dims[:, 1, None, None])
         ).astype(jnp.float32)
+        # the float layout pads AFTER preprocessing, so pad pixels are 0;
+        # device normalization maps raw-zero padding to nonzero values for
+        # the imagenet modes (-1 for tf, -mean for caffe/torch) — re-zero
+        # it so both layouts (and the reference's in-graph zero pad,
+        # model.py:20-26) feed identical activations near the pad boundary
+        x = x * weights[..., None]
         return {
             "image": x,
             "mask": batch["mask"].astype(jnp.int32),
@@ -82,12 +88,13 @@ def make_step_fns(
             "fgpa": M.fgpa(batch["mask"], logits, batch["binary"], weights=w),
         }
 
-    # pixel-weighted pmean-style reductions: these metrics are weighted
-    # means over valid pixels, so shards must contribute proportionally to
-    # their weight sum — a shard that is pure mesh padding (weights all 0,
-    # from Trainer._pad_for_mesh) must contribute nothing, not a 0 at full
-    # weight.  Exact: psum(shard_mean·shard_wsum)/psum(shard_wsum) equals
-    # the single-device weighted mean.
+    # weighted pmean-style reductions: a shard that is pure mesh padding
+    # (weights all 0, from Trainer._pad_for_mesh) must contribute nothing,
+    # not a 0 (or a degenerate 1) at full weight.  Pixel-weighted metrics
+    # reduce by weight sums — psum(shard_mean·shard_wsum)/psum(shard_wsum)
+    # equals the single-device weighted mean exactly; per-page-mean metrics
+    # (fgpa/jaccard/dice, which already exclude padding pages within a
+    # shard via metrics.page_validity) reduce by valid-page counts.
     _PIXEL_WEIGHTED = ("loss", "accuracy")
 
     def reduce_metrics(step_metrics, batch):
@@ -96,12 +103,13 @@ def make_step_fns(
             return jax.lax.pmean(step_metrics, data_axis)
         shard_wsum = jnp.sum(w.astype(jnp.float32))
         total_wsum = jnp.maximum(jax.lax.psum(shard_wsum, data_axis), 1.0)
+        shard_pages = jnp.sum(M.page_validity(w))
+        total_pages = jnp.maximum(jax.lax.psum(shard_pages, data_axis), 1.0)
         return {
             k: (
                 jax.lax.psum(v * shard_wsum, data_axis) / total_wsum
                 if k in _PIXEL_WEIGHTED
-                else jax.lax.pmean(v, data_axis)  # per-page means: shards are
-                # equal-sized, so pmean already matches the single-device value
+                else jax.lax.psum(v * shard_pages, data_axis) / total_pages
             )
             for k, v in step_metrics.items()
         }

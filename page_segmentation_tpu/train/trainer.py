@@ -125,6 +125,16 @@ class TrainSettings(NamedTuple):
     compact_transfer: bool = True
 
 
+class _NullLogger:
+    """Scalar-logger stand-in for non-writer processes in multi-host runs."""
+
+    def log(self, **record) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class Trainer:
     def __init__(self, settings: TrainSettings):
         self.settings = settings
@@ -190,12 +200,12 @@ class Trainer:
         # Adam moments and plateau bookkeeping silently)
         self._resume_meta: Optional[dict] = None
         if s.continue_training and s.load:
-            from .checkpoint import load_checkpoint, load_opt_state
+            from .checkpoint import load_meta, load_opt_state
 
             restored_opt = load_opt_state(s.load, template=self.opt_state)
             if restored_opt is not None:
                 self.opt_state = restored_opt
-                _, meta = load_checkpoint(s.load)
+                meta = load_meta(s.load)
                 if meta.get("epoch") is not None:
                     self._resume_meta = meta
                 logger.info(
@@ -427,10 +437,13 @@ class Trainer:
         import os
 
         os.makedirs(s.output_dir, exist_ok=True)
-        scalars = ScalarLogger(s.output_dir)
+        # in multi-host mode only process 0 writes shared files (scalars,
+        # diagnostics, checkpoints); concurrent writers corrupt them
+        writer_process = not self._multi_host or jax.process_index() == 0
+        scalars = ScalarLogger(s.output_dir) if writer_process else _NullLogger()
         diagnoser = (
             ModelDiagnoser(os.path.join(s.output_dir, "diagnostics"), s.validation_data.color_map)
-            if s.tensorboard and s.validation_data is not None
+            if writer_process and s.tensorboard and s.validation_data is not None
             else None
         )
 
@@ -652,6 +665,10 @@ class Trainer:
         import os
 
         s = self.settings
+        if self._multi_host and jax.process_index() != 0:
+            # params/opt state are replicated; only one host may write the
+            # shared checkpoint files (concurrent writes corrupt them)
+            return
         meta = {
             "architecture": s.architecture.value,
             "n_classes": s.n_classes,

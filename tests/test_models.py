@@ -117,3 +117,19 @@ def test_stride_factors():
     assert Architecture.FCN_SKIP.stride_factor == 8
     assert Architecture.UNET.stride_factor == 16
     assert Architecture.MOBILE_NET.stride_factor == 32
+
+
+def test_host_device_preprocess_agree_all_modes():
+    """The host (numpy) and device (jnp) normalizations come from one mode
+    table and must agree bit-for-bit — compact uint8 transfers rely on it."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (4, 6, 1)).astype(np.float32)
+    rgb = rng.randint(0, 256, (4, 6, 3)).astype(np.float32)
+    for arch in (Architecture.FCN_SKIP, Architecture.RES_NET,
+                 Architecture.MOBILE_NET, Architecture.EFFNETB0):
+        x = gray if arch is Architecture.FCN_SKIP else rgb
+        host = np.asarray(arch.preprocess()[0](x), np.float32)
+        dev = np.asarray(arch.device_preprocess()(jnp.asarray(x)), np.float32)
+        np.testing.assert_allclose(host, dev, atol=1e-6, err_msg=arch.value)

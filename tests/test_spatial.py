@@ -131,3 +131,32 @@ def test_spatial_forward_batch_2d_mesh():
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, atol=2e-4)
     assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
+
+
+def test_spatial_forward_single_device_exact():
+    """n_devices == 1: no halo ring to wrap — must equal the plain forward
+    (the ppermute ring previously fed the band its own rows as halos)."""
+    module = FCNSkip(n_classes=3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1))))
+    mesh = make_mesh(1)
+    rng = np.random.RandomState(9)
+    image = rng.rand(256, 32, 1).astype(np.float32)
+    single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+    sharded = spatial_forward(module, variables, image, mesh, margin=96)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)
+
+
+def test_spatial_forward_batch_space_axis_one():
+    """(data=2, space=1) mesh: pure data parallelism, exact."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from page_segmentation_tpu.parallel.spatial import spatial_forward_batch
+
+    module = FCNSkip(n_classes=3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1))))
+    mesh = make_mesh(2, shape=(2, 1), axis_names=("data", "space"))
+    rng = np.random.RandomState(10)
+    pages = rng.rand(2, 256, 32, 1).astype(np.float32)
+    single = np.asarray(module.apply(variables, jnp.asarray(pages)))
+    sharded = spatial_forward_batch(module, variables, pages, mesh, margin=96)
+    np.testing.assert_allclose(sharded, single, atol=2e-5)

@@ -211,10 +211,15 @@ def test_ragged_mesh_metrics_match_single_device(tmp_path):
     mesh = make_mesh(8)
     mesh_train, mesh_eval = make_step_fns(module, optimizer, Loss.CATEGORICAL_CROSSENTROPY(), mesh=mesh, donate=False)
 
-    m_single = single_eval(params, {}, batch)
+    # single-device oracle sees only the REAL pages (no padding), mesh
+    # sees the padded batch: every metric must agree
+    real = {k: v[:n_real] for k, v in batch.items()}
+    m_single = single_eval(params, {}, real)
     m_mesh = mesh_eval(params, {}, shard_batch(mesh, batch))
-    np.testing.assert_allclose(float(m_mesh["loss"]), float(m_single["loss"]), rtol=1e-5)
-    np.testing.assert_allclose(float(m_mesh["accuracy"]), float(m_single["accuracy"]), rtol=1e-5)
+    for key in ("loss", "accuracy", "fgpa", "jacard_coef", "dice_coef"):
+        np.testing.assert_allclose(
+            float(m_mesh[key]), float(m_single[key]), rtol=1e-5,
+            err_msg=f"metric {key} biased by mesh padding")
 
     # the train-step gradient must also be the single-device gradient
     key = jax.random.PRNGKey(1)
@@ -271,3 +276,57 @@ def test_train_mixed_page_sizes(tmp_path):
     history = Trainer(settings).train()
     assert history["loss"][-1] < history["loss"][0]
     assert np.isfinite(history["val_loss"][-1])
+
+
+def test_compact_unpack_zeroes_padding_for_imagenet_modes():
+    """Device normalization maps raw-zero bucket padding to nonzero values
+    for the imagenet modes; unpack must re-zero it so compact batches feed
+    the same activations as the float layout (preprocess-then-pad-zeros)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import flax.linen as nn
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.train.metrics import Loss
+    from page_segmentation_tpu.train.steps import make_step_fns
+
+    class Probe(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(2, (1, 1))(x)
+
+    module = Probe()
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))["params"]
+    opt = optax.sgd(1e-2)
+    dp = Architecture.MOBILE_NET.device_preprocess()  # maps 0 -> -1
+    _, eval_step = make_step_fns(module, opt, Loss.CATEGORICAL_CROSSENTROPY(),
+                                 device_preprocess=dp, donate=False)
+
+    rng = np.random.RandomState(0)
+    h = w = 8
+    valid_h, valid_w = 5, 6
+    image_u8 = np.zeros((1, h, w, 3), np.uint8)
+    image_u8[0, :valid_h, :valid_w] = rng.randint(0, 256, (valid_h, valid_w, 3))
+    compact = {
+        "image": image_u8,
+        "mask": np.zeros((1, h, w), np.uint8),
+        "binary": np.ones((1, h, w), np.uint8),
+        "dims": np.int32([[valid_h, valid_w]]),
+    }
+    # float layout: preprocess then pad with zeros
+    x_float = np.zeros((1, h, w, 3), np.float32)
+    x_float[0, :valid_h, :valid_w] = np.asarray(
+        Architecture.MOBILE_NET.preprocess()[0](image_u8[0, :valid_h, :valid_w].astype(np.float32))
+    )
+    weights = np.zeros((1, h, w), np.float32)
+    weights[0, :valid_h, :valid_w] = 1.0
+    float_batch = {
+        "image": x_float,
+        "mask": np.zeros((1, h, w), np.int32),
+        "binary": np.ones((1, h, w), np.uint8),
+        "weights": weights,
+    }
+    m_compact = eval_step(params, {}, compact)
+    m_float = eval_step(params, {}, float_batch)
+    np.testing.assert_allclose(float(m_compact["loss"]), float(m_float["loss"]), rtol=1e-6)
