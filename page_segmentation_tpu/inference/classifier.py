@@ -144,7 +144,13 @@ class PixelClassifier:
         pred = np.argmax(logit, -1)
         return logit, prob, pred
 
-    def predict_batch_masks(self, images: np.ndarray, binaries: np.ndarray, palette: np.ndarray):
+    def predict_batch_masks(
+        self,
+        images: np.ndarray,
+        binaries: np.ndarray,
+        palette: np.ndarray,
+        device_vote: bool = False,
+    ):
         """Fused batched forward + argmax with link-disciplined transfers.
 
         images: (N, H, W) uint8 prepared pages, all one bucket shape.
@@ -154,20 +160,33 @@ class PixelClassifier:
         normalization fuses on device; only the class map crosses back
         (2-bit packed when n_classes <= 4) and the mask trio is rebuilt
         host-side from the binary via the native finish kernel.
+
+        ``device_vote=True`` fuses the cc-majority post-processor into the
+        same dispatch: the ink mask is uploaded 1-bit packed and the Pallas
+        CC labeler + segment-sum histogram vote the class map on device
+        before download (exact counterpart of
+        ``vote_connected_component_class`` — gated by
+        tests/test_device_vote.py).
         """
         palette = np.ascontiguousarray(palette, np.uint8)
         pack = self.n_classes <= 4 and images.shape[2] % 4 == 0
-        key = ("masks", images.shape, pack)
+        pack_ink = images.shape[2] % 8 == 0
+        key = ("masks", images.shape, pack, device_vote)
         if key not in self._masks_cache:
             module = self.module
             preprocess_on_device = not self.rgb  # grayscale archs: x/255 fuses on device
             host_preprocess = self.preprocess
             rgb = self.rgb
+            n_classes = self.n_classes
+            # Pallas runs natively on TPU; elsewhere (CPU tests/dryruns)
+            # the interpreter provides the same semantics
+            interpret = jax.default_backend() != "tpu"
 
-            from .output import pack_classes_device
+            from ..ops.pallas_cc import cc_vote_batch
+            from .output import pack_classes_device, unpack_bits_device
 
             @jax.jit
-            def fused(variables, x):
+            def fused(variables, x, ink):
                 # u8 pixels in when preprocessing fuses on device (1/4 the
                 # upload bytes); only the class map comes back — packed to
                 # 2 bits/pixel when the class count allows — and the mask
@@ -176,6 +195,11 @@ class PixelClassifier:
                     x = x.astype(jnp.float32)[..., None] / 255.0
                 logits = module.apply(variables, x)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+                if device_vote:
+                    ink_mask = unpack_bits_device(ink) if pack_ink else ink != 0
+                    pred = cc_vote_batch(
+                        pred, ink_mask, n_classes=n_classes, interpret=interpret
+                    ).astype(jnp.uint8)
                 return pack_classes_device(pred) if pack else pred
 
             self._masks_cache[key] = (fused, preprocess_on_device, host_preprocess, rgb)
@@ -185,11 +209,15 @@ class PixelClassifier:
         else:
             x = np.stack([images] * 3, axis=-1).astype(np.float32) if rgb else images[..., None]
             x = np.asarray(host_preprocess(x), np.float32)
-        from .output import finish_mask_trio, unpack_classes
+        from .output import finish_mask_trio, pack_bits_host, unpack_classes
 
-        downloaded = np.asarray(fused(self.variables, x))
-        pred = unpack_classes(downloaded) if pack else downloaded
         ink = (binaries != 0).astype(np.uint8)  # 1 = ink in prepared binaries
+        if device_vote:
+            ink_up = pack_bits_host(ink) if pack_ink else ink
+        else:  # placeholder: the jitted fn ignores it, but jit wants an arg
+            ink_up = np.zeros((1,), np.uint8)
+        downloaded = np.asarray(fused(self.variables, x, ink_up))
+        pred = unpack_classes(downloaded) if pack else downloaded
         return pred, np.stack(finish_mask_trio(pred, ink, palette))
 
 

@@ -126,6 +126,22 @@ def unpack_classes(packed: np.ndarray) -> np.ndarray:
     return quads.reshape(packed.shape[0], packed.shape[1], -1)
 
 
+def pack_bits_host(mask: np.ndarray) -> np.ndarray:
+    """Pack a (..., W) 0/1 mask into 1 bit/pixel for upload: (..., W//8)
+    uint8, MSB-first (np.packbits convention).  Requires W % 8 == 0."""
+    return np.packbits(np.asarray(mask, bool), axis=-1)
+
+
+def unpack_bits_device(packed):
+    """Device inverse of :func:`pack_bits_host`: (..., W//8) uint8 ->
+    (..., W) bool, MSB-first."""
+    import jax.numpy as jnp
+
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # MSB first
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,)).astype(jnp.bool_)
+
+
 def finish_mask_trio(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray):
     """(color, overlay, inverted) for a batch of (padded) class maps and
     their ink masks — native C kernel when available, numpy fallback.

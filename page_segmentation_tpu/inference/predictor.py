@@ -41,6 +41,10 @@ class PredictSettings:
     gpu_allow_growth: bool = False  # accepted for parity; meaningless on TPU
     compute_dtype: str = "float32"
     bucket_granularity: int = 1
+    # fast path: fuse a lone cc-majority post-processor into the device
+    # dispatch (Pallas CC + histogram vote).  None = auto (on when the
+    # backend is a real TPU; the CPU interpreter is exact but slow).
+    device_post_process: Optional[bool] = None
 
 
 class Predictor:
@@ -97,6 +101,19 @@ class Predictor:
         color_map = self.settings.color_map or (dataset.color_map if dataset else None)
         palette = color_map.palette if color_map else np.zeros((self.network.n_classes, 3), np.uint8)
 
+        # a lone cc-majority post-processor fuses into the device dispatch
+        # (one batched Pallas CC + vote instead of per-page host round-trips)
+        from .postprocess import vote_connected_component_class
+
+        post = self.settings.post_process or []
+        device_vote = self.settings.device_post_process
+        if device_vote is None:
+            import jax
+
+            device_vote = jax.default_backend() == "tpu"
+        device_vote = bool(device_vote) and post == [vote_connected_component_class]
+        host_post = None if device_vote else (post or None)
+
         groups = {}
         for data in dataset.data:
             shape = bucket_shape(
@@ -119,17 +136,19 @@ class Predictor:
                 for i, d in enumerate(chunk):
                     images[i] = pad_to(d.image, shape)
                     binaries[i] = pad_to(d.binary, shape)
-                pred_d, masks_d = self.network.predict_batch_masks(images, binaries, palette)
+                pred_d, masks_d = self.network.predict_batch_masks(
+                    images, binaries, palette, device_vote=device_vote
+                )
                 pred_h = np.asarray(pred_d)
                 color_h, overlay_h, inverted_h = np.asarray(masks_d)
                 for i, d in enumerate(chunk):
                     h, w = d.image.shape[:2]
                     pred_i = pred_h[i, :h, :w]
-                    if self.settings.post_process:
+                    if host_post:
                         # post-processors mutate the label map, so the mask
                         # trio is rebuilt host-side from the final labels
-                        for post in self.settings.post_process:
-                            pred_i = post(pred_i, d)
+                        for post_fn in host_post:
+                            pred_i = post_fn(pred_i, d)
                         masks = generate_output_masks(d, pred_i, color_map)
                         result = (d, pred_i, masks.color, masks.overlay, masks.inverted_overlay)
                     else:

@@ -258,14 +258,10 @@ def cc_min_label(ink, interpret: bool = False):
     return cc_min_label_tiled(ink, band=_fit_band(w), interpret=interpret)
 
 
-def cc_vote_pallas(pred, binary, n_classes: int, interpret: bool = False):
-    """cc-majority vote with the Pallas labeler (device counterpart of
-    inference/postprocess.vote_connected_component_class)."""
-    pred = jnp.asarray(pred)
-    ink = jnp.asarray(binary) != 0
+def _vote_from_labels(pred, ink, labels, n_classes: int):
+    """Majority class per component from converged min-labels: one
+    segment-sum histogram over (component, class), argmax, scatter-back."""
     h, w = pred.shape
-    labels, _ = cc_min_label(ink, interpret=interpret)
-
     comp = labels.ravel()
     classes = pred.ravel().astype(jnp.int32)
     counts = jax.ops.segment_sum(
@@ -276,3 +272,33 @@ def cc_vote_pallas(pred, binary, n_classes: int, interpret: bool = False):
     majority = jnp.argmax(counts, axis=1).astype(pred.dtype)
     voted = jnp.take(majority, comp).reshape(h, w)
     return jnp.where(ink, voted, pred)
+
+
+def cc_vote_pallas(pred, binary, n_classes: int, interpret: bool = False):
+    """cc-majority vote with the Pallas labeler (device counterpart of
+    inference/postprocess.vote_connected_component_class)."""
+    pred = jnp.asarray(pred)
+    ink = jnp.asarray(binary) != 0
+    labels, _ = cc_min_label(ink, interpret=interpret)
+    return _vote_from_labels(pred, ink, labels, n_classes)
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes", "interpret"))
+def cc_vote_batch(pred, binary, n_classes: int, interpret: bool = False):
+    """Batched cc-majority vote: (N, H, W) pred + ink voted entirely on
+    device — one dispatch for the whole batch instead of a per-page
+    round-trip (the per-page path is link-bound: ~6 ms/page over the
+    tunneled chip vs 0.3 ms of labeler compute).  ``lax.map`` runs pages
+    sequentially; each page's label map uses the size-dispatched kernel
+    (VMEM-resident when it fits, tiled bands otherwise)."""
+    from jax import lax
+
+    pred = jnp.asarray(pred)
+    ink = jnp.asarray(binary) != 0
+
+    def one(args):
+        page_pred, page_ink = args
+        labels, _ = cc_min_label(page_ink, interpret=interpret)
+        return _vote_from_labels(page_pred, page_ink, labels, n_classes)
+
+    return lax.map(one, (pred, ink))

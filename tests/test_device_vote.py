@@ -1,0 +1,106 @@
+"""Batched on-device cc-majority vote (fused fast path) vs host parity.
+
+The ROADMAP item this closes: the per-page device vote was link-bound
+(~6 ms/page over the tunneled chip); `cc_vote_batch` votes a whole batch in
+the same dispatch as the forward pass, with the ink mask uploaded 1-bit
+packed.  Host `vote_connected_component_class` (reference postprocess.py:9-26
+semantics) is the exactness oracle.
+"""
+import numpy as np
+
+from page_segmentation_tpu.data.dataset import SingleData
+from page_segmentation_tpu.inference.postprocess import vote_connected_component_class
+from page_segmentation_tpu.ops.pallas_cc import cc_vote_batch
+
+
+def test_cc_vote_batch_matches_host():
+    rng = np.random.RandomState(0)
+    preds = rng.randint(0, 3, (3, 24, 32)).astype(np.int32)
+    inks = (rng.rand(3, 24, 32) > 0.6).astype(np.uint8)
+    got = np.asarray(cc_vote_batch(preds, inks, n_classes=3, interpret=True))
+    for i in range(3):
+        want = vote_connected_component_class(preds[i], SingleData(binary=inks[i]))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_cc_vote_batch_empty_and_full_ink():
+    preds = np.stack([np.zeros((16, 16), np.int32), np.ones((16, 16), np.int32)])
+    inks = np.stack([np.zeros((16, 16), np.uint8), np.ones((16, 16), np.uint8)])
+    got = np.asarray(cc_vote_batch(preds, inks, n_classes=3, interpret=True))
+    np.testing.assert_array_equal(got[0], preds[0])  # no ink: unchanged
+    np.testing.assert_array_equal(got[1], preds[1])  # one component, all class 1
+
+
+def test_pack_unpack_bits_roundtrip():
+    from page_segmentation_tpu.inference.output import pack_bits_host, unpack_bits_device
+
+    rng = np.random.RandomState(1)
+    mask = rng.rand(2, 16, 40) > 0.5
+    packed = pack_bits_host(mask)
+    assert packed.shape == (2, 16, 5)
+    np.testing.assert_array_equal(np.asarray(unpack_bits_device(packed)), mask)
+
+
+def test_predict_batch_masks_device_vote_parity():
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+
+    classifier = PixelClassifier(n_classes=3)
+    rng = np.random.RandomState(2)
+    images = rng.randint(0, 256, (2, 32, 40)).astype(np.uint8)  # W%8==0: packed ink
+    binaries = (rng.rand(2, 32, 40) > 0.5).astype(np.uint8)
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], np.uint8)
+
+    pred_plain, _ = classifier.predict_batch_masks(images, binaries, palette)
+    pred_voted, masks = classifier.predict_batch_masks(
+        images, binaries, palette, device_vote=True
+    )
+    for i in range(2):
+        want = vote_connected_component_class(
+            pred_plain[i].astype(np.int32), SingleData(binary=binaries[i])
+        )
+        np.testing.assert_array_equal(pred_voted[i], want.astype(np.uint8))
+    # mask trio is built from the voted class map
+    color = masks[0]
+    np.testing.assert_array_equal(color[0], palette[np.minimum(pred_voted[0], 2)])
+
+
+def test_fast_path_device_vote_matches_host_chain():
+    """predict_dataset_fast with device_post_process on == host cc-vote chain."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.data.dataset import Dataset
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+
+    rng = np.random.RandomState(3)
+    pages = [
+        SingleData(
+            image=rng.randint(0, 256, (32, 40)).astype(np.uint8),
+            binary=(rng.rand(32, 40) > 0.5).astype(np.uint8),
+            output_path=f"p{i}.png",
+        )
+        for i in range(3)
+    ]
+    dataset = Dataset(pages, DEFAULT_IMAGE_MAP)
+    classifier = PixelClassifier(n_classes=3)
+
+    def run(device_flag):
+        settings = PredictSettings(
+            n_classes=3,
+            color_map=DEFAULT_IMAGE_MAP,
+            post_process=[vote_connected_component_class],
+            device_post_process=device_flag,
+        )
+        return list(
+            Predictor(settings, network=classifier).predict_dataset_fast(
+                dataset, batch_size=2
+            )
+        )
+
+    host = run(False)
+    dev = run(True)
+    assert len(host) == len(dev) == 3
+    for (_, hp, hc, ho, hi), (_, dp, dc, do, di) in zip(host, dev):
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(dp))
+        np.testing.assert_array_equal(hc, dc)
+        np.testing.assert_array_equal(ho, do)
+        np.testing.assert_array_equal(hi, di)
