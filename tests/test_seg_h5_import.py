@@ -113,21 +113,62 @@ CASES = {
         Architecture.EFFNETB1,
         lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb1"),
     ),
+    # the loaders are variant-generic (width/depth scaling inferred from the
+    # weight structure); gate a middle variant and the largest one so the
+    # whole B0-B7 family is covered by interpolation
+    "effb3": (
+        lambda: _keras_eff_net(tf.keras.applications.EfficientNetB3),
+        Architecture.EFFNETB3,
+        lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb3"),
+    ),
+    "effb7": (
+        lambda: _keras_eff_net(tf.keras.applications.EfficientNetB7),
+        Architecture.EFFNETB7,
+        lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb7"),
+    ),
 }
+
+
+def _calibrate_bn(model, x):
+    """One pass of BN moving-stat calibration on ``x``.
+
+    Untrained BN (mean 0, var 1) lets deep random-weight residual chains
+    amplify chaotically (EffNet-B7 reaches 1e6 activations at 96x96, and
+    fp drift destroys argmax agreement); setting each BN's moving stats to
+    the actual input statistics keeps every activation O(1) — and makes
+    the roundtrip exercise non-trivial moving means/variances.  Exactly
+    one pass: re-calibrating on already-normalized activations divides
+    near-constant channels by their tiny variance and re-explodes.
+    """
+    bns = [l for l in model.layers if isinstance(l, tf.keras.layers.BatchNormalization)]
+    if not bns:
+        return
+    probe = tf.keras.Model(model.input, [bn.input for bn in bns])
+    for bn, act in zip(bns, probe(x, training=False)):
+        arr = np.asarray(act, np.float64)
+        axes = tuple(range(arr.ndim - 1))
+        gamma, beta = bn.get_weights()[:2]
+        mean = arr.mean(axes).astype(np.float32)
+        var = np.maximum(arr.var(axes), 1e-6).astype(np.float32)
+        bn.set_weights([gamma, beta, mean, var])
 
 
 @pytest.mark.parametrize("name", list(CASES))
 def test_seg_model_h5_roundtrip(name, tmp_path):
     build_keras, arch, build_flax = CASES[name]
     keras_model = build_keras()
+
+    rng = np.random.RandomState(0)
+    x = (rng.rand(1, HW, HW, 3) * 255).astype(np.float32)
+
+    if name in ("effb3", "effb7"):
+        _calibrate_bn(keras_model, x)
+
     path = str(tmp_path / f"{name}.h5")
     keras_model.save(path)
 
     variables, detected = load_keras_variables(path, arch, N_CLASSES)
     assert detected == arch
-
-    rng = np.random.RandomState(0)
-    x = (rng.rand(1, HW, HW, 3) * 255).astype(np.float32)
 
     module = build_flax()
     init = module.init(jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)))
@@ -140,7 +181,10 @@ def test_seg_model_h5_roundtrip(name, tmp_path):
 
     agreement = (ours.argmax(-1) == theirs.argmax(-1)).mean()
     assert agreement >= 0.999, f"{name}: argmax agreement {agreement:.5f}"
-    np.testing.assert_allclose(ours, theirs, atol=0.05)
+    # deeper variants accumulate more conv-order float drift at logit
+    # magnitudes of ~60; the argmax gate above is the parity criterion
+    atol = 0.25 if name in ("effb3", "effb7") else 0.05
+    np.testing.assert_allclose(ours, theirs, atol=atol)
 
 
 def test_pretrained_encoder_finetune_flow(tmp_path):
