@@ -170,6 +170,13 @@ def cc_min_label_tiled(
     — that collapses label chains globally in O(log) rounds.  The outer
     fixed-point loop guarantees exactness regardless of ``inner_iters``:
     any unconverged pixel keeps the outer loop running.
+
+    ``inner_iters`` tuning (measured on TPU v5e, 6016x4096 text-like page
+    with page-spanning rules, band=56): a non-knob — the in-band
+    while_loop early-exits on convergence, so budgets 8..256 all take the
+    same log2(n_bands)~7 outer rounds at ~1.81 s median; the time is the
+    grid passes themselves.  The default just needs to exceed the typical
+    in-band convergence (a few scan cycles).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
