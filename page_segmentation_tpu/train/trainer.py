@@ -125,6 +125,15 @@ class TrainSettings(NamedTuple):
     compact_transfer: bool = True
 
 
+def _weighted_means(weighted_metrics) -> dict:
+    """Mean of per-batch metric dicts weighted by batch page count."""
+    total = float(sum(n for n, _ in weighted_metrics))
+    return {
+        k: float(sum(n * float(m[k]) for n, m in weighted_metrics)) / total
+        for k in weighted_metrics[0][1]
+    }
+
+
 class _NullLogger:
     """Scalar-logger stand-in for non-writer processes in multi-host runs."""
 
@@ -530,7 +539,7 @@ class Trainer:
                     self.params, self.model_state, self.opt_state, step_metrics = self._train_step(
                         self.params, self.model_state, self.opt_state, batch, step_key
                     )
-                    epoch_metrics.append(step_metrics)
+                    epoch_metrics.append((len(batches[index]), step_metrics))
                     if callback:
                         callback.update_loss(
                             global_step,
@@ -539,9 +548,10 @@ class Trainer:
                         )
                     global_step += 1
 
-            train_avg = {
-                k: float(np.mean([float(m[k]) for m in epoch_metrics])) for k in epoch_metrics[0]
-            }
+            # page-count-weighted epoch means: batches differ in size
+            # (ragged bucket tails), so an equal-weight mean over batches
+            # would over-weight small ones
+            train_avg = _weighted_means(epoch_metrics)
             record = {"epoch": epoch, "lr": lr, **{k: v for k, v in train_avg.items()}}
 
             val_avg = None
@@ -619,8 +629,8 @@ class Trainer:
         results = []
         for samples in self._bucketed_batches(dataset, self.settings.batch_size):
             batch = self._place_batch(self._make_batch(samples, augment=False, rng=None))
-            results.append(self._eval_step(self.params, self.model_state, batch))
-        return {k: float(np.mean([float(m[k]) for m in results])) for k in results[0]}
+            results.append((len(samples), self._eval_step(self.params, self.model_state, batch)))
+        return _weighted_means(results)
 
     # --------------------------------------------------------------- helpers
     def _pad_for_mesh(self, batch, n_dev: Optional[int] = None):

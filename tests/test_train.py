@@ -330,3 +330,13 @@ def test_compact_unpack_zeroes_padding_for_imagenet_modes():
     m_compact = eval_step(params, {}, compact)
     m_float = eval_step(params, {}, float_batch)
     np.testing.assert_allclose(float(m_compact["loss"]), float(m_float["loss"]), rtol=1e-6)
+
+
+def test_weighted_means_page_count():
+    """Epoch/eval averages weight batches by page count, not equally —
+    a ragged tail batch must not be over-weighted."""
+    from page_segmentation_tpu.train.trainer import _weighted_means
+
+    batches = [(4, {"loss": 1.0}), (1, {"loss": 6.0})]
+    out = _weighted_means(batches)
+    assert out["loss"] == pytest.approx((4 * 1.0 + 1 * 6.0) / 5)
