@@ -35,9 +35,13 @@ class ParallelPredictor:
         pad = (-n) % n_dev
         if pad:
             images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-        x = np.asarray(
-            self.classifier.preprocess(np.asarray(images, np.float32)), np.float32
-        )[..., None]
+        if self.classifier.rgb and images.ndim == 3:
+            pixels = np.stack([images] * 3, axis=-1).astype(np.float32)
+        else:
+            pixels = np.asarray(images, np.float32)
+        x = np.asarray(self.classifier.preprocess(pixels), np.float32)
+        if x.ndim == 3:
+            x = x[..., None]
         sharded = shard_batch(self.mesh, {"x": x}, self.data_axis)["x"]
         logits = self._forward(self.classifier.variables, sharded)
         pred = jnp.argmax(logits, axis=-1)

@@ -72,3 +72,35 @@ def test_trainer_load_fallback(tmp_path):
         Trainer(
             TrainSettings(**base, load=str(tmp_path / "missing_ckpt"), continue_training=True)
         )
+
+
+def test_parallel_predict_rgb_architecture():
+    """RGB (pretrained-encoder) models get 3-channel expansion + their own
+    preprocess in the parallel executor, same as the single path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    import numpy as np
+
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.executor import ParallelPredictor
+    from page_segmentation_tpu.parallel.mesh import make_mesh
+
+    classifier = PixelClassifier(n_classes=3, architecture=Architecture.MOBILE_NET)
+    rng = np.random.RandomState(0)
+    images = rng.randint(0, 256, (2, 64, 64)).astype(np.uint8)
+
+    parallel = ParallelPredictor(classifier, make_mesh(2))
+    pred = parallel.predict_batch(images)
+    assert pred.shape == (2, 64, 64)
+
+    # must equal the single-device forward
+    single = []
+    for img in images:
+        from page_segmentation_tpu.data.dataset import SingleData
+
+        _, _, p = classifier.predict_single_data(SingleData(image=img))
+        single.append(p)
+    np.testing.assert_array_equal(pred, np.stack(single))
