@@ -75,15 +75,19 @@ PEAK_FLOPS = 394e12
 
 def main():
     parser = argparse.ArgumentParser()
+    # batch 48 measured ~40% faster than 24 on the tunneled v5e (fewer
+    # link round-trips per page; 96/48 = 2 batches per rep still overlap)
     parser.add_argument("--pages", type=int, default=96)
-    parser.add_argument("--batch", type=int, default=24)
+    parser.add_argument("--batch", type=int, default=48)
     parser.add_argument("--height", type=int, default=3508)  # A4 @ 300 DPI
     parser.add_argument("--width", type=int, default=2480)
     parser.add_argument("--target-line-height", type=int, default=6)
     parser.add_argument("--host-decimate", type=int, default=8)
     parser.add_argument("--download", default="packed", choices=["color", "pred", "packed"])
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
-    parser.add_argument("--repeats", type=int, default=7)
+    # the tunneled link fluctuates several-x between reps; more reps keep
+    # the median robust to cold/stalled ones (time budget still bounds it)
+    parser.add_argument("--repeats", type=int, default=9)
     parser.add_argument("--skip-train", action="store_true",
                         help="omit the train-step throughput side metric")
     parser.add_argument("--mode", default="predict", choices=["predict", "train"],
