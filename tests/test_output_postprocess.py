@@ -204,3 +204,37 @@ def test_pack_classes_wire_dtype():
     assert packed.dtype == jnp.uint8
     assert packed.shape == (2, 8, 4)
     np.testing.assert_array_equal(unpack_classes(np.asarray(packed)), np.asarray(pred))
+
+
+def test_throughput_predictor_odd_page_shape():
+    """Page dims not divisible by host_decimate (and odd normalized dims)
+    still produce the exact trio shapes, in every download mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    module = FCNSkip(n_classes=3)
+    rng = np.random.RandomState(1)
+    h, w = 403, 301  # not multiples of 8
+    pages = rng.randint(0, 255, (2, h, w)).astype(np.uint8)
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+    outs = {}
+    for mode in ("pred", "packed", "color"):
+        tp = ThroughputPredictor(module, params, DEFAULT_IMAGE_MAP.palette,
+                                 (h, w), 6 / 50, host_decimate=8,
+                                 compute_dtype=jnp.float32, download=mode)
+        got = list(tp.run(pages, binaries, batch_size=3))
+        assert len(got) == 1
+        color, overlay, inverted = got[0]
+        out_h, out_w = tp.fused.valid_shape
+        assert color.shape == (2, out_h, out_w, 3)
+        assert overlay.shape == color.shape and inverted.shape == color.shape
+        outs[mode] = got[0]
+    for i in range(3):
+        np.testing.assert_array_equal(outs["pred"][i], outs["packed"][i])
+        np.testing.assert_array_equal(outs["pred"][i], outs["color"][i])
