@@ -84,6 +84,9 @@ def main():
     parser.add_argument("--target-line-height", type=int, default=6)
     parser.add_argument("--host-decimate", type=int, default=8)
     parser.add_argument("--download", default="packed", choices=["color", "pred", "packed"])
+    parser.add_argument("--cc-vote", action="store_true",
+                        help="fuse the on-device cc-majority vote into the dispatch "
+                             "(the BASELINE on-device connected-components config)")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     # the tunneled link fluctuates several-x between reps; more reps keep
     # the median robust to cold/stalled ones (time budget still bounds it)
@@ -128,6 +131,7 @@ def main():
         host_decimate=args.host_decimate,
         compute_dtype=compute_dtype,
         download=args.download,
+        cc_vote=args.cc_vote,
     )
     print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
 
@@ -144,9 +148,15 @@ def main():
     rates = []
     measure_start = time.perf_counter()
     for rep in range(args.repeats):
+        # unique batch content per rep (rolled page order, outside the
+        # timer): the tunneled chip content-caches repeated dispatches —
+        # identical replays time dishonestly and can replay Pallas-bearing
+        # programs as empty buffers
+        pages_rep = np.roll(pages, rep + 1, axis=0)
+        binaries_rep = np.roll(binaries, rep + 1, axis=0)
         start = time.perf_counter()
         total = 0
-        for color, overlay, inverted in predictor.run(pages, binaries, batch_size=args.batch):
+        for color, overlay, inverted in predictor.run(pages_rep, binaries_rep, batch_size=args.batch):
             total += color.shape[0]
         elapsed = time.perf_counter() - start
         rate = total / elapsed

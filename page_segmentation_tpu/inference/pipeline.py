@@ -46,20 +46,28 @@ def make_fused_predict(
     bucket_granularity: int = 1,
     compute_dtype=jnp.bfloat16,
     download: str = "color",
+    cc_vote: bool = False,
 ):
-    """Jitted fn(variables, pages_u8 (N, hd, wd), palette): device cubic
-    resample to ``normalized_shape``, invert/normalize, pad to the bucket,
-    forward, argmax.  ``download='color'`` returns the palette-gathered RGB
-    mask (N, pad_h, pad_w, 3) uint8; ``download='pred'`` returns the raw
-    class map (N, pad_h, pad_w) uint8 — 3x fewer bytes over the link, with
-    the palette gather done host-side; ``download='packed'`` packs 4
-    pixels/byte (2-bit classes, n_classes <= 4) — 12x fewer bytes."""
+    """Jitted fn(variables, pages_u8 (N, hd, wd), palette[, ink_packed]):
+    device cubic resample to ``normalized_shape``, invert/normalize, pad to
+    the bucket, forward, argmax.  ``download='color'`` returns the
+    palette-gathered RGB mask (N, pad_h, pad_w, 3) uint8;
+    ``download='pred'`` returns the raw class map (N, pad_h, pad_w) uint8 —
+    3x fewer bytes over the link, with the palette gather done host-side;
+    ``download='packed'`` packs 4 pixels/byte (2-bit classes,
+    n_classes <= 4) — 12x fewer bytes.
+
+    ``cc_vote=True`` adds the cc-majority post-processor on device
+    (BASELINE "on-device connected-components + overlay" throughput
+    config): the fused fn takes a 1-bit-packed ink mask
+    (N, pad_h, pad_w//8) and the Pallas CC labeler + histogram vote run
+    before the download."""
     out_h, out_w = normalized_shape
     pad_h = round_up(out_h, stride_factor * bucket_granularity)
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
 
     @jax.jit
-    def fused(variables, pages_u8, palette):
+    def fused(variables, pages_u8, palette, ink_packed=None):
         n = pages_u8.shape[0]
         img = pages_u8.astype(jnp.float32)
         img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
@@ -67,6 +75,15 @@ def make_fused_predict(
         img = jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
         logits = module.apply(variables, img[..., None].astype(compute_dtype))
         pred = jnp.argmax(logits, axis=-1)
+        if cc_vote:
+            from ..ops.pallas_cc import cc_vote_batch
+            from .output import unpack_bits_device
+
+            interpret = jax.default_backend() != "tpu"
+            ink = unpack_bits_device(ink_packed)
+            pred = cc_vote_batch(
+                pred, ink, n_classes=logits.shape[-1], interpret=interpret
+            )
         if download == "packed":
             # 2 bits/class, 4 pixels/byte: the link carries 1/4 the bytes
             # of the raw class map (valid while n_classes <= 4)
@@ -100,11 +117,13 @@ class ThroughputPredictor:
         stride_factor: int = 8,
         compute_dtype=jnp.bfloat16,
         download: str = "color",
+        cc_vote: bool = False,
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
         self.host_decimate = host_decimate
         self.download = download
+        self.cc_vote = cc_vote
         out_h = int(np.round(in_h * scale))
         out_w = int(np.round(in_w * scale))
         dec_h, dec_w = in_h // host_decimate, in_w // host_decimate
@@ -112,7 +131,7 @@ class ThroughputPredictor:
         self.fused = make_fused_predict(
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
-            download=download,
+            download=download, cc_vote=cc_vote,
         )
         self.palette_np = np.asarray(palette, np.uint8)
         if not isinstance(variables, dict) or "params" not in variables:
@@ -182,6 +201,24 @@ class ThroughputPredictor:
         def prep(start):
             stop = min(start + batch_size, n)
             return self._prep(pages[start:stop], binaries[start:stop])
+
+        if self.cc_vote:
+            # fully sequential: the tunneled runtime corrupts (empties) the
+            # download of a Pallas-bearing program when any other device
+            # interaction — a concurrent device_put from the prefetch
+            # thread, or the next dispatch — overlaps it
+            pad_h, pad_w = self.fused.padded_shape
+            for start in starts:
+                dec_dev, ink = prep(start)
+                m, h, w = ink.shape
+                padded = np.zeros((m, pad_h, pad_w), bool)
+                padded[:, :h, :w] = ink
+                color_dev = self.fused(
+                    self.variables, dec_dev, self.palette_dev,
+                    jax.device_put(np.packbits(padded, axis=-1)),
+                )
+                yield self._finish(np.asarray(color_dev), ink)
+            return
 
         with ThreadPoolExecutor(max_workers=2) as pool:
             next_prep = pool.submit(prep, starts[0])

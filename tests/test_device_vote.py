@@ -104,3 +104,56 @@ def test_fast_path_device_vote_matches_host_chain():
         np.testing.assert_array_equal(hc, dc)
         np.testing.assert_array_equal(ho, do)
         np.testing.assert_array_equal(hi, di)
+
+
+def test_throughput_pipeline_device_cc_vote():
+    """ThroughputPredictor(cc_vote=True): the fused dispatch's voted class
+    map equals host cc-vote applied to the unvoted class map, and run()
+    yields the trio built from the voted labels."""
+    import jax
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.output import pack_bits_host, unpack_classes
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    module = FCNSkip(n_classes=3)
+    rng = np.random.RandomState(4)
+    h, w = 400, 296
+    pages = rng.randint(0, 255, (2, h, w)).astype(np.uint8)
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+    def build(cc):
+        return ThroughputPredictor(
+            module, params, DEFAULT_IMAGE_MAP.palette, (h, w), 6 / 50,
+            host_decimate=8, compute_dtype=jnp.float32, download="pred",
+            cc_vote=cc,
+        )
+
+    plain, voted = build(False), build(True)
+    dec_dev, ink = plain._prep(pages, binaries)
+    pad_h, pad_w = plain.fused.padded_shape
+    ink_padded = np.zeros((2, pad_h, pad_w), bool)
+    ink_padded[:, : ink.shape[1], : ink.shape[2]] = ink
+
+    pred = np.asarray(plain.fused(plain.variables, dec_dev, plain.palette_dev))
+    got = np.asarray(
+        voted.fused(
+            voted.variables, dec_dev, voted.palette_dev,
+            jax.device_put(pack_bits_host(ink_padded)),
+        )
+    )
+    for i in range(2):
+        want = vote_connected_component_class(
+            pred[i].astype(np.int32), SingleData(binary=ink_padded[i].astype(np.uint8))
+        )
+        np.testing.assert_array_equal(got[i], want.astype(np.uint8))
+
+    # run() end to end: trio equals the trio of the voted labels
+    trio = list(voted.run(pages, binaries, batch_size=2))[0]
+    out_h, out_w = voted.fused.valid_shape
+    palette = np.asarray(DEFAULT_IMAGE_MAP.palette, np.uint8)
+    exp_color = palette[np.minimum(got[:, :out_h, :out_w], 2)]
+    np.testing.assert_array_equal(trio[0], exp_color)
