@@ -47,6 +47,8 @@ def make_fused_predict(
     compute_dtype=jnp.bfloat16,
     download: str = "color",
     cc_vote: bool = False,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Jitted fn(variables, pages_u8 (N, hd, wd), palette[, ink_packed]):
     device cubic resample to ``normalized_shape``, invert/normalize, pad to
@@ -61,13 +63,17 @@ def make_fused_predict(
     (BASELINE "on-device connected-components + overlay" throughput
     config): the fused fn takes a 1-bit-packed ink mask
     (N, pad_h, pad_w//8) and the Pallas CC labeler + histogram vote run
-    before the download."""
+    before the download.
+
+    ``mesh`` data-parallelizes the whole program over its ``data_axis``
+    with ``shard_map`` (every stage is per-page independent, so the only
+    communication is the initial scatter/final gather; N must be a
+    multiple of the axis size — the ThroughputPredictor pads)."""
     out_h, out_w = normalized_shape
     pad_h = round_up(out_h, stride_factor * bucket_granularity)
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
 
-    @jax.jit
-    def fused(variables, pages_u8, palette, ink_packed=None):
+    def core(variables, pages_u8, palette, ink_packed=None):
         n = pages_u8.shape[0]
         img = pages_u8.astype(jnp.float32)
         img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
@@ -94,6 +100,29 @@ def make_fused_predict(
             return pred.astype(jnp.uint8)
         return jnp.take(palette, jnp.clip(pred, 0, palette.shape[0] - 1), axis=0)
 
+    if mesh is None:
+        fused = jax.jit(core)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        batch = P(data_axis)
+        if cc_vote:
+            # check_vma=False: the Pallas labeler's out_shape carries no
+            # varying-mesh-axes annotation, which strict shard_map rejects
+            sharded = shard_map(
+                core, mesh=mesh,
+                in_specs=(P(), batch, P(), batch), out_specs=batch,
+                check_vma=False,
+            )
+            fused = jax.jit(lambda v, x, p, ink: sharded(v, x, p, ink))
+        else:
+            sharded = shard_map(
+                lambda v, x, p: core(v, x, p), mesh=mesh,
+                in_specs=(P(), batch, P()), out_specs=batch,
+            )
+            fused = jax.jit(sharded)
+
     fused.valid_shape = (out_h, out_w)
     fused.padded_shape = (pad_h, pad_w)
     return fused
@@ -118,12 +147,19 @@ class ThroughputPredictor:
         compute_dtype=jnp.bfloat16,
         download: str = "color",
         cc_vote: bool = False,
+        mesh=None,
+        data_axis: str = "data",
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
         self.host_decimate = host_decimate
         self.download = download
         self.cc_vote = cc_vote
+        self.mesh = mesh
+        self.data_axis = data_axis
+        self._mesh_size = (
+            dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis] if mesh else 1
+        )
         out_h = int(np.round(in_h * scale))
         out_w = int(np.round(in_w * scale))
         dec_h, dec_w = in_h // host_decimate, in_w // host_decimate
@@ -131,7 +167,7 @@ class ThroughputPredictor:
         self.fused = make_fused_predict(
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
-            download=download, cc_vote=cc_vote,
+            download=download, cc_vote=cc_vote, mesh=mesh, data_axis=data_axis,
         )
         self.palette_np = np.asarray(palette, np.uint8)
         if not isinstance(variables, dict) or "params" not in variables:
@@ -145,6 +181,19 @@ class ThroughputPredictor:
     # native C kernels (ps_native.cpp) run the host stages GIL-free at
     # ~3x the PIL/numpy speed on the 1-core host; the PIL/numpy path
     # remains as the no-toolchain fallback
+    def _put(self, arr: np.ndarray):
+        """Place a host batch on the device(s): mesh mode pads the batch to
+        a multiple of the data-axis size (zero pages, cropped in _finish)
+        and scatters it across the mesh."""
+        if self.mesh is None:
+            return jax.device_put(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pad = (-arr.shape[0]) % self._mesh_size
+        if pad:
+            arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+        return jax.device_put(arr, NamedSharding(self.mesh, P(self.data_axis)))
+
     def _prep(self, pages: np.ndarray, binaries: np.ndarray):
         """Decimate pages (box mean) + nearest-gather the ink mask."""
         from .. import native
@@ -153,7 +202,7 @@ class ThroughputPredictor:
         if dec is not None:
             dec = dec[:, : self.decimated_shape[0], : self.decimated_shape[1]]
             ink = native.gather_ink(binaries, self.row_idx, self.col_idx)
-            return jax.device_put(dec), ink.astype(bool)
+            return self._put(dec), ink.astype(bool)
 
         from PIL import Image
 
@@ -166,9 +215,10 @@ class ThroughputPredictor:
             dec[i] = arr[: self.decimated_shape[0], : self.decimated_shape[1]]
             # ink = 1 where the binarized image is dark (dataset.py:135-136)
             ink[i] = binaries[i][np.ix_(self.row_idx, self.col_idx)] < 128
-        return jax.device_put(dec), ink
+        return self._put(dec), ink
 
     def _finish(self, downloaded: np.ndarray, ink: np.ndarray):
+        downloaded = downloaded[: ink.shape[0]]  # drop mesh-padding pages
         h, w = ink.shape[1:]
         if self.download == "packed":
             from .output import unpack_classes
@@ -215,7 +265,7 @@ class ThroughputPredictor:
                 padded[:, :h, :w] = ink
                 color_dev = self.fused(
                     self.variables, dec_dev, self.palette_dev,
-                    jax.device_put(np.packbits(padded, axis=-1)),
+                    self._put(np.packbits(padded, axis=-1)),
                 )
                 yield self._finish(np.asarray(color_dev), ink)
             return

@@ -1,0 +1,50 @@
+"""Data-parallel ThroughputPredictor over a device mesh == single device.
+
+BASELINE throughput config: "1k-page corpus, on-device
+connected-components + overlay, data-parallel across chips".  The fused
+predict program shards over the mesh's data axis with shard_map; every
+stage is per-page independent, so mesh results must equal the
+single-device path exactly — including ragged batches (padded with zero
+pages, cropped on download) and the fused cc-vote.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+from page_segmentation_tpu.models.fcn import FCNSkip
+from page_segmentation_tpu.parallel.mesh import make_mesh
+
+
+def _build(mesh, download, cc_vote, h, w):
+    module = FCNSkip(n_classes=3)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    return ThroughputPredictor(
+        module, params, DEFAULT_IMAGE_MAP.palette, (h, w), 6 / 50,
+        host_decimate=8, compute_dtype=jnp.float32, download=download,
+        cc_vote=cc_vote, mesh=mesh,
+    )
+
+
+@pytest.mark.parametrize("download,cc_vote", [("packed", False), ("color", False), ("pred", True)])
+def test_mesh_matches_single_device(download, cc_vote):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(4)
+    rng = np.random.RandomState(0)
+    h, w = 400, 296
+    n = 6  # ragged vs the 4-device mesh: exercises zero-page padding
+    pages = rng.randint(0, 255, (n, h, w)).astype(np.uint8)
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+
+    single = _build(None, download, cc_vote, h, w)
+    parallel = _build(mesh, download, cc_vote, h, w)
+
+    got_s = list(single.run(pages, binaries, batch_size=n))[0]
+    got_m = list(parallel.run(pages, binaries, batch_size=n))[0]
+    for a, b in zip(got_s, got_m):
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
