@@ -38,11 +38,17 @@ def _run_workers():
 
 def test_two_process_train_step():
     # process coordination over localhost can time out when the 1-core
-    # host is saturated by parallel compiles; one retry absorbs that
-    try:
-        outputs = _run_workers()
-    except RuntimeError:
-        outputs = _run_workers()
+    # host is saturated by parallel compiles; retry with a cooldown
+    import time
+
+    for attempt in range(3):
+        try:
+            outputs = _run_workers()
+            break
+        except RuntimeError:
+            if attempt == 2:
+                raise
+            time.sleep(30)
 
     losses = {}
     for out in outputs:
