@@ -44,11 +44,12 @@ def __getattr__(name):
         "get_text_contours": ("page_segmentation_tpu.segmentation.pc_segmentation", "get_text_contours"),
         "build_pagexml": ("page_segmentation_tpu.pagexml.xml_gen", "build_pagexml"),
         "save_pagexml": ("page_segmentation_tpu.pagexml.xml_gen", "save_pagexml"),
-        "distributed": ("page_segmentation_tpu.parallel", "distributed"),
+        "distributed": ("page_segmentation_tpu.parallel.distributed", None),
     }
     if name in lazy:
         import importlib
 
         module, attr = lazy[name]
-        return getattr(importlib.import_module(module), attr)
+        mod = importlib.import_module(module)
+        return mod if attr is None else getattr(mod, attr)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
