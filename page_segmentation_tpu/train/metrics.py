@@ -166,7 +166,10 @@ def categorical_focal_loss(labels, logits, gamma: float = 2.0, alpha: float = 0.
     y_pred = jnp.clip(logits, EPSILON, 1.0 - EPSILON)
     focal = -one_hot * (alpha * jnp.power(1.0 - y_pred, gamma) * jnp.log(y_pred))
     if weights is not None:
-        focal = focal * weights.astype(focal.dtype)[..., None]
+        # normalize by valid elements only — a plain mean would shrink the
+        # loss with the padding fraction of the bucketed batch
+        w = weights.astype(focal.dtype)[..., None]
+        return jnp.sum(focal * w) / jnp.maximum(jnp.sum(w) * n_classes, 1.0) * 100.0
     return jnp.mean(focal) * 100.0
 
 

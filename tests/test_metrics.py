@@ -92,3 +92,25 @@ def test_monitor_mode():
     assert M.Monitor.VAL_ACCURACY.mode == "max"
     assert M.Monitor.VAL_LOSS.is_validation
     assert not M.Monitor.LOSS.is_validation
+
+
+def test_focal_loss_padding_invariant():
+    """Padding a batch (with weights marking valid pixels) must not change
+    the focal loss — a plain mean would shrink with the padding fraction."""
+    import numpy as np
+
+    from page_segmentation_tpu.train import metrics as M
+
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 3, (2, 8, 10)).astype(np.int32)
+    logits = rng.randn(2, 8, 10, 3).astype(np.float32)
+    base = float(M.categorical_focal_loss(labels, logits))
+
+    padded_labels = np.zeros((2, 16, 12), np.int32)
+    padded_logits = np.zeros((2, 16, 12, 3), np.float32)
+    weights = np.zeros((2, 16, 12), np.float32)
+    padded_labels[:, :8, :10] = labels
+    padded_logits[:, :8, :10] = logits
+    weights[:, :8, :10] = 1.0
+    padded = float(M.categorical_focal_loss(padded_labels, padded_logits, weights=weights))
+    np.testing.assert_allclose(padded, base, rtol=1e-5)
