@@ -117,7 +117,7 @@ def cmd_predict(args) -> int:
     predictor = Predictor(settings)
 
     count = 0
-    if args.fast and not args.high_res_output:
+    if args.fast:
         for _ in predictor.predict_dataset_fast(dataset, batch_size=args.batch_size, write_output=True):
             count += 1
     else:

@@ -111,7 +111,14 @@ class Predictor:
             import jax
 
             device_vote = jax.default_backend() == "tpu"
-        device_vote = bool(device_vote) and post == [vote_connected_component_class]
+        # high_res_output post-processes at the original scale (after the
+        # upscale, reference predictor.py:35-41), so the normalized-scale
+        # device vote would not be equivalent there
+        device_vote = (
+            bool(device_vote)
+            and post == [vote_connected_component_class]
+            and not self.settings.high_res_output
+        )
         host_post = None if device_vote else (post or None)
 
         groups = {}
@@ -144,10 +151,15 @@ class Predictor:
                 for i, d in enumerate(chunk):
                     h, w = d.image.shape[:2]
                     pred_i = pred_h[i, :h, :w]
-                    if host_post:
-                        # post-processors mutate the label map, so the mask
-                        # trio is rebuilt host-side from the final labels
-                        for post_fn in host_post:
+                    if self.settings.high_res_output:
+                        # reference predictor.py:35-36: upscale the label
+                        # map to the original page shape before post/output
+                        d, pred_i = scale_to_original_shape(d, pred_i)
+                    if host_post or self.settings.high_res_output:
+                        # post-processors mutate the label map (and high-res
+                        # rescales it), so the mask trio is rebuilt
+                        # host-side from the final labels
+                        for post_fn in host_post or []:
                             pred_i = post_fn(pred_i, d)
                         masks = generate_output_masks(d, pred_i, color_map)
                         result = (d, pred_i, masks.color, masks.overlay, masks.inverted_overlay)

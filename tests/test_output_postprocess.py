@@ -238,3 +238,44 @@ def test_throughput_predictor_odd_page_shape():
     for i in range(3):
         np.testing.assert_array_equal(outs["pred"][i], outs["packed"][i])
         np.testing.assert_array_equal(outs["pred"][i], outs["color"][i])
+
+
+def test_fast_path_high_res_output_matches_slow_path():
+    """predict_dataset_fast with high_res_output upscales the label map to
+    the original page shape before post/output, exactly like the per-page
+    path (reference predictor.py:35-41 ordering)."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.data.dataset import Dataset, SingleData
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.inference.postprocess import vote_connected_component_class
+    from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+
+    rng = np.random.RandomState(5)
+    pages = []
+    for i in range(2):
+        full = rng.randint(0, 256, (80, 64)).astype(np.uint8)
+        small = full[::2, ::2].copy()
+        pages.append(
+            SingleData(
+                image=small,
+                binary=(small > 128).astype(np.uint8),
+                orig_binary=(full > 128).astype(np.uint8),
+                original_shape=(80, 64),
+                output_path=f"p{i}.png",
+            )
+        )
+    dataset = Dataset(pages, DEFAULT_IMAGE_MAP)
+    classifier = PixelClassifier(n_classes=3)
+
+    settings = PredictSettings(
+        n_classes=3, color_map=DEFAULT_IMAGE_MAP, high_res_output=True,
+        post_process=[vote_connected_component_class],
+    )
+    predictor = Predictor(settings, network=classifier)
+
+    slow = [predictor.predict_single(d) for d in dataset.data]
+    fast = list(predictor.predict_dataset_fast(dataset, batch_size=2))
+    assert len(fast) == 2
+    for s, (fd, fp, fc, fo, fi) in zip(slow, fast):
+        assert fp.shape == (80, 64)
+        np.testing.assert_array_equal(np.asarray(fp), np.asarray(s.labels))
