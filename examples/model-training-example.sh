@@ -27,6 +27,11 @@ python -m page_segmentation_tpu.cli predict \
     --color_map "$COLOR_MAP"
 
 # --- optional variants -------------------------------------------------
+# throughput predict (batched fused device pipeline; a lone cc_majority
+# post-processor fuses onto the device as a batched Pallas CC vote):
+#   python -m page_segmentation_tpu.cli predict ... \
+#       --fast --batch_size 48 --dtype bfloat16 --post_process cc_majority
+#
 # fine-tune from a keras-applications backbone (imagenet weights file):
 #   python -m page_segmentation_tpu.cli train ... \
 #       --architecture mobile_net --pretrained_encoder mobilenetv2.h5
