@@ -170,6 +170,8 @@ class PixelClassifier:
         """
         palette = np.ascontiguousarray(palette, np.uint8)
         pack = self.n_classes <= 4 and images.shape[2] % 4 == 0
+        # bucketed widths are stride-factor (>= 8) multiples, so ink always
+        # packs in practice; the raw-u8 branch is defensive only
         pack_ink = images.shape[2] % 8 == 0
         key = ("masks", images.shape, pack, device_vote)
         if key not in self._masks_cache:

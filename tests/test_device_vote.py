@@ -157,3 +157,4 @@ def test_throughput_pipeline_device_cc_vote():
     palette = np.asarray(DEFAULT_IMAGE_MAP.palette, np.uint8)
     exp_color = palette[np.minimum(got[:, :out_h, :out_w], 2)]
     np.testing.assert_array_equal(trio[0], exp_color)
+
