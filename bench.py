@@ -85,8 +85,10 @@ def main():
     parser.add_argument("--host-decimate", type=int, default=8)
     parser.add_argument("--download", default="packed", choices=["color", "pred", "packed"])
     parser.add_argument("--cc-vote", action="store_true",
-                        help="fuse the on-device cc-majority vote into the dispatch "
-                             "(the BASELINE on-device connected-components config)")
+                        help="ALSO fuse the on-device cc-majority vote into the dispatch; "
+                             "off by default, matching the reference's default predict "
+                             "(no --post_process chain).  Enable to measure the optional "
+                             "on-device connected-components config instead")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     # the tunneled link fluctuates several-x between reps; more reps keep
     # the median robust to cold/stalled ones (time budget still bounds it)
@@ -170,8 +172,11 @@ def main():
             break
     # rep 0 consistently measures pipeline spin-up (first-touch page
     # faults, lazy tunnel state), not steady state: report it but exclude
-    # it from the headline median when enough steady reps exist
-    steady = rates[1:] if len(rates) > 2 else rates
+    # it from the headline median when enough steady reps exist.  The
+    # policy is declared in the JSON ("median_policy") so the headline
+    # number is auditable against the full rep list.
+    drop_spinup = len(rates) > 2
+    steady = rates[1:] if drop_spinup else rates
     median = float(np.median(steady))
     best = float(np.max(rates))
     pad_h, pad_w = predictor.fused.padded_shape
@@ -190,6 +195,8 @@ def main():
         "vs_baseline": round(median / 50.0, 3),
         "best": round(best, 2),
         "reps": [round(r, 1) for r in rates],
+        "median_policy": "median over reps[1:] (rep 0 = pipeline spin-up)"
+                         if drop_spinup else "median over all reps",
         "gflop_per_page": round(flops_page / 1e9, 2),
         "mfu_e2e": round(mfu, 5),
     }

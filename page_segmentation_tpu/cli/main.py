@@ -560,5 +560,14 @@ def main(argv=None) -> int:
     return args.func(args)
 
 
+def main_compute_normalizations(argv=None) -> int:
+    """Standalone ``ocrd_compute_normalizations`` entry point — the
+    reference documents this name as an alias for the
+    compute-image-normalizations subcommand (reference README.md:115)."""
+    if argv is None:
+        argv = sys.argv[1:]
+    return main(["compute-image-normalizations"] + list(argv))
+
+
 if __name__ == "__main__":
     sys.exit(main())

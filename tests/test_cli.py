@@ -118,6 +118,16 @@ def test_compute_normalizations(dataset_dir, tmp_path):
     data = json.loads((out_dir / "a.json").read_text())
     assert data["char_height"] == 20
 
+    # the reference-documented `ocrd_compute_normalizations` alias
+    # (reference README.md:115) routes to the same command
+    from page_segmentation_tpu.cli.main import main_compute_normalizations
+
+    out2 = tmp_path / "norms2"
+    rc = main_compute_normalizations(
+        ["--input_dir", str(imgs), "--output_dir", str(out2)])
+    assert rc == 0
+    assert json.loads((out2 / "a.json").read_text()) == data
+
 
 def test_gen_masks_cli(tmp_path):
     xml = tmp_path / "page.xml"

@@ -38,16 +38,22 @@ def _run_workers():
 
 def test_two_process_train_step():
     # process coordination over localhost can time out when the 1-core
-    # host is saturated by parallel compiles; retry with a cooldown
+    # host is saturated by parallel compiles; retry with a cooldown —
+    # but only on the coordination-timeout signature, so genuine
+    # distributed bugs fail on the first attempt
     import time
 
+    _TRANSIENT = ("DEADLINE_EXCEEDED", "Deadline Exceeded", "timed out",
+                  "Coordination service", "UNAVAILABLE", "failed to connect")
     for attempt in range(3):
         try:
             outputs = _run_workers()
             break
-        except RuntimeError:
-            if attempt == 2:
+        except RuntimeError as e:
+            if attempt == 2 or not any(s in str(e) for s in _TRANSIENT):
                 raise
+            print(f"retry {attempt + 1}/2 after transient coordination failure: "
+                  f"{str(e)[-300:]}", file=sys.stderr)
             time.sleep(30)
 
     losses = {}

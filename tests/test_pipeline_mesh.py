@@ -29,7 +29,14 @@ def _build(mesh, download, cc_vote, h, w):
     )
 
 
-@pytest.mark.parametrize("download,cc_vote", [("packed", False), ("color", False), ("pred", True)])
+@pytest.mark.parametrize(
+    "download,cc_vote",
+    # cc_vote crossed with every download mode: the vote path runs under
+    # shard_map(check_vma=False) (pipeline.py), so its correctness on a
+    # mesh must be pinned for each download layout, not just "pred"
+    [("packed", False), ("color", False),
+     ("pred", True), ("packed", True), ("color", True)],
+)
 def test_mesh_matches_single_device(download, cc_vote):
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")

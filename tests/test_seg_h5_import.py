@@ -185,6 +185,11 @@ def test_seg_model_h5_roundtrip(name, tmp_path):
     # magnitudes of ~60; the argmax gate above is the parity criterion
     atol = 0.25 if name in ("effb3", "effb7") else 0.05
     np.testing.assert_allclose(ours, theirs, atol=atol)
+    # a systematic scale error in the importer would be proportional to
+    # the logit magnitude and could hide inside the absolute tolerance on
+    # small-magnitude outputs; bound the *relative* energy of the error
+    rel = np.linalg.norm(ours - theirs) / max(np.linalg.norm(theirs), 1e-12)
+    assert rel < 1e-3, f"{name}: relative logit error {rel:.2e}"
 
 
 def test_pretrained_encoder_finetune_flow(tmp_path):
