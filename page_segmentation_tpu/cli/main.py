@@ -191,6 +191,7 @@ def cmd_train(args) -> int:
         device_augmentation=args.device_augmentation,
         checkpoint_backend=args.checkpoint_backend,
         remat=args.remat,
+        export_h5=args.export_h5,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -457,6 +458,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--device_augmentation", action="store_true",
                    help="fused on-TPU affine augmentation (perf mode)")
     t.add_argument("--checkpoint_backend", default="msgpack", choices=["msgpack", "orbax"])
+    t.add_argument("--export_h5", action="store_true",
+                   help="also checkpoint a Keras-legacy <model>.h5 (the "
+                        "reference's interchange artifact) on every save")
     t.add_argument("--remat", action="store_true",
                    help="activation rematerialization (fit bigger batches/models in HBM)")
     t.add_argument("--foreground_masks", action="store_true")

@@ -123,6 +123,10 @@ class TrainSettings(NamedTuple):
     # ship uint8 pixels/masks + valid dims and normalize on device (~4x
     # fewer host->device bytes per step); disable for the float layout
     compact_transfer: bool = True
+    # also write the reference's checkpoint artifact — a Keras-legacy
+    # <model_name>.h5 (reference network.py:177-183 writes .h5 for every
+    # architecture) — each time the native checkpoint is saved
+    export_h5: bool = False
 
 
 def _weighted_means(weighted_metrics) -> dict:
@@ -711,6 +715,16 @@ class Trainer:
             meta=meta,
             opt_state=None if s.save_weights_only else self.opt_state,
         )
+        if s.export_h5:
+            # the reference's interchange artifact (network.py:177-183):
+            # a Keras-legacy .h5 loadable by reference-era tooling
+            from ..models.h5_export import save_keras_variables
+
+            save_keras_variables(
+                os.path.join(s.output_dir, s.model_name + ".h5"),
+                jax.device_get({"params": self.params, **self.model_state}),
+                s.architecture,
+            )
 
     def _diagnostic_samples(self, dataset: Dataset):
         for d in dataset.data[:10]:

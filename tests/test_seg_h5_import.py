@@ -20,96 +20,17 @@ from page_segmentation_tpu.models.mobilenet import MobileNetSeg
 from page_segmentation_tpu.models.registry import Architecture
 from page_segmentation_tpu.models.resnet import ResNet50Seg
 
-L = tf.keras.layers
-N_CLASSES = 3
-HW = 96
-
-
-def _conv_block_simple(prev, filters, prefix):
-    conv = L.Conv2D(filters, (3, 3), padding="same", kernel_initializer="he_normal",
-                    name=prefix + "_conv")(prev)
-    return L.Activation("relu", name=prefix + "_activation")(conv)
-
-
-def _keras_mobile_net():
-    tf.keras.utils.set_random_seed(7)
-    inp = L.Input((HW, HW, 3))
-    base = tf.keras.applications.MobileNetV2(weights=None, include_top=False, input_tensor=inp)
-    names = ['block_1_expand_relu', 'block_3_expand_relu', 'block_6_expand_relu',
-             'block_13_expand_relu', 'block_16_project']
-    down = tf.keras.Model(base.input, [base.get_layer(n).output for n in names])
-    skips = down(inp)
-    x = skips[-1]
-    for f, skip in zip([512, 256, 128, 64], reversed(skips[:-1])):
-        x = L.Conv2DTranspose(f, 3, strides=2, padding="same", activation=tf.nn.relu)(x)
-        x = L.Concatenate()([x, skip])
-    x = L.Conv2DTranspose(60, 3, strides=2, padding="same", activation=tf.nn.relu)(x)
-    out = L.Conv2D(N_CLASSES, 1, 1, name="logits", padding="valid")(x)
-    return tf.keras.Model(inp, out, name="mobile_net")
-
-
-def _keras_res_net():
-    tf.keras.utils.set_random_seed(7)
-    inp = L.Input((HW, HW, 3))
-    base = tf.keras.applications.ResNet50(weights=None, include_top=False, input_tensor=inp)
-    conv1 = base.get_layer("conv1_relu").output
-    conv2 = base.get_layer("conv2_block3_out").output
-    conv3 = base.get_layer("conv3_block4_out").output
-    conv4 = base.get_layer("conv4_block6_out").output
-    conv5 = base.get_layer("conv5_block3_out").output
-    c5 = _conv_block_simple(conv5, 256, "b_1")
-    x = L.concatenate([L.UpSampling2D()(c5), conv4], axis=-1)
-    x = _conv_block_simple(x, 256, "conv6_1"); x = _conv_block_simple(x, 256, "conv6_2")
-    x = L.concatenate([L.UpSampling2D()(x), conv3], axis=-1)
-    x = _conv_block_simple(x, 192, "conv7_1"); x = _conv_block_simple(x, 192, "conv7_2")
-    x = L.concatenate([L.UpSampling2D()(x), conv2], axis=-1)
-    x = _conv_block_simple(x, 128, "conv8_1"); x = _conv_block_simple(x, 128, "conv8_2")
-    x = L.concatenate([L.UpSampling2D()(x), conv1], axis=-1)
-    x = _conv_block_simple(x, 64, "conv9_1"); x = _conv_block_simple(x, 64, "conv9_2")
-    x = L.concatenate([L.UpSampling2D()(x), inp], axis=-1)
-    x = _conv_block_simple(x, 32, "conv10_1"); x = _conv_block_simple(x, 32, "conv10_2")
-    out = L.Conv2D(N_CLASSES, 1, 1, name="logits", padding="valid")(x)
-    return tf.keras.Model(inp, out, name="image_res_net")
-
-
-def _keras_eff_net(builder=None):
-    tf.keras.utils.set_random_seed(7)
-    inp = L.Input((HW, HW, 3))
-    base = (builder or tf.keras.applications.EfficientNetB0)(
-        weights=None, include_top=False, input_tensor=inp)
-    # the reference uses the efn package whose models take externally
-    # preprocessed input (architecture.py preprocess, torch mode);
-    # tf.keras.applications adds an in-model Rescaling(1/255) — neutralize
-    # it so this test model matches the reference convention (the
-    # Normalization layer in this Keras build is already identity).
-    # looked up by type: Keras layer auto-names are process-global counters
-    for layer in base.layers:
-        if type(layer).__name__ == "Rescaling":
-            layer.scale = 1.0
-    conv1 = base.get_layer("block2a_expand_activation").output
-    conv2 = base.get_layer("block3a_expand_activation").output
-    conv3 = base.get_layer("block4a_expand_activation").output
-    conv4 = base.get_layer("block6a_expand_activation").output
-    c4 = _conv_block_simple(conv4, 256, "b_1")
-    x = L.concatenate([L.UpSampling2D()(c4), conv3], axis=-1)
-    x = _conv_block_simple(x, 256, "conv6_1"); x = _conv_block_simple(x, 256, "conv6_2")
-    x = L.concatenate([L.UpSampling2D()(x), conv2], axis=-1)
-    x = _conv_block_simple(x, 196, "conv7_1"); x = _conv_block_simple(x, 196, "conv7_2")
-    x = L.concatenate([L.UpSampling2D()(x), conv1], axis=-1)
-    x = _conv_block_simple(x, 128, "conv8_1"); x = _conv_block_simple(x, 128, "conv8_2")
-    x = L.concatenate([L.UpSampling2D()(x), inp], axis=-1)
-    x = _conv_block_simple(x, 64, "conv9_1"); x = _conv_block_simple(x, 64, "conv9_2")
-    out = L.Conv2D(N_CLASSES, 1, 1, name="logits", padding="valid")(x)
-    return tf.keras.Model(inp, out, name="effb0")
-
+# oracle builders are shared with the export gates and the export-manifest
+# generator (tools/gen_h5_export_manifests.py)
+from tests.keras_oracles import HW, N_CLASSES, keras_eff_net, keras_mobile_net, keras_res_net
 
 CASES = {
-    "mobile_net": (_keras_mobile_net, Architecture.MOBILE_NET, lambda: MobileNetSeg(n_classes=N_CLASSES)),
-    "image_res_net": (_keras_res_net, Architecture.RES_NET, lambda: ResNet50Seg(n_classes=N_CLASSES)),
-    "effb0": (_keras_eff_net, Architecture.EFFNETB0, lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb0")),
+    "mobile_net": (keras_mobile_net, Architecture.MOBILE_NET, lambda: MobileNetSeg(n_classes=N_CLASSES)),
+    "image_res_net": (keras_res_net, Architecture.RES_NET, lambda: ResNet50Seg(n_classes=N_CLASSES)),
+    "effb0": (keras_eff_net, Architecture.EFFNETB0, lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb0")),
     # B1 = the reference's actual eff_net default (model.py:368 efnet=EfficientNetB1)
     "effb1": (
-        lambda: _keras_eff_net(tf.keras.applications.EfficientNetB1),
+        lambda: keras_eff_net(tf.keras.applications.EfficientNetB1),
         Architecture.EFFNETB1,
         lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb1"),
     ),
@@ -117,12 +38,12 @@ CASES = {
     # weight structure); gate a middle variant and the largest one so the
     # whole B0-B7 family is covered by interpolation
     "effb3": (
-        lambda: _keras_eff_net(tf.keras.applications.EfficientNetB3),
+        lambda: keras_eff_net(tf.keras.applications.EfficientNetB3),
         Architecture.EFFNETB3,
         lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb3"),
     ),
     "effb7": (
-        lambda: _keras_eff_net(tf.keras.applications.EfficientNetB7),
+        lambda: keras_eff_net(tf.keras.applications.EfficientNetB7),
         Architecture.EFFNETB7,
         lambda: EffNetSeg(n_classes=N_CLASSES, variant="effb7"),
     ),

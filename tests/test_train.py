@@ -61,6 +61,23 @@ def test_train_writes_checkpoint_and_scalars(tmp_path):
     assert (tmp_path / "out" / "scalars.jsonl").exists()
 
 
+def test_train_export_h5(tmp_path):
+    # the reference's checkpoint artifact is a Keras-legacy .h5 written on
+    # every save (reference network.py:177-183); export_h5 mirrors that
+    from page_segmentation_tpu.models.h5_import import load_keras_variables
+
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=1, export_h5=True))
+    trainer.train()
+    h5 = tmp_path / "out" / "model.h5"
+    assert h5.exists()
+    variables, detected = load_keras_variables(str(h5), Architecture.FCN_SKIP, 2)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.params["conv1"]["kernel"]),
+        variables["params"]["conv1"]["kernel"],
+    )
+
+
 def test_checkpoint_loadable_by_classifier(tmp_path):
     data = _synthetic_dataset()
     trainer = Trainer(_settings(tmp_path, data, n_epoch=3))
