@@ -89,6 +89,10 @@ def main():
                              "off by default, matching the reference's default predict "
                              "(no --post_process chain).  Enable to measure the optional "
                              "on-device connected-components config instead")
+    parser.add_argument("--cc-vote-backend", default="xla", choices=["xla", "pallas"],
+                        help="xla (default): pure-XLA segmented-scan labeler, keeps the "
+                             "3-stage overlap; pallas: VMEM-resident kernel, downloads "
+                             "serialized (tunnel workaround)")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     # the tunneled link fluctuates several-x between reps; more reps keep
     # the median robust to cold/stalled ones (time budget still bounds it)
@@ -97,6 +101,17 @@ def main():
                         help="omit the train-step throughput side metric")
     parser.add_argument("--mode", default="predict", choices=["predict", "train"],
                         help="train mode reports train-step pages/sec instead")
+    parser.add_argument("--corpus", type=int, default=0,
+                        help="sustained distinct-page mode: stream N distinct pages "
+                             "(never repeated) with per-stage wall-clock — host prep / "
+                             "upload / device / download / host finish — attributing "
+                             "any degradation to transport vs framework.  Prints its "
+                             "own JSON line and exits")
+    parser.add_argument("--synth-on-device", action="store_true",
+                        help="with --corpus: synthesize page content on device from a "
+                             "per-batch seed and download only a checksum, taking the "
+                             "link out of the loop entirely (isolates framework+device "
+                             "cost)")
     parser.add_argument("--time-budget", type=float, default=240.0,
                         help="stop repeating once this many measured seconds elapsed")
     args = parser.parse_args()
@@ -119,6 +134,8 @@ def main():
 
     if args.mode == "train":
         return bench_train(args, module, compute_dtype)
+    if args.corpus:
+        return bench_corpus(args, module, compute_dtype)
 
     pages, binaries, line_height = synthesize_pages(args.pages, args.height, args.width)
     scale = args.target_line_height / line_height
@@ -133,7 +150,7 @@ def main():
         host_decimate=args.host_decimate,
         compute_dtype=compute_dtype,
         download=args.download,
-        cc_vote=args.cc_vote,
+        cc_vote=args.cc_vote_backend if args.cc_vote else False,
     )
     print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
 
@@ -202,6 +219,182 @@ def main():
     }
     if not args.skip_train:
         result["train_pages_per_sec_per_chip"] = bench_train(args, module, compute_dtype, emit=False)
+    print(json.dumps(result))
+
+
+def bench_corpus(args, module, compute_dtype):
+    """Sustained distinct-page throughput (BASELINE config #5: 1k-page
+    corpus).  Unlike the headline bench (a small page set rolled per rep,
+    which sits in the tunnel's content-cache-friendly regime), every page
+    here is distinct and seen once.  Stages run unpipelined with
+    block_until_ready boundaries so each batch decomposes into
+
+        prep (host decimate+ink) / upload (device_put) / device (dispatch)
+        / download (np.asarray) / finish (host trio)
+
+    and any throughput degradation attributes to a specific stage —
+    transport stages (upload/download) versus framework stages
+    (prep/device/finish).  With --synth-on-device the link leaves the
+    loop entirely: pages are synthesized on device from a per-batch seed
+    and only a checksum is downloaded, proving (or refuting) that
+    framework+device time is flat over the corpus.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+
+    scale = args.target_line_height / 50
+    predictor = ThroughputPredictor(
+        module,
+        module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1), jnp.float32))["params"],
+        DEFAULT_IMAGE_MAP.palette,
+        (args.height, args.width),
+        scale,
+        host_decimate=args.host_decimate,
+        compute_dtype=compute_dtype,
+        download=args.download,
+        cc_vote=(args.cc_vote_backend if args.cc_vote else False),
+    )
+    n_batches = -(-args.corpus // args.batch)
+    print(f"corpus: {args.corpus} distinct pages, {n_batches} x {args.batch}, "
+          f"synth_on_device={args.synth_on_device}", file=sys.stderr)
+
+    if args.synth_on_device:
+        dec_h, dec_w = predictor.decimated_shape
+
+        @jax.jit
+        def synth(key):
+            # novel uint8 content per batch: the tunnel content-addresses
+            # transfers AND dispatches, so inputs must differ every time
+            return jax.random.randint(
+                key, (args.batch, dec_h, dec_w), 0, 256, dtype=jnp.int32
+            ).astype(jnp.uint8)
+
+        @jax.jit
+        def forward_checksum(variables, pages_dev, palette):
+            out = predictor.fused(variables, pages_dev, palette)
+            return jnp.sum(out.astype(jnp.int32))
+
+        key = jax.random.PRNGKey(7)
+        # warmup/compile
+        jax.block_until_ready(
+            forward_checksum(predictor.variables, synth(key), predictor.palette_dev))
+        times = []
+        t_corpus = time.perf_counter()
+        for i in range(n_batches):
+            sub = jax.random.fold_in(key, i)
+            start = time.perf_counter()
+            pages_dev = synth(sub)
+            checksum = forward_checksum(predictor.variables, pages_dev, predictor.palette_dev)
+            int(checksum)  # 8-byte download; blocks
+            times.append(time.perf_counter() - start)
+            if (i + 1) % 5 == 0:
+                print(f"  batch {i + 1}/{n_batches}: {times[-1] * 1e3:.0f} ms", file=sys.stderr)
+        wall = time.perf_counter() - t_corpus
+        half = len(times) // 2
+        first, second = float(np.median(times[:half])), float(np.median(times[half:]))
+        result = {
+            "metric": "corpus_device_pages_per_sec_per_chip",
+            "value": round(args.corpus / wall, 2),
+            "unit": "pages/sec",
+            "vs_baseline": round(args.corpus / wall / 50.0, 3),
+            "pages": args.corpus,
+            "batch_ms_median_first_half": round(first * 1e3, 1),
+            "batch_ms_median_second_half": round(second * 1e3, 1),
+            "flat": bool(second <= 1.5 * first),
+            "note": "on-device synthesis + checksum download: link excluded; "
+                    "flat=framework+device time stable over the corpus",
+        }
+        print(json.dumps(result))
+        return
+
+    # full stack, distinct pages, per-stage attribution
+    stage_names = ("gen", "prep", "upload", "device", "download", "finish")
+    stages = {k: [] for k in stage_names}
+    from page_segmentation_tpu import native
+
+    # warmup/compile on a throwaway batch
+    pages, binaries, _ = synthesize_pages(args.batch, args.height, args.width, seed=10_000)
+    for _ in predictor.run(pages, binaries, batch_size=args.batch):
+        pass
+
+    t_corpus = time.perf_counter()
+    done = 0
+    for i in range(n_batches):
+        t0 = time.perf_counter()
+        m = min(args.batch, args.corpus - done)
+        pages, binaries, _ = synthesize_pages(m, args.height, args.width, seed=i)
+        t1 = time.perf_counter()
+        dec = native.decimate_u8(pages, predictor.host_decimate)
+        if dec is not None:
+            dec = dec[:, : predictor.decimated_shape[0], : predictor.decimated_shape[1]]
+            ink = native.gather_ink(binaries, predictor.row_idx, predictor.col_idx).astype(bool)
+        else:  # no native lib: PIL/numpy fallback (same as pipeline._prep)
+            from PIL import Image
+
+            dh, dw = predictor.decimated_shape
+            dec = np.empty((m, dh, dw), np.uint8)
+            ink = np.empty((m, len(predictor.row_idx), len(predictor.col_idx)), bool)
+            for j in range(m):
+                dec[j] = np.asarray(
+                    Image.fromarray(pages[j]).reduce(predictor.host_decimate))[:dh, :dw]
+                ink[j] = binaries[j][np.ix_(predictor.row_idx, predictor.col_idx)] < 128
+        ink_packed = predictor._pack_ink(ink) if predictor.cc_vote else None
+        t2 = time.perf_counter()
+        dec_dev = jax.block_until_ready(jax.device_put(dec))
+        ink_dev = (jax.block_until_ready(jax.device_put(ink_packed))
+                   if ink_packed is not None else None)
+        t3 = time.perf_counter()
+        if predictor.cc_vote:
+            out_dev = predictor.fused(
+                predictor.variables, dec_dev, predictor.palette_dev, ink_dev)
+        else:
+            out_dev = predictor.fused(predictor.variables, dec_dev, predictor.palette_dev)
+        jax.block_until_ready(out_dev)
+        t4 = time.perf_counter()
+        downloaded = np.asarray(out_dev)
+        t5 = time.perf_counter()
+        predictor._finish(downloaded, ink)
+        t6 = time.perf_counter()
+        for name, dt in zip(stage_names,
+                            (t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4, t6 - t5)):
+            stages[name].append(dt)
+        done += m
+        if (i + 1) % 3 == 0:
+            batch_ms = (t6 - t1) * 1e3  # gen excluded: corpus-IO simulation
+            print(
+                f"  batch {i + 1}/{n_batches}: {batch_ms:.0f} ms "
+                + " ".join(f"{k}={stages[k][-1] * 1e3:.0f}" for k in stage_names),
+                file=sys.stderr,
+            )
+    wall = time.perf_counter() - t_corpus
+    gen_total = sum(stages["gen"])
+    measured = wall - gen_total  # pages flow from disk in production, not synth
+    per_stage = {k: round(float(np.median(v)) * 1e3, 1) for k, v in stages.items()}
+    totals = {k: round(sum(v), 2) for k, v in stages.items()}
+    batch_times = [sum(stages[k][j] for k in stage_names[1:]) for j in range(n_batches)]
+    half = len(batch_times) // 2
+    first = float(np.median(batch_times[:half]))
+    second = float(np.median(batch_times[half:]))
+    transport = totals["upload"] + totals["download"]
+    framework = totals["prep"] + totals["device"] + totals["finish"]
+    result = {
+        "metric": "corpus_sustained_pages_per_sec_per_chip",
+        "value": round(done / measured, 2),
+        "unit": "pages/sec",
+        "vs_baseline": round(done / measured / 50.0, 3),
+        "pages": done,
+        "stage_ms_median": per_stage,
+        "stage_s_total": totals,
+        "transport_s": round(transport, 2),
+        "framework_s": round(framework, 2),
+        "batch_s_median_first_half": round(first, 3),
+        "batch_s_median_second_half": round(second, 3),
+        "note": "unpipelined per-stage attribution over distinct never-repeated "
+                "pages; gen (host corpus synthesis) excluded from the rate",
+    }
     print(json.dumps(result))
 
 

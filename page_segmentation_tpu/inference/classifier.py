@@ -180,11 +180,7 @@ class PixelClassifier:
             host_preprocess = self.preprocess
             rgb = self.rgb
             n_classes = self.n_classes
-            # Pallas runs natively on TPU; elsewhere (CPU tests/dryruns)
-            # the interpreter provides the same semantics
-            interpret = jax.default_backend() != "tpu"
-
-            from ..ops.pallas_cc import cc_vote_batch
+            from ..ops.pallas_cc import cc_vote_batch_xla
             from .output import pack_classes_device, unpack_bits_device
 
             @jax.jit
@@ -198,9 +194,13 @@ class PixelClassifier:
                 logits = module.apply(variables, x)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
                 if device_vote:
+                    # the pure-XLA vote: identical semantics to the Pallas
+                    # labeler, but the program stays Pallas-free so its
+                    # download can overlap other device traffic (and CPU
+                    # tests skip interpret mode)
                     ink_mask = unpack_bits_device(ink) if pack_ink else ink != 0
-                    pred = cc_vote_batch(
-                        pred, ink_mask, n_classes=n_classes, interpret=interpret
+                    pred = cc_vote_batch_xla(
+                        pred, ink_mask, n_classes=n_classes
                     ).astype(jnp.uint8)
                 return pack_classes_device(pred) if pack else pred
 

@@ -59,11 +59,15 @@ def make_fused_predict(
     ``download='packed'`` packs 4 pixels/byte (2-bit classes,
     n_classes <= 4) — 12x fewer bytes.
 
-    ``cc_vote=True`` adds the cc-majority post-processor on device
-    (BASELINE "on-device connected-components + overlay" throughput
-    config): the fused fn takes a 1-bit-packed ink mask
-    (N, pad_h, pad_w//8) and the Pallas CC labeler + histogram vote run
-    before the download.
+    ``cc_vote`` adds the cc-majority post-processor on device (BASELINE
+    "on-device connected-components + overlay" throughput config): the
+    fused fn takes a 1-bit-packed ink mask (N, pad_h, pad_w//8) and the
+    CC labeler + histogram vote run before the download.  ``cc_vote=True``
+    (= ``"xla"``) uses the pure-XLA batched segmented-scan labeler, which
+    keeps the 3-stage pipeline overlap (no Pallas call in the program —
+    see ops/pallas_cc.cc_vote_batch_xla); ``cc_vote="pallas"`` uses the
+    VMEM-resident Pallas kernel, whose download must be serialized on the
+    tunneled runtime (tools/repro_pallas_download.py).
 
     ``mesh`` data-parallelizes the whole program over its ``data_axis``
     with ``shard_map`` (every stage is per-page independent, so the only
@@ -72,6 +76,7 @@ def make_fused_predict(
     out_h, out_w = normalized_shape
     pad_h = round_up(out_h, stride_factor * bucket_granularity)
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
+    cc_vote = "xla" if cc_vote is True else cc_vote
 
     def core(variables, pages_u8, palette, ink_packed=None):
         n = pages_u8.shape[0]
@@ -82,14 +87,17 @@ def make_fused_predict(
         logits = module.apply(variables, img[..., None].astype(compute_dtype))
         pred = jnp.argmax(logits, axis=-1)
         if cc_vote:
-            from ..ops.pallas_cc import cc_vote_batch
+            from ..ops.pallas_cc import cc_vote_batch, cc_vote_batch_xla
             from .output import unpack_bits_device
 
-            interpret = jax.default_backend() != "tpu"
             ink = unpack_bits_device(ink_packed)
-            pred = cc_vote_batch(
-                pred, ink, n_classes=logits.shape[-1], interpret=interpret
-            )
+            if cc_vote == "xla":
+                pred = cc_vote_batch_xla(pred, ink, n_classes=logits.shape[-1])
+            else:
+                interpret = jax.default_backend() != "tpu"
+                pred = cc_vote_batch(
+                    pred, ink, n_classes=logits.shape[-1], interpret=interpret
+                )
         if download == "packed":
             # 2 bits/class, 4 pixels/byte: the link carries 1/4 the bytes
             # of the raw class map (valid while n_classes <= 4)
@@ -107,13 +115,20 @@ def make_fused_predict(
         from jax.sharding import PartitionSpec as P
 
         batch = P(data_axis)
-        if cc_vote:
+        if cc_vote == "pallas":
             # check_vma=False: the Pallas labeler's out_shape carries no
             # varying-mesh-axes annotation, which strict shard_map rejects
+            # (the XLA vote passes the strict check — no exemption there)
             sharded = shard_map(
                 core, mesh=mesh,
                 in_specs=(P(), batch, P(), batch), out_specs=batch,
                 check_vma=False,
+            )
+            fused = jax.jit(lambda v, x, p, ink: sharded(v, x, p, ink))
+        elif cc_vote:
+            sharded = shard_map(
+                core, mesh=mesh,
+                in_specs=(P(), batch, P(), batch), out_specs=batch,
             )
             fused = jax.jit(lambda v, x, p, ink: sharded(v, x, p, ink))
         else:
@@ -154,7 +169,7 @@ class ThroughputPredictor:
         self.page_shape = page_shape
         self.host_decimate = host_decimate
         self.download = download
-        self.cc_vote = cc_vote
+        self.cc_vote = "xla" if cc_vote is True else cc_vote
         self.mesh = mesh
         self.data_axis = data_axis
         self._mesh_size = (
@@ -239,6 +254,14 @@ class ThroughputPredictor:
 
         return finish_mask_trio(pred, ink, self.palette_np)
 
+    def _pack_ink(self, ink: np.ndarray) -> np.ndarray:
+        """1-bit pack the ink mask at the padded device shape."""
+        pad_h, pad_w = self.fused.padded_shape
+        m, h, w = ink.shape
+        padded = np.zeros((m, pad_h, pad_w), bool)
+        padded[:, :h, :w] = ink
+        return np.packbits(padded, axis=-1)
+
     # -------------------------------------------------------------- pipeline
     def run(self, pages: np.ndarray, binaries: np.ndarray, batch_size: int = 16):
         """Yield (color, overlay, inverted) batches; 3-stage overlap."""
@@ -248,24 +271,25 @@ class ThroughputPredictor:
         if not starts:
             return
 
+        vote = self.cc_vote
+
         def prep(start):
             stop = min(start + batch_size, n)
-            return self._prep(pages[start:stop], binaries[start:stop])
+            dec_dev, ink = self._prep(pages[start:stop], binaries[start:stop])
+            ink_dev = self._put(self._pack_ink(ink)) if vote else None
+            return dec_dev, ink, ink_dev
 
-        if self.cc_vote:
+        if vote == "pallas":
             # fully sequential: the tunneled runtime corrupts (empties) the
             # download of a Pallas-bearing program when any other device
             # interaction — a concurrent device_put from the prefetch
             # thread, or the next dispatch — overlaps it
-            pad_h, pad_w = self.fused.padded_shape
+            # (tools/repro_pallas_download.py; the "xla" vote below keeps
+            # the overlap because its program carries no Pallas call)
             for start in starts:
-                dec_dev, ink = prep(start)
-                m, h, w = ink.shape
-                padded = np.zeros((m, pad_h, pad_w), bool)
-                padded[:, :h, :w] = ink
+                dec_dev, ink, ink_dev = prep(start)
                 color_dev = self.fused(
-                    self.variables, dec_dev, self.palette_dev,
-                    self._put(np.packbits(padded, axis=-1)),
+                    self.variables, dec_dev, self.palette_dev, ink_dev
                 )
                 yield self._finish(np.asarray(color_dev), ink)
             return
@@ -274,10 +298,15 @@ class ThroughputPredictor:
             next_prep = pool.submit(prep, starts[0])
             pending: Optional[tuple] = None  # (device color future, ink)
             for index, start in enumerate(starts):
-                dec_dev, ink = next_prep.result()
+                dec_dev, ink, ink_dev = next_prep.result()
                 if index + 1 < len(starts):
                     next_prep = pool.submit(prep, starts[index + 1])
-                color_dev = self.fused(self.variables, dec_dev, self.palette_dev)
+                if vote:
+                    color_dev = self.fused(
+                        self.variables, dec_dev, self.palette_dev, ink_dev
+                    )
+                else:
+                    color_dev = self.fused(self.variables, dec_dev, self.palette_dev)
                 if pending is not None:
                     yield self._finish(np.asarray(pending[0]), pending[1])
                 pending = (color_dev, ink)

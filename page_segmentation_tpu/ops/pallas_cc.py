@@ -290,6 +290,77 @@ def cc_vote_pallas(pred, binary, n_classes: int, interpret: bool = False):
     return _vote_from_labels(pred, ink, labels, n_classes)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def cc_min_label_xla_batch(ink, max_iters: int = 4096):
+    """(N, H, W) ink masks -> (labels int32, cycles) — pure XLA, no Pallas.
+
+    The same segmented min-scan cycles as the Pallas kernel (Hillis-Steele
+    doubling along both directions of both axes), run on HBM-resident
+    arrays under one ``lax.while_loop`` for the whole batch.  Per cycle
+    the arrays are rematerialized in HBM rather than staying in VMEM, but
+    a normalized page is ~0.5 MB so the sweeps stay cheap — and the
+    program contains no Pallas call, which matters operationally: it can
+    fuse into a larger dispatch whose download overlaps other device
+    traffic (this machine's tunneled runtime empties the download of a
+    Pallas-bearing program under concurrent interaction — see
+    tools/repro_pallas_download.py), and it passes strict ``shard_map``
+    varying-axes checking.
+    """
+    from jax import lax
+
+    n, h, w = ink.shape
+    ink_b = ink != 0
+    big = h * w + 2
+    row = lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+    col = lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+    init = jnp.where(ink_b, row * w + col + 1, big)
+    not_ink = 1 - ink_b.astype(jnp.int32)
+
+    def cycle(labels):
+        for axis in (2, 1):
+            for forward in (True, False):
+                labels = _seg_min_scan(labels, not_ink, axis, forward, big)
+        return jnp.where(ink_b, labels, big)
+
+    def sweep(state):
+        labels, _, it = state
+        new = cycle(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    # the initial changed-flag derives from the data so that, under strict
+    # shard_map, its varying-mesh-axes type matches the in-loop
+    # jnp.any(new != labels) (a replicated literal True would not)
+    changed0 = jnp.logical_or(jnp.any(ink_b), True)
+    labels, _, iters = lax.while_loop(
+        cond, sweep, (init, changed0, jnp.int32(0))
+    )
+    return jnp.where(ink_b, labels, 0), iters
+
+
+@functools.partial(jax.jit, static_argnames=("n_classes",))
+def cc_vote_batch_xla(pred, binary, n_classes: int):
+    """Batched cc-majority vote, pure XLA (no Pallas): batched segmented
+    min-scan labeling + per-page segment-sum histogram vote.  Preferred in
+    fused predict programs where the dispatch must overlap other device
+    traffic; ``cc_vote_batch`` (Pallas, VMEM-resident) remains for
+    standalone use and large pages."""
+    from jax import lax
+
+    pred = jnp.asarray(pred)
+    ink = jnp.asarray(binary) != 0
+    labels, _ = cc_min_label_xla_batch(ink)
+
+    def one(args):
+        page_pred, page_ink, page_labels = args
+        return _vote_from_labels(page_pred, page_ink, page_labels, n_classes)
+
+    return lax.map(one, (pred, ink, labels))
+
+
 @functools.partial(jax.jit, static_argnames=("n_classes", "interpret"))
 def cc_vote_batch(pred, binary, n_classes: int, interpret: bool = False):
     """Batched cc-majority vote: (N, H, W) pred + ink voted entirely on

@@ -23,6 +23,41 @@ def test_cc_vote_batch_matches_host():
         np.testing.assert_array_equal(got[i], want)
 
 
+def test_cc_vote_batch_xla_matches_host():
+    """The pure-XLA vote (no Pallas — keeps pipeline overlap) is exact."""
+    from page_segmentation_tpu.ops.pallas_cc import cc_vote_batch_xla
+
+    rng = np.random.RandomState(5)
+    preds = rng.randint(0, 3, (3, 24, 32)).astype(np.int32)
+    inks = (rng.rand(3, 24, 32) > 0.6).astype(np.uint8)
+    got = np.asarray(cc_vote_batch_xla(preds, inks, n_classes=3))
+    for i in range(3):
+        want = vote_connected_component_class(preds[i], SingleData(binary=inks[i]))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_cc_vote_batch_xla_snake_component():
+    """A serpentine component exercises many scan-cycle turns; the batch
+    while_loop must converge it jointly with an already-trivial page."""
+    from page_segmentation_tpu.ops.pallas_cc import cc_vote_batch_xla
+
+    h, w = 24, 32
+    snake = np.zeros((h, w), np.uint8)
+    for r in range(0, h, 4):
+        snake[r] = 1
+        if (r // 4) % 2 == 0 and r + 4 <= h:
+            snake[r:r + 5, w - 1] = 1
+        elif r + 4 <= h:
+            snake[r:r + 5, 0] = 1
+    pred = np.zeros((h, w), np.int32)
+    pred[h // 2:] = 2  # majority decides the whole snake
+    preds = np.stack([pred, np.zeros((h, w), np.int32)])
+    inks = np.stack([snake, np.zeros((h, w), np.uint8)])
+    got = np.asarray(cc_vote_batch_xla(preds, inks, n_classes=3))
+    want = vote_connected_component_class(preds[0], SingleData(binary=inks[0]))
+    np.testing.assert_array_equal(got[0], want)
+
+
 def test_cc_vote_batch_empty_and_full_ink():
     preds = np.stack([np.zeros((16, 16), np.int32), np.ones((16, 16), np.int32)])
     inks = np.stack([np.zeros((16, 16), np.uint8), np.ones((16, 16), np.uint8)])
