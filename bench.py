@@ -94,6 +94,9 @@ def main():
                              "3-stage overlap; pallas: VMEM-resident kernel, downloads "
                              "serialized (tunnel workaround)")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--s2d-stem", action="store_true",
+                        help="exact space-to-depth rewrite of the full-res stem convs "
+                             "(models/s2d.py): 144-deep MXU contraction instead of 25")
     # the tunneled link fluctuates several-x between reps; more reps keep
     # the median robust to cold/stalled ones (time budget still bounds it)
     parser.add_argument("--repeats", type=int, default=9)
@@ -130,7 +133,7 @@ def main():
     from page_segmentation_tpu.models.fcn import FCNSkip
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    module = FCNSkip(n_classes=3, dtype=compute_dtype)
+    module = FCNSkip(n_classes=3, dtype=compute_dtype, s2d_stem=args.s2d_stem)
 
     if args.mode == "train":
         return bench_train(args, module, compute_dtype)

@@ -113,6 +113,7 @@ def cmd_predict(args) -> int:
         n_classes=n_classes,
         post_process=post or None,
         compute_dtype=args.dtype,
+        s2d_stem=args.s2d_stem,
     )
     predictor = Predictor(settings)
 
@@ -429,6 +430,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post_process", nargs="*", default=None)
     p.add_argument("--high_res_output", action="store_true")
     p.add_argument("--fast", action="store_true", help="batched fused device pipeline")
+    p.add_argument("--s2d_stem", action="store_true",
+                   help="space-to-depth rewrite of the full-res stem convs "
+                        "(fcn/fcn_skip TPU fast path; exact, argmax-gated)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"])

@@ -40,12 +40,16 @@ class PixelClassifier:
         compute_dtype=jnp.float32,
         bucket_granularity: int = 1,
         seed: int = 0,
+        s2d_stem: bool = False,
     ):
         self.architecture = architecture
         self.n_classes = n_classes
         self.compute_dtype = compute_dtype
         self.bucket_granularity = bucket_granularity
-        self.module = architecture.model(n_classes, dtype=compute_dtype)
+        # exact space-to-depth stem rewrite (fcn/fcn_skip TPU fast path,
+        # models/s2d.py); parameters are identical either way
+        self.s2d_stem = s2d_stem
+        self.module = architecture.model(n_classes, dtype=compute_dtype, s2d_stem=s2d_stem)
         self.preprocess, self.rgb = architecture.preprocess()
         self.variables = None
         if model_path:
@@ -78,7 +82,10 @@ class PixelClassifier:
 
     def _rebuild(self, architecture: Architecture) -> None:
         self.architecture = architecture
-        self.module = architecture.model(self.n_classes, dtype=self.compute_dtype)
+        self.module = architecture.model(
+            self.n_classes, dtype=self.compute_dtype,
+            s2d_stem=getattr(self, "s2d_stem", False),
+        )
         self.preprocess, self.rgb = architecture.preprocess()
 
     def load(self, path: str) -> None:

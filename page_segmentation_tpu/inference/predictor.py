@@ -42,9 +42,12 @@ class PredictSettings:
     compute_dtype: str = "float32"
     bucket_granularity: int = 1
     # fast path: fuse a lone cc-majority post-processor into the device
-    # dispatch (Pallas CC + histogram vote).  None = auto (on when the
-    # backend is a real TPU; the CPU interpreter is exact but slow).
+    # dispatch (batched device CC + histogram vote).  None = auto (on when
+    # the backend is a real TPU).
     device_post_process: Optional[bool] = None
+    # exact space-to-depth stem rewrite for fcn/fcn_skip (models/s2d.py);
+    # TPU fast path, parameters identical either way
+    s2d_stem: bool = False
 
 
 class Predictor:
@@ -60,6 +63,7 @@ class Predictor:
                 model_path=os.path.abspath(settings.network),
                 compute_dtype=dtype,
                 bucket_granularity=settings.bucket_granularity,
+                s2d_stem=settings.s2d_stem,
             )
         if settings.output:
             for category in ("overlay", "color", "inverted"):

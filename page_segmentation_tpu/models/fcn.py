@@ -21,18 +21,58 @@ from flax import linen as nn
 from .layers import TFConv, TFConvTranspose, max_pool_same, relu
 
 
+class _ConvParams(nn.Module):
+    """Declares exactly the parameters TFConv would (same names, shapes,
+    initializers — so the param tree and PRNG draws are identical) and
+    returns them instead of applying the conv.  Used by the s2d stem to
+    run the same weights through the rewritten-layout convolution."""
+
+    features: int
+    kernel_size: tuple
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (kh, kw, in_features, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _stem(x, n1: int, n2: int, dt, s2d: bool):
+    """conv1 (5x5, relu) + conv2 (5x5, linear) — the full-resolution stem
+    shared by fcn/fcn_skip.  ``s2d=True`` runs both convs in
+    space-to-depth(4) layout (models/s2d.py): exact same parameters and
+    arithmetic, reindexed so the MXU contraction is 144+ deep instead of
+    25; falls back to the dense path when H/W are not multiples of 4."""
+    from .s2d import s2d_stem, stem_applicable
+
+    if s2d and stem_applicable(x.shape):
+        k1, b1 = _ConvParams(n1, (5, 5), name="conv1")(x.shape[-1])
+        k2, b2 = _ConvParams(n2, (5, 5), name="conv2")(n1)
+        return s2d_stem(x, [(k1, b1, relu), (k2, b2, None)], block=4, dtype=dt)
+    conv1 = TFConv(n1, (5, 5), activation=relu, name="conv1", dtype=dt)(x)
+    return TFConv(n2, (5, 5), name="conv2", dtype=dt)(conv1)
+
+
 class FCNSkip(nn.Module):
-    """fcn_skip: the default architecture (reference model.py:45-92)."""
+    """fcn_skip: the default architecture (reference model.py:45-92).
+
+    ``s2d_stem=True`` enables the exact space-to-depth rewrite of the
+    two full-resolution stem convs (models/s2d.py) — a TPU fast path
+    gated by argmax equality in tests/test_s2d_stem.py."""
 
     n_classes: int
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, image, binary=None, train: bool = False):
         dt = self.dtype
         x = image.astype(dt)
-        conv1 = TFConv(20, (5, 5), activation=relu, name="conv1", dtype=dt)(x)
-        conv2 = TFConv(30, (5, 5), name="conv2", dtype=dt)(conv1)
+        conv2 = _stem(x, 20, 30, dt, self.s2d_stem)
         pool2 = max_pool_same(conv2)
         conv3 = TFConv(40, (5, 5), activation=relu, name="conv3", dtype=dt)(pool2)
         conv4 = TFConv(40, (5, 5), name="conv4", dtype=dt)(conv3)
@@ -62,13 +102,13 @@ class FCN(nn.Module):
 
     n_classes: int
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, image, binary=None, train: bool = False):
         dt = self.dtype
         x = image.astype(dt)
-        conv1 = TFConv(20, (5, 5), activation=relu, name="conv1", dtype=dt)(x)
-        conv2 = TFConv(30, (5, 5), name="conv2", dtype=dt)(conv1)
+        conv2 = _stem(x, 20, 30, dt, self.s2d_stem)
         pool2 = max_pool_same(conv2)
         conv3 = TFConv(40, (5, 5), activation=relu, name="conv3", dtype=dt)(pool2)
         conv4 = TFConv(40, (5, 5), name="conv4", dtype=dt)(conv3)

@@ -67,8 +67,12 @@ class Architecture(enum.Enum):
     EFFNETB6 = "effb6"
     EFFNETB7 = "effb7"
 
-    def model(self, n_classes: int, dtype=None):
-        """Construct the flax module for this architecture."""
+    def model(self, n_classes: int, dtype=None, s2d_stem: bool = False):
+        """Construct the flax module for this architecture.
+
+        ``s2d_stem`` (fcn/fcn_skip only) enables the exact
+        space-to-depth rewrite of the full-resolution stem convs
+        (models/s2d.py) — a TPU fast path; ignored elsewhere."""
         import jax.numpy as jnp
 
         dtype = dtype or jnp.float32
@@ -88,11 +92,11 @@ class Architecture(enum.Enum):
         if self is Architecture.FCN_SKIP:
             from .fcn import FCNSkip
 
-            return FCNSkip(n_classes=n_classes, dtype=dtype)
+            return FCNSkip(n_classes=n_classes, dtype=dtype, s2d_stem=s2d_stem)
         if self is Architecture.FCN:
             from .fcn import FCN
 
-            return FCN(n_classes=n_classes, dtype=dtype)
+            return FCN(n_classes=n_classes, dtype=dtype, s2d_stem=s2d_stem)
         if self is Architecture.UNET:
             from .unet import UNet
 
