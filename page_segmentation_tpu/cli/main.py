@@ -114,6 +114,8 @@ def cmd_predict(args) -> int:
         post_process=post or None,
         compute_dtype=args.dtype,
         s2d_stem=args.s2d_stem,
+        n_devices=args.n_devices,
+        spatial_threshold=args.spatial_threshold,
     )
     predictor = Predictor(settings)
 
@@ -433,6 +435,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--s2d_stem", action="store_true",
                    help="space-to-depth rewrite of the full-res stem convs "
                         "(fcn/fcn_skip TPU fast path; exact, argmax-gated)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="with >1: pages above --spatial_threshold pixels forward "
+                        "as row bands across a device mesh with receptive-field "
+                        "halos (exact; for pages beyond one chip's HBM)")
+    p.add_argument("--spatial_threshold", type=int, default=16_000_000,
+                   help="prepared-image pixel count above which spatial "
+                        "partitioning engages (with --n_devices > 1)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"])

@@ -48,6 +48,13 @@ class PredictSettings:
     # exact space-to-depth stem rewrite for fcn/fcn_skip (models/s2d.py);
     # TPU fast path, parameters identical either way
     s2d_stem: bool = False
+    # spatial partitioning: with n_devices > 1, pages whose prepared image
+    # exceeds spatial_threshold pixels forward as row bands across a device
+    # mesh with receptive-field halos (parallel/spatial.py) — exact, and
+    # the answer to pages too large for one chip's HBM (the reference's
+    # only recourse is host downscaling, dataset.py:139-143)
+    n_devices: Optional[int] = None
+    spatial_threshold: int = 16_000_000
 
 
 class Predictor:
@@ -68,13 +75,55 @@ class Predictor:
         if settings.output:
             for category in ("overlay", "color", "inverted"):
                 os.makedirs(os.path.join(settings.output, category), exist_ok=True)
+        self._spatial_mesh = None
+        if settings.n_devices and settings.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            self._spatial_mesh = make_mesh(settings.n_devices)
 
     def predict(self, dataset: Dataset) -> Generator[Prediction, None, None]:
         for data in dataset.data:
             yield self.predict_single(data)
 
+    def _spatial_single_data(self, data: SingleData):
+        """predict_single_data via row-band spatial partitioning
+        (parallel/spatial.py): exact for the finite-RF conv families."""
+        import scipy.special
+
+        from ..parallel.spatial import DEFAULT_MARGINS, spatial_forward
+
+        net = self.network
+        arr = np.asarray(net.preprocess(np.asarray(data.image, np.float32)))
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        elif arr.ndim == 3 and arr.shape[-1] == 1 and net.rgb:
+            arr = np.repeat(arr, 3, axis=-1)
+        logit = spatial_forward(
+            net.module,
+            net.variables,
+            arr,
+            self._spatial_mesh,
+            margin=DEFAULT_MARGINS.get(net.architecture.value, 192),
+            stride_factor=net.architecture.stride_factor,
+        )
+        prob = scipy.special.softmax(logit, axis=-1)
+        return logit, prob, logit.argmax(-1)
+
+    def _use_spatial(self, data: SingleData) -> bool:
+        if self._spatial_mesh is None:
+            return False
+        from ..parallel.spatial import DEFAULT_MARGINS
+
+        if self.network.architecture.value not in DEFAULT_MARGINS:
+            return False  # BN families: margins not characterized
+        h, w = data.image.shape[:2]
+        return h * w > self.settings.spatial_threshold
+
     def predict_single(self, data: SingleData) -> Prediction:
-        logit, prob, pred = self.network.predict_single_data(data)
+        if self._use_spatial(data):
+            logit, prob, pred = self._spatial_single_data(data)
+        else:
+            logit, prob, pred = self.network.predict_single_data(data)
         if self.settings.high_res_output:
             data, pred = scale_to_original_shape(data, pred)
         if self.settings.post_process:
