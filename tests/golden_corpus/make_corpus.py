@@ -1,9 +1,21 @@
-"""Deterministic generator of the golden corpus: three historical-style
-page scans (textured paper, text blocks, a figure, marginalia) with
-matching binarizations and PAGE-XML 2019 ground truth.
+"""Deterministic generator of the golden corpus: six historical-style
+page scans with matching binarizations and PAGE-XML 2019 ground truth.
+
+Pages 0-2 (v1, byte-stable since round 2): textured paper, text blocks,
+a figure, marginalia.  Pages 3-5 (v2) add the degradations real scans
+carry (VERDICT round-1 item 5):
+
+  page3  two-column layout with ~1.7% shear (skew), a foxing stain
+  page4  bleed-through from the verso, nested TextLine/Baseline ground
+         truth (exercises the baseline/textline mask types), a dark
+         ink blot that binarizes as foreground
+  page5  table + maths regions (deeper PageXMLTypes color coverage),
+         marginalia, pepper noise
 
 Run once to (re)create the checked-in corpus:
     python tests/golden_corpus/make_corpus.py
+then refreeze derived outputs:
+    python tests/golden_corpus/freeze.py
 The test suite treats the generated files + frozen outputs as fixtures;
 regenerating must be byte-identical (fixed seeds, no timestamps).
 """
@@ -95,11 +107,154 @@ def make_page(index: int):
     return image, binary, xml
 
 
+# ------------------------------------------------------------- v2 pages
+def _sheared_text_block(img, rng, top, left, bottom, right, shear, char_h=14):
+    """Text rows drawn along slanted baselines: row shifts down by
+    ``shear`` px per px of column — page-level skew whose ground-truth
+    polygon is the matching sheared quadrilateral."""
+    for row in range(top, bottom - char_h - int(shear * (right - left)) - 3,
+                     int(char_h * 1.7)):
+        col = left
+        while col < right - 6:
+            glyph_w = rng.randint(4, 11)
+            drow = int(shear * (col - left))
+            if rng.rand() < 0.82:
+                shade = rng.randint(15, 70)
+                img[row + drow : row + drow + char_h, col : col + glyph_w] = shade
+            col += glyph_w + rng.randint(2, 5)
+    dy = int(shear * (right - left))
+    return [(left, top), (right, top + dy), (right, bottom + dy), (left, bottom)]
+
+
+def _stain(img, rng, cy, cx, ry, rx, level, soft=12.0):
+    """Elliptical foxing/damp stain blended into the paper."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    d = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+    alpha = np.clip(1.0 - d, 0, 1) ** 0.7
+    img[:] = img * (1 - alpha) + (level + rng.randn(H, W) * soft) * alpha
+
+
+def _bleed_through(img, rng, top, left, bottom, right):
+    """Verso text showing through: mirrored faint strokes that stay
+    above the binarization threshold (real bleed-through rarely
+    binarizes, it only pollutes the grayscale)."""
+    ghost = np.full((bottom - top, right - left), 0.0)
+    sub = rng  # deterministic continuation of the page stream
+    for row in range(4, bottom - top - 12, 18):
+        col = 4
+        while col < right - left - 10:
+            glyph_w = sub.randint(4, 10)
+            if sub.rand() < 0.8:
+                ghost[row : row + 11, col : col + glyph_w] = sub.randint(35, 60)
+            col += glyph_w + sub.randint(2, 5)
+    img[top:bottom, left:right] -= ghost[:, ::-1]  # mirrored, subtractive
+
+
+def _textline_region(region_id, rtype, top, left, bottom, right, char_h, n_lines):
+    """TextRegion with nested TextLine + Baseline children (the
+    line-level mask types descend into these)."""
+    lines = []
+    step = (bottom - top) // n_lines
+    for li in range(n_lines):
+        l_top = top + li * step
+        l_bot = l_top + char_h + 4
+        base_y = l_top + char_h + 1
+        lines.append(
+            f'      <TextLine id="{region_id}_l{li}">\n'
+            f'        <Coords points="{left},{l_top} {right},{l_top} '
+            f'{right},{l_bot} {left},{l_bot}"/>\n'
+            f'        <Baseline points="{left},{base_y} {right},{base_y}"/>\n'
+            f"      </TextLine>\n"
+        )
+    points = f"{left},{top} {right},{top} {right},{bottom} {left},{bottom}"
+    return (
+        f'    <TextRegion id="{region_id}" type="{rtype}">\n'
+        f'      <Coords points="{points}"/>\n' + "".join(lines) + "    </TextRegion>\n"
+    )
+
+
+def make_page_v2(index: int):
+    rng = np.random.RandomState(100 + index)
+    img = _paper(rng)
+    regions = []
+
+    if index == 3:
+        # two columns, page-level skew, a foxing stain
+        shear = 0.017
+        left_poly = _sheared_text_block(img, rng, 50, 25, 330, 140, shear, char_h=12)
+        regions.append(_region("r3_col1", "paragraph", left_poly))
+        right_poly = _sheared_text_block(img, rng, 50, 160, 330, 275, shear, char_h=12)
+        regions.append(_region("r3_col2", "paragraph", right_poly))
+        _stain(img, rng, 340, 70, 45, 80, 175.0)
+        head_poly = _sheared_text_block(img, rng, 14, 60, 40, 240, shear, char_h=10)
+        regions.append(_region("r3_head", "heading", head_poly))
+    elif index == 4:
+        # bleed-through + line-level ground truth + a dark ink blot
+        n_lines = 8
+        char_h = 13
+        top, left, bottom, right = 40, 35, 40 + n_lines * 22, 250
+        _text_block(img, rng, top, left, bottom, right, char_h=char_h)
+        regions.append(
+            _textline_region("r4_main", "paragraph", top, left, bottom, right,
+                             char_h, n_lines))
+        _bleed_through(img, rng, 230, 40, 380, 260)
+        _stain(img, rng, 300, 200, 25, 30, 90.0, soft=6.0)  # binarizes as ink
+        marg_poly = _text_block(img, rng, 60, 258, 150, 292, char_h=8)
+        regions.append(_region("r4_marg", "marginalia", marg_poly))
+    else:
+        # table + maths + marginalia + pepper noise
+        head_poly = _text_block(img, rng, 18, 70, 44, 230, char_h=10)
+        regions.append(_region("r5_head", "heading", head_poly))
+        body_poly = _text_block(img, rng, 60, 30, 170, 270, char_h=12)
+        regions.append(_region("r5_body", "paragraph", body_poly))
+        # table: ruled grid with entries
+        t_top, t_left, t_bot, t_right = 190, 40, 280, 260
+        for y in range(t_top, t_bot + 1, 30):
+            img[y : y + 2, t_left:t_right] = 60
+        for x in range(t_left, t_right + 1, 55):
+            img[t_top:t_bot, x : x + 2] = 60
+        for y in range(t_top + 8, t_bot - 10, 30):
+            for x in range(t_left + 8, t_right - 20, 55):
+                img[y : y + 10, x : x + rng.randint(10, 30)] = rng.randint(20, 70)
+        regions.append(_region(
+            "r5_table", None,
+            [(t_left, t_top), (t_right, t_top), (t_right, t_bot), (t_left, t_bot)],
+            tag="TableRegion"))
+        # maths: a fraction-like glyph cluster
+        m_top, m_left, m_bot, m_right = 300, 80, 350, 220
+        img[322:325, m_left + 10 : m_right - 10] = 30  # fraction bar
+        _text_block(img, rng, m_top, m_left + 20, 320, m_right - 20, char_h=10)
+        _text_block(img, rng, 328, m_left + 20, 348, m_right - 20, char_h=10)
+        regions.append(_region(
+            "r5_maths", None,
+            [(m_left, m_top), (m_right, m_top), (m_right, m_bot), (m_left, m_bot)],
+            tag="MathsRegion"))
+        marg_poly = _text_block(img, rng, 70, 272, 160, 296, char_h=8)
+        regions.append(_region("r5_marg", "marginalia", marg_poly))
+        # pepper noise
+        spots = rng.rand(H, W) < 0.001
+        img[spots] = rng.randint(0, 90)
+
+    image = np.clip(img, 0, 255).astype(np.uint8)
+    binary = np.where(image < 128, 0, 255).astype(np.uint8)
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<PcGts xmlns="{NS}">\n'
+        f'  <Page imageFilename="page{index}.png" imageHeight="{H}" imageWidth="{W}">\n'
+        + "".join(regions)
+        + "  </Page>\n</PcGts>\n"
+    )
+    return image, binary, xml
+
+
+N_PAGES = 6
+
+
 def main():
     for sub in ("images", "binary", "xml"):
         os.makedirs(os.path.join(HERE, sub), exist_ok=True)
-    for i in range(3):
-        image, binary, xml = make_page(i)
+    for i in range(N_PAGES):
+        image, binary, xml = make_page(i) if i < 3 else make_page_v2(i)
         imsave(os.path.join(HERE, "images", f"page{i}.png"), image)
         imsave(os.path.join(HERE, "binary", f"page{i}.png"), binary)
         with open(os.path.join(HERE, "xml", f"page{i}.xml"), "w") as f:

@@ -1,12 +1,17 @@
 """Golden-corpus regression: the full reference workflow
 (examples/dataset-creation-example.sh:17-55 + model-training-example.sh)
-over a checked-in 3-page historical-style corpus with frozen outputs.
+over a checked-in 6-page historical-style corpus with frozen outputs.
 
-Deterministic host stages (gen-masks rasterization, char-height
-estimation, XY-cut rectangles) diff byte-/value-exactly against
-tests/golden_corpus/frozen.json; the float stages (train -> predict)
-gate on behavior: loss decreases and the trained model beats the
-majority-class baseline on foreground pixels.
+Pages 0-2 are clean scans; pages 3-5 carry realistic degradations —
+skew/two-column, bleed-through + TextLine/Baseline ground truth + an ink
+blot, table/maths regions + pepper noise (VERDICT round-1 item 5).
+
+Deterministic host stages (gen-masks rasterization across all five mask
+settings, char-height estimation, XY-cut rectangles) diff byte-/value-
+exactly against tests/golden_corpus/frozen.json (refreeze with
+tests/golden_corpus/freeze.py); the float stages (train -> predict)
+gate on behavior: loss decreases, fast == parity path, both
+post-processors and high_res_output run.
 """
 import hashlib
 import json
@@ -66,14 +71,18 @@ def test_corpus_is_reproducible():
                 assert a == b, f"{sub}/{name} regenerated differently"
 
 
-def test_step1_gen_masks_frozen(workdir, frozen):
-    masks = workdir / "masks"
+@pytest.mark.parametrize(
+    "setting", ["all_types", "text_nontext", "baseline", "textline", "text_only"])
+def test_step1_gen_masks_frozen(workdir, frozen, setting):
+    masks = workdir / f"masks_{setting}"
     rc = cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
-              "--output_dir", str(masks), "--setting", "all_types"])
+              "--output_dir", str(masks), "--setting", setting])
     assert rc == 0
-    for name, digest in frozen["mask_sha256"].items():
+    expected = frozen["mask_sha256"][setting]
+    assert sorted(os.listdir(masks)) == sorted(expected)
+    for name, digest in expected.items():
         got = hashlib.sha256((masks / name).read_bytes()).hexdigest()
-        assert got == digest, f"{name} mask drifted from frozen output"
+        assert got == digest, f"{setting}/{name} mask drifted from frozen output"
 
 
 def test_step2_normalizations_frozen(workdir, frozen):
@@ -94,7 +103,8 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
         (ds / sub).mkdir(parents=True, exist_ok=True)
     cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
          "--output_dir", str(ds / "masks"), "--setting", "text_nontext"])
-    for i in range(3):
+    n_pages = len(frozen["char_height"])
+    for i in range(n_pages):
         (ds / "images" / f"page{i}.png").write_bytes(
             open(os.path.join(CORPUS, "images", f"page{i}.png"), "rb").read())
         (ds / "binary_images" / f"page{i}.png").write_bytes(
@@ -112,7 +122,7 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
     random.seed(7)
     rc = cli(["create-dataset-file", "--dataset_path", str(ds),
               "--output_file", str(dataset_json),
-              "--n_train", "2", "--n_test", "1", "--n_eval", "0"])
+              "--n_train", "4", "--n_test", "2", "--n_eval", "0"])
     assert rc == 0
 
     out = workdir / "train_out"
@@ -134,7 +144,7 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
               "--target_line_height", "10"])
     assert rc == 0
     color_files = sorted(os.listdir(pred_dir / "color"))
-    assert len(color_files) == 3
+    assert len(color_files) == n_pages
 
     # the batched fast path (packed class-map download) must write the
     # same color masks as the per-page parity path
@@ -153,6 +163,38 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
         agreement = (slow == fast).all(axis=-1).mean()
         assert agreement >= 0.995, f"fast vs parity path diverged on {name}: {agreement:.4f}"
 
+    # both post-processors over the degraded corpus: cc-majority on the
+    # parity and fast paths must agree; bbox must run and stay in-palette
+    def predict_to(out, extra):
+        rc = cli(["predict", "--load", str(out_model),
+                  "--output", str(out),
+                  "--images", os.path.join(CORPUS, "images"),
+                  "--binary", os.path.join(CORPUS, "binary"),
+                  "--norm", str(ds / "normalizations"),
+                  "--color_map", str(workdir / "image_map.json"),
+                  "--target_line_height", "10"] + extra)
+        assert rc == 0
+
+    out_model = out / "model"
+    vote_dir, vote_fast = workdir / "pred_vote", workdir / "pred_vote_fast"
+    predict_to(vote_dir, ["--post_process", "ccmajority"])
+    predict_to(vote_fast, ["--post_process", "ccmajority", "--fast"])
+    for name in color_files:
+        slow = imread_rgb(str(vote_dir / "color" / name))
+        fast = imread_rgb(str(vote_fast / "color" / name))
+        agreement = (slow == fast).all(axis=-1).mean()
+        assert agreement >= 0.995, f"cc-vote fast vs parity diverged on {name}"
+
+    bbox_dir = workdir / "pred_bbox"
+    predict_to(bbox_dir, ["--post_process", "bbox"])
+    assert sorted(os.listdir(bbox_dir / "color")) == color_files
+
+    # high_res_output: masks return to the original page scale
+    hires_dir = workdir / "pred_hires"
+    predict_to(hires_dir, ["--high_res_output"])
+    page = imread_rgb(str(hires_dir / "color" / color_files[0]))
+    assert page.shape[:2] == (400, 300)
+
     # output colors must come from the map's palette only
     cmap = ColorMap(SEG_MAP)
     page = imread_rgb(str(pred_dir / "color" / color_files[0]))
@@ -166,7 +208,7 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
     masks_dir = workdir / "masks_alltypes"
     cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
          "--output_dir", str(masks_dir), "--setting", "all_types"])
-    for i in range(3):
+    for i in range(n_pages):
         rgb = imread_rgb(str(masks_dir / f"page{i}.mask.png"))
         texts, images = find_segments(
             400, rgb, frozen["char_height"][f"page{i}"], 300, cmap)
@@ -187,13 +229,13 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
               "--char_height", "14",
               "--color_map", str(workdir / "seg_map.json")])
     assert rc == 0
-    assert len(os.listdir(seg_out)) == 3
+    assert len(os.listdir(seg_out)) == n_pages
 
     # evaluate: GT vs GT is perfect (incl. the foreground-pixel accuracy
     # path over the binarizations)
     binary_dir = workdir / "binary_named"
     binary_dir.mkdir(exist_ok=True)
-    for i in range(3):
+    for i in range(n_pages):
         (binary_dir / f"page{i}.mask.png").write_bytes(
             open(os.path.join(CORPUS, "binary", f"page{i}.png"), "rb").read())
     rc = cli(["evaluate",
