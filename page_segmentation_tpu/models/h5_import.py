@@ -250,8 +250,38 @@ def load_encoder_into(variables, architecture: Architecture, h5_path: str):
     segmentation variables with backbone weights from a keras-applications
     ``.h5`` (the reference gets this via ``weights='imagenet'`` inside
     model construction, model.py:101,330,377; here the user supplies the
-    weight file and the decoder keeps its fresh init)."""
+    weight file and the decoder keeps its fresh init).
+
+    Also accepts a native encoder checkpoint directory produced by
+    ``tools/provision_pretrained.py --out`` (msgpack; loads without
+    h5py)."""
+    import os
+
     family = _PRETRAINED_FAMILY.get(architecture.value)
+    if os.path.isdir(h5_path):
+        from ..train.checkpoint import load_checkpoint
+        from .mobilenet_import import _merge
+
+        enc_vars, meta = load_checkpoint(h5_path)
+        if family is None:
+            raise ValueError(
+                f"pretrained encoders apply to the mobilenet/resnet/"
+                f"efficientnet families, not {architecture.value}"
+            )
+        if meta.get("family") and meta["family"] != family:
+            raise ValueError(
+                f"encoder checkpoint holds a {meta['family']} backbone but the "
+                f"architecture {architecture.value} needs {family}"
+            )
+        new_vars = dict(variables)
+        for collection in ("params", "batch_stats"):
+            tree = dict(new_vars.get(collection, {}))
+            tree["encoder"] = _merge(
+                dict(tree.get("encoder", {})),
+                enc_vars.get(collection, {}).get("encoder", {}),
+            )
+            new_vars[collection] = tree
+        return new_vars
     if family == "mobilenet":
         from .mobilenet_import import load_into_mobilenet_seg
 
