@@ -344,21 +344,30 @@ def cc_min_label_xla_batch(ink, max_iters: int = 4096):
 @functools.partial(jax.jit, static_argnames=("n_classes",))
 def cc_vote_batch_xla(pred, binary, n_classes: int):
     """Batched cc-majority vote, pure XLA (no Pallas): batched segmented
-    min-scan labeling + per-page segment-sum histogram vote.  Preferred in
-    fused predict programs where the dispatch must overlap other device
-    traffic; ``cc_vote_batch`` (Pallas, VMEM-resident) remains for
-    standalone use and large pages."""
+    min-scan labeling + ONE whole-batch segment-sum histogram (a single
+    scatter-add across all pages — a ``lax.map`` of per-page votes costs
+    N serialized scatter kernels on TPU).  Preferred in fused predict
+    programs where the dispatch must overlap other device traffic;
+    ``cc_vote_batch`` (Pallas, VMEM-resident) remains for standalone use
+    and large pages."""
     from jax import lax
 
     pred = jnp.asarray(pred)
     ink = jnp.asarray(binary) != 0
     labels, _ = cc_min_label_xla_batch(ink)
 
-    def one(args):
-        page_pred, page_ink, page_labels = args
-        return _vote_from_labels(page_pred, page_ink, page_labels, n_classes)
-
-    return lax.map(one, (pred, ink, labels))
+    n, h, w = pred.shape
+    comps = h * w + 1  # per-page component-id space (0 = background)
+    page = lax.broadcasted_iota(jnp.int32, (n, h, w), 0)
+    seg = (page * comps + labels) * n_classes + pred.astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        ink.ravel().astype(jnp.int32),
+        seg.ravel(),
+        num_segments=n * comps * n_classes,
+    ).reshape(n * comps, n_classes)
+    majority = jnp.argmax(counts, axis=1).astype(pred.dtype)
+    voted = jnp.take(majority, (page * comps + labels).ravel()).reshape(n, h, w)
+    return jnp.where(ink, voted, pred)
 
 
 @functools.partial(jax.jit, static_argnames=("n_classes", "interpret"))
