@@ -1,0 +1,82 @@
+"""Smoke the bench's sustained-corpus mode (bench.py --corpus) on CPU:
+stage attribution fields, flatness metrics, and the synth-on-device
+variant must produce well-formed JSON on tiny shapes.
+"""
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def bench_module():
+    sys.path.insert(0, ".")
+    import bench
+
+    return bench
+
+
+def _run_corpus(bench_module, capsys, extra):
+    import jax.numpy as jnp
+
+    argv = sys.argv
+    sys.argv = ["bench.py", "--corpus", "48", "--batch", "24",
+                "--height", "584", "--width", "408", "--skip-train",
+                "--dtype", "float32"] + extra
+    try:
+        args = _parse(bench_module)
+        from page_segmentation_tpu.models.fcn import FCNSkip
+
+        module = FCNSkip(n_classes=3, dtype=jnp.float32)
+        bench_module.bench_corpus(args, module, jnp.float32)
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def _parse(bench_module):
+    import argparse
+
+    # reuse main()'s parser by intercepting parse_args via a tiny shim:
+    # bench.main builds the parser inline, so re-declare only the fields
+    # bench_corpus reads
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pages", type=int, default=96)
+    parser.add_argument("--batch", type=int, default=24)
+    parser.add_argument("--height", type=int, default=584)
+    parser.add_argument("--width", type=int, default=408)
+    parser.add_argument("--target-line-height", type=int, default=6)
+    parser.add_argument("--host-decimate", type=int, default=8)
+    parser.add_argument("--download", default="packed")
+    parser.add_argument("--cc-vote", action="store_true")
+    parser.add_argument("--cc-vote-backend", default="xla")
+    parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--s2d-stem", action="store_true")
+    parser.add_argument("--repeats", type=int, default=1)
+    parser.add_argument("--skip-train", action="store_true")
+    parser.add_argument("--mode", default="predict")
+    parser.add_argument("--corpus", type=int, default=48)
+    parser.add_argument("--synth-on-device", action="store_true")
+    parser.add_argument("--time-budget", type=float, default=60.0)
+    return parser.parse_args()
+
+
+def test_corpus_mode_stage_attribution(bench_module, capsys):
+    result = _run_corpus(bench_module, capsys, [])
+    assert result["metric"] == "corpus_sustained_pages_per_sec_per_chip"
+    assert result["pages"] == 48
+    for stage in ("gen", "prep", "upload", "device", "download", "finish"):
+        assert stage in result["stage_ms_median"]
+    assert result["transport_s"] >= 0
+    assert result["framework_s"] > 0
+    assert result["batch_s_median_second_half"] > 0
+
+
+def test_corpus_mode_synth_on_device(bench_module, capsys):
+    result = _run_corpus(bench_module, capsys, ["--synth-on-device"])
+    assert result["metric"] == "corpus_device_pages_per_sec_per_chip"
+    assert result["pages"] == 48
+    assert isinstance(result["flat"], bool)
+    assert result["batch_ms_median_second_half"] > 0
