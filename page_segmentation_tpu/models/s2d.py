@@ -24,6 +24,20 @@ tests/test_s2d_stem.py.
 Pure XLA — no Pallas — and differentiable: gradients flow through the
 kernel gather back to the original (5,5,C,F) parameters, so the flag is
 valid for training too and checkpoints are identical either way.
+
+Measured (tools/ab_s2d.py, TPU v5e via the tunneled runtime,
+2026-08-17): at the *production working size* — pages host-decimated 8x
+then normalized to ~438x310 before the forward — the s2d program is
+1.13-1.16x SLOWER than the dense path (paired alternating dispatches
+with novel content, dispatch+download timed; two sessions, ratios 1.161
+and 1.129 while absolute per-batch times swung 108 -> 251 ms between
+sessions, so the pairing is load-bearing).  At this grid size the dense
+conv1/conv2 are a small fraction of the program and the s2d
+reshape/transpose overhead exceeds the MXU win.  The stem therefore
+stays OPT-IN (`s2d_stem=True`): its designed regime is full-resolution
+(undecimated) inputs, which only spatial-partitioned giant-page
+inference uses today.  Re-evaluate with a real profiler on a
+direct-attached chip before defaulting it anywhere.
 """
 from __future__ import annotations
 
