@@ -341,6 +341,47 @@ def cmd_page_segmentation(args) -> int:
 
 
 # ------------------------------------------------------------------ evaluate
+def cmd_serve(args) -> int:
+    """Long-lived prediction service with dynamic batching
+    (inference/server.py): concurrent POST /predict requests share fused
+    device dispatches.  No reference counterpart — its deployment unit is
+    a one-shot batch run (reference predictor.py:27-30)."""
+    from ..inference.postprocess import find_postprocessor
+    from ..inference.predictor import Predictor, PredictSettings
+    from ..inference.server import BatchingService, PredictionServer
+
+    color_map = _load_color_map(args.color_map)
+    n_classes = args.n_classes or color_map.n_classes
+    post = [find_postprocessor(p) for p in (args.post_process or [])]
+    settings = PredictSettings(
+        network=args.load,
+        color_map=color_map,
+        n_classes=n_classes,
+        post_process=post or None,
+        compute_dtype=args.dtype,
+        s2d_stem=args.s2d_stem,
+    )
+    service = BatchingService(
+        Predictor(settings),
+        color_map,
+        target_line_height=args.target_line_height,
+        default_char_height=args.char_height,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        max_width=args.max_width,
+    )
+    server = PredictionServer(service, host=args.host, port=args.port)
+    logger.info("model %s ready; POST /predict on %s:%d",
+                args.load, args.host, server.port)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     import numpy as np
 
@@ -554,6 +595,28 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--extension", default="png")
     s.set_defaults(func=cmd_page_segmentation)
 
+    # serve
+    v = sub.add_parser("serve", help="HTTP prediction service with dynamic batching")
+    v.add_argument("--load", required=True, help="model checkpoint dir or Keras .h5")
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8765)
+    v.add_argument("--char_height", type=int, default=None,
+                   help="default line height (px) for requests that omit "
+                        "?char_height=N")
+    v.add_argument("--target_line_height", type=int, default=6)
+    v.add_argument("--max_width", type=int, default=None)
+    v.add_argument("--color_map", default=None)
+    v.add_argument("--n_classes", type=int, default=None)
+    v.add_argument("--post_process", nargs="*", default=None)
+    v.add_argument("--max_batch", type=int, default=16,
+                   help="max pages fused into one device dispatch")
+    v.add_argument("--max_wait_ms", type=float, default=25.0,
+                   help="batching window: how long the first request of a "
+                        "batch waits for riders")
+    v.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    v.add_argument("--s2d_stem", action="store_true")
+    v.set_defaults(func=cmd_serve)
+
     # evaluate
     e = sub.add_parser("evaluate", help="compare predictions against masks")
     e.add_argument("--masks", required=True)
@@ -565,8 +628,33 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI runs.
+
+    The fused predict/train programs take ~20-40 s to compile on a cold
+    process; with the cache, repeat CLI invocations (the common production
+    pattern: one process per page batch) skip straight to execution.
+    Override the location with PS_TPU_COMPILE_CACHE; set it empty to
+    disable.  (The reference has no analogue — Keras re-traces per
+    process, reference network.py:89-104.)"""
+    path = os.environ.get(
+        "PS_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "page_segmentation_tpu", "xla"),
+    )
+    if not path:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        logger.debug("persistent compile cache unavailable", exc_info=True)
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
+    _enable_compile_cache()
     if argv is None:
         argv = sys.argv[1:]
     # bare invocation is predict (reference README.md:30: the base command

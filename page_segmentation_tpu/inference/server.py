@@ -1,0 +1,321 @@
+"""Production serving: dynamic-batching HTTP prediction service.
+
+The reference has no serving story — its deployment unit is a batch CLI
+run over a directory (reference predictor.py:27-30 iterates pages in one
+process and exits).  On TPU the economics invert: the chip is fast and
+the per-dispatch overhead is fixed, so a long-lived service that *shares*
+device dispatches between concurrent clients is the natural production
+shape.  This module provides:
+
+* ``BatchingService`` — a background worker that collects concurrent
+  requests for up to ``max_wait_ms`` (or ``max_batch`` pages) and runs
+  them as ONE fused device batch via ``Predictor.predict_dataset_fast``
+  (bucket-grouped, padded, device-voted when configured).  Per-request
+  latency under load approaches per-*batch* latency instead of
+  pages x per-page latency.
+* ``PredictionHandler``/``serve`` — a stdlib ``ThreadingHTTPServer``
+  front end (zero extra dependencies): ``POST /predict`` with an image
+  body returns the requested mask as PNG; ``GET /healthz`` and
+  ``GET /stats`` support orchestration (readiness probes and
+  batch-efficiency monitoring).
+
+The worker thread owns all JAX interaction; HTTP threads only decode
+images and wait on futures, so the service needs no device locking.
+"""
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..core.colors import ColorMap
+from ..data.dataset import Dataset, SingleData
+from ..data.loader import DatasetLoader
+from .predictor import Predictor
+
+logger = logging.getLogger(__name__)
+
+OUTPUTS = ("color", "overlay", "inverted", "labels")
+
+
+@dataclass
+class ServeStats:
+    """Batch-efficiency counters exposed at ``GET /stats``."""
+
+    requests_total: int = 0
+    batches_total: int = 0
+    pages_total: int = 0
+    errors_total: int = 0
+    batch_sizes: List[int] = field(default_factory=list)
+    latency_ms: List[float] = field(default_factory=list)
+
+    def snapshot(self) -> dict:
+        sizes = self.batch_sizes[-256:]
+        lat = sorted(self.latency_ms[-256:])
+
+        def pct(p):
+            return round(lat[min(int(p * len(lat)), len(lat) - 1)], 1) if lat else None
+
+        return {
+            "requests_total": self.requests_total,
+            "batches_total": self.batches_total,
+            "pages_total": self.pages_total,
+            "errors_total": self.errors_total,
+            "mean_batch_size": round(float(np.mean(sizes)), 2) if sizes else None,
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+        }
+
+
+class BatchingService:
+    """Collect concurrent predict requests into fused device batches.
+
+    ``submit`` returns a ``Future`` resolving to a dict with the label map
+    and the color/overlay/inverted trio.  One worker thread drains the
+    queue: the first pending request opens a batch window of
+    ``max_wait_ms``; everything that arrives inside it (up to
+    ``max_batch``) rides the same ``predict_dataset_fast`` dispatch.
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        color_map: ColorMap,
+        target_line_height: int = 6,
+        default_char_height: Optional[int] = None,
+        max_batch: int = 16,
+        max_wait_ms: float = 25.0,
+        max_width: Optional[int] = None,
+    ):
+        self.predictor = predictor
+        self.color_map = color_map
+        self.default_char_height = default_char_height
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.loader = DatasetLoader(
+            target_line_height, color_map, prediction=True, max_width=max_width
+        )
+        self.stats = ServeStats()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, name="batcher", daemon=True)
+        self._worker.start()
+
+    # ----------------------------------------------------------- client side
+    def submit(
+        self,
+        image: np.ndarray,
+        binary: Optional[np.ndarray] = None,
+        char_height: Optional[int] = None,
+    ) -> Future:
+        """Enqueue one page; resolves to
+        {labels, color, overlay, inverted, data}."""
+        char_height = char_height or self.default_char_height
+        if not char_height:
+            raise ValueError("char_height required (no service default configured)")
+        if binary is None:
+            # same contract as the loader's fallback (reference
+            # dataset.py:172: the binary defaults to the image itself,
+            # binarized): white background / black ink at threshold 128
+            binary = np.where(image >= 128, np.uint8(255), np.uint8(0))
+        future: Future = Future()
+        entry = SingleData(
+            image=np.asarray(image), binary=np.asarray(binary),
+            line_height_px=int(char_height), user_data=future,
+        )
+        self.stats.requests_total += 1
+        self._queue.put((time.perf_counter(), entry))
+        return future
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout=10)
+
+    # ----------------------------------------------------------- worker side
+    def _collect(self) -> List:
+        """Block for the first request, then hold the window open."""
+        try:
+            first = self._queue.get(timeout=0.25)
+        except queue.Empty:
+            return []
+        if first is None:
+            return []
+        pending = [first]
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(pending) < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            pending.append(item)
+        return pending
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            pending = self._collect()
+            if not pending:
+                continue
+            t_starts = {id(e): t for t, e in pending}
+            entries = [e for _, e in pending]
+            try:
+                dataset = self.loader.load_data(entries)
+                n_done = 0
+                for data, pred, color, overlay, inverted in (
+                    self.predictor.predict_dataset_fast(
+                        dataset, batch_size=self.max_batch
+                    )
+                ):
+                    future = data.user_data
+                    result = {
+                        "labels": pred,
+                        "color": color,
+                        "overlay": overlay,
+                        "inverted": inverted,
+                        "data": data,
+                    }
+                    self.stats.latency_ms.append(
+                        (time.perf_counter() - t_starts[id(data)]) * 1e3
+                    )
+                    n_done += 1
+                    future.set_result(result)
+                self.stats.batches_total += 1
+                self.stats.pages_total += n_done
+                self.stats.batch_sizes.append(n_done)
+            except Exception as exc:  # noqa: BLE001 - fail every rider
+                logger.exception("batch failed")
+                self.stats.errors_total += len(entries)
+                for entry in entries:
+                    if not entry.user_data.done():
+                        entry.user_data.set_exception(exc)
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(arr)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_handler(service: BatchingService, request_timeout_s: float = 120.0):
+    class PredictionHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route to logging, not stderr
+            logger.debug("%s - %s", self.address_string(), fmt % args)
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 - http.server API
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+
+                self._json(200, {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "n_devices": jax.device_count(),
+                })
+            elif path == "/stats":
+                self._json(200, service.stats.snapshot())
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):  # noqa: N802 - http.server API
+            parsed = urlparse(self.path)
+            if parsed.path != "/predict":
+                self._json(404, {"error": f"unknown path {parsed.path}"})
+                return
+            params = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
+            output = params.get("output", "color")
+            if output not in OUTPUTS:
+                self._json(400, {"error": f"output must be one of {OUTPUTS}"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            if length <= 0:
+                self._json(400, {"error": "empty body (send the page image)"})
+                return
+            body = self.rfile.read(length)
+            try:
+                from PIL import Image
+
+                image = np.asarray(Image.open(io.BytesIO(body)).convert("L"))
+            except Exception:
+                self._json(400, {"error": "body is not a decodable image"})
+                return
+            try:
+                char_height = params.get("char_height")
+                future = service.submit(
+                    image, char_height=int(char_height) if char_height else None
+                )
+            except ValueError as exc:
+                self._json(400, {"error": str(exc)})
+                return
+            try:
+                result = future.result(timeout=request_timeout_s)
+            except Exception as exc:  # noqa: BLE001 - surface batch errors
+                self._json(500, {"error": f"prediction failed: {exc}"})
+                return
+            arr = result[output]
+            if output == "labels":
+                arr = arr.astype(np.uint8)
+            png = _png_bytes(arr)
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.end_headers()
+            self.wfile.write(png)
+
+    return PredictionHandler
+
+
+class PredictionServer:
+    """Own a ``BatchingService`` + ``ThreadingHTTPServer`` pair."""
+
+    def __init__(self, service: BatchingService, host: str = "127.0.0.1", port: int = 0):
+        self.service = service
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(service))
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start_background(self) -> None:
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, name="http", daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        logger.info("serving on %s:%d", *self.httpd.server_address[:2])
+        self.httpd.serve_forever()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+        self.service.stop()

@@ -1,0 +1,212 @@
+"""Serving layer: dynamic batching service + HTTP front end.
+
+The service must (a) return exactly what the library predict path returns,
+(b) actually batch concurrent requests into shared dispatches, and
+(c) speak well-formed HTTP including the error paths.
+"""
+import io
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+from page_segmentation_tpu.data.dataset import SingleData
+from page_segmentation_tpu.data.loader import DatasetLoader
+from page_segmentation_tpu.inference.classifier import PixelClassifier
+from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+from page_segmentation_tpu.inference.server import (
+    BatchingService,
+    PredictionServer,
+)
+
+
+def make_page(seed: int = 0, h: int = 64, w: int = 48):
+    rng = np.random.RandomState(seed)
+    page = np.full((h, w), 240, np.uint8)
+    page[20:44, 12:36] = rng.randint(10, 60, (24, 24)).astype(np.uint8)
+    return page
+
+
+@pytest.fixture(scope="module")
+def service():
+    network = PixelClassifier(n_classes=3, seed=0)
+    predictor = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
+        network=network,
+    )
+    svc = BatchingService(
+        predictor,
+        DEFAULT_IMAGE_MAP,
+        target_line_height=8,
+        default_char_height=8,
+        max_batch=8,
+        max_wait_ms=60.0,
+    )
+    yield svc
+    svc.stop()
+
+
+def reference_result(service, page):
+    """What the library predict path produces for the same page."""
+    binary = np.where(page >= 128, np.uint8(255), np.uint8(0))
+    loader = DatasetLoader(8, DEFAULT_IMAGE_MAP, prediction=True)
+    dataset = loader.load_data(
+        [SingleData(image=page.copy(), binary=binary, line_height_px=8)]
+    )
+    (result,) = list(
+        service.predictor.predict_dataset_fast(dataset, batch_size=1)
+    )
+    return result
+
+
+def test_submit_matches_library_path(service):
+    page = make_page(0)
+    got = service.submit(page).result(timeout=120)
+    _, pred, color, overlay, inverted = reference_result(service, page)
+    np.testing.assert_array_equal(got["labels"], pred)
+    np.testing.assert_array_equal(got["color"], color)
+    np.testing.assert_array_equal(got["overlay"], overlay)
+    np.testing.assert_array_equal(got["inverted"], inverted)
+
+
+def test_concurrent_requests_share_batches(service):
+    batches_before = service.stats.batches_total
+    futures = [service.submit(make_page(i)) for i in range(6)]
+    results = [f.result(timeout=120) for f in futures]
+    assert all(r["labels"].shape == (64, 48) for r in results)
+    new_batches = service.stats.batches_total - batches_before
+    # 6 requests enqueued faster than the window closes: fewer batches
+    # than requests proves dispatch sharing
+    assert 1 <= new_batches < 6
+    assert max(service.stats.batch_sizes[-new_batches:]) >= 2
+
+
+def test_submit_requires_char_height():
+    network = PixelClassifier(n_classes=3, seed=0)
+    predictor = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3), network=network
+    )
+    svc = BatchingService(predictor, DEFAULT_IMAGE_MAP, target_line_height=8)
+    try:
+        with pytest.raises(ValueError, match="char_height"):
+            svc.submit(make_page(0))
+    finally:
+        svc.stop()
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    srv = PredictionServer(service, host="127.0.0.1", port=0)
+    srv.start_background()
+    yield srv
+    srv.httpd.shutdown()
+    srv.httpd.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, resp.read()
+
+
+def test_healthz(server):
+    status, body = _get(f"http://127.0.0.1:{server.port}/healthz")
+    payload = json.loads(body)
+    assert status == 200
+    assert payload["status"] == "ok"
+    assert payload["n_devices"] >= 1
+
+
+def test_stats_endpoint(server):
+    status, body = _get(f"http://127.0.0.1:{server.port}/stats")
+    payload = json.loads(body)
+    assert status == 200
+    assert payload["requests_total"] >= 0
+
+
+def _post_png(port, page, query=""):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(page).save(buf, format="PNG")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict{query}", data=buf.getvalue(), method="POST"
+    )
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_http_predict_color(server, service):
+    from PIL import Image
+
+    page = make_page(7)
+    with _post_png(server.port, page) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/png"
+        out = np.asarray(Image.open(io.BytesIO(resp.read())))
+    _, _, color, _, _ = reference_result(service, page)
+    np.testing.assert_array_equal(out, color)
+
+
+def test_http_predict_labels_output(server):
+    from PIL import Image
+
+    page = make_page(8)
+    with _post_png(server.port, page, "?output=labels&char_height=8") as resp:
+        out = np.asarray(Image.open(io.BytesIO(resp.read())))
+    assert out.shape == (64, 48)
+    assert out.max() < 3
+
+
+def test_http_bad_requests(server):
+    port = server.port
+    # invalid output name
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post_png(port, make_page(0), "?output=bogus")
+    assert err.value.code == 400
+    # body not an image
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=b"not a png", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=60)
+    assert err.value.code == 400
+    # unknown path
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=60)
+    assert err.value.code == 404
+
+
+def test_http_concurrent_clients(server, service):
+    """Parallel HTTP clients all succeed and share device batches."""
+    pages = [make_page(100 + i) for i in range(5)]
+    results = [None] * len(pages)
+    errors = []
+
+    def hit(i):
+        try:
+            with _post_png(server.port, pages[i]) as resp:
+                results[i] = resp.read()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(len(pages))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    assert all(r and r[:4] == b"\x89PNG" for r in results)
+
+
+def test_serve_cli_parser():
+    from page_segmentation_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(
+        ["serve", "--load", "/tmp/model", "--port", "0", "--char_height", "8",
+         "--max_batch", "4", "--max_wait_ms", "10"]
+    )
+    assert args.func.__name__ == "cmd_serve"
+    assert args.max_batch == 4
