@@ -22,15 +22,22 @@ import time
 import numpy as np
 
 
+_SYNTH_BUFS = {}  # (n, h, w) -> (pages, binaries); GB-scale cold-fault cost paid once
+
+
 def synthesize_pages(n, h, w, seed=0):
     """Synthetic 300-DPI historical pages: text lines + a figure block."""
     rng = np.random.RandomState(seed)
     line_height = 50  # px at 300 DPI
     # one page of text geometry, glyph presence varied per page
-    base = np.full((h, w), 235, np.uint8)
     row_starts = np.arange(h // 8, h - h // 8 - line_height, int(line_height * 1.6))
     col_starts = np.arange(w // 10, w - w // 10 - 25, 35)
-    pages = np.broadcast_to(base, (n, h, w)).copy()
+    bufs = _SYNTH_BUFS.get((n, h, w))
+    if bufs is None:
+        bufs = (np.empty((n, h, w), np.uint8), np.empty((n, h, w), np.uint8))
+        _SYNTH_BUFS[(n, h, w)] = bufs
+    pages, binaries = bufs
+    pages[...] = 235
     for i in range(n):
         present = rng.rand(len(row_starts), len(col_starts)) < 0.85
         shades = rng.randint(10, 60, size=present.shape).astype(np.uint8)
@@ -43,7 +50,11 @@ def synthesize_pages(n, h, w, seed=0):
                     block[:, c : c + 25] = shade
         if i % 3 == 0:
             page[int(h * 0.7) : int(h * 0.85), int(w * 0.2) : int(w * 0.8)] = 120
-    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+    # Per-page in-place threshold: uint8 operands + a reused output buffer
+    # keep np.where from materializing GB-scale int64/bool intermediates
+    # (paid at cold-page-fault speed, ~150 MB/s, on this host).
+    for i in range(n):
+        np.multiply(pages[i] >= 128, np.uint8(255), out=binaries[i], casting="unsafe")
     return pages, binaries, line_height
 
 
