@@ -382,6 +382,50 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize the compiled predict program (weights baked in) to one
+    self-contained artifact via jax.export/StableHLO (inference/aot.py).
+    No reference counterpart: its artifact is a Keras .h5 that needs the
+    full TF runtime + custom-object table at load (reference
+    network.py:76-84); this one needs only jax."""
+    from ..inference.aot import export_classifier
+    from ..inference.classifier import PixelClassifier
+    from ..models.registry import Architecture
+
+    import jax.numpy as jnp
+
+    color_map = _load_color_map(args.color_map)
+    n_classes = args.n_classes or color_map.n_classes
+    classifier = PixelClassifier(
+        n_classes=n_classes,
+        architecture=Architecture(args.architecture),
+        model_path=args.load,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        s2d_stem=args.s2d_stem,
+    )
+    shapes = None
+    if args.shapes:
+        shapes = []
+        for spec in args.shapes:
+            h, _, w = spec.partition("x")
+            shapes.append((int(h), int(w)))
+    manifest = export_classifier(
+        classifier,
+        args.output,
+        output="logits" if args.logits else "pred",
+        platforms=args.platforms,
+        shapes=shapes,
+    )
+    size_mb = os.path.getsize(args.output) / 1e6
+    print(
+        f"Exported {manifest['architecture']} ({manifest['output']}, "
+        f"platforms {','.join(manifest['platforms'])}, "
+        f"{'symbolic shapes' if manifest['symbolic'] else manifest['shapes']}) "
+        f"-> {args.output} ({size_mb:.1f} MB)"
+    )
+    return 0
+
+
 def cmd_evaluate(args) -> int:
     import numpy as np
 
@@ -616,6 +660,30 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     v.add_argument("--s2d_stem", action="store_true")
     v.set_defaults(func=cmd_serve)
+
+    # export
+    x = sub.add_parser(
+        "export",
+        help="serialize the compiled predict program (weights included) "
+             "to a self-contained jax.export artifact",
+    )
+    x.add_argument("--load", required=True, help="model checkpoint dir or Keras .h5")
+    x.add_argument("--output", required=True, help="artifact path (e.g. model.psx)")
+    x.add_argument("--architecture", default="fcn_skip",
+                   help="build architecture (auto-corrected when --load "
+                        "carries architecture metadata)")
+    x.add_argument("--color_map", default=None)
+    x.add_argument("--n_classes", type=int, default=None)
+    x.add_argument("--logits", action="store_true",
+                   help="export float32 logits instead of the uint8 class map")
+    x.add_argument("--platforms", nargs="+", default=["tpu", "cpu"],
+                   help="lowering targets baked into the artifact")
+    x.add_argument("--shapes", nargs="*", default=None, metavar="HxW",
+                   help="static shapes (e.g. 1024x768); default exports one "
+                        "symbolic-shape program covering every page size")
+    x.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    x.add_argument("--s2d_stem", action="store_true")
+    x.set_defaults(func=cmd_export)
 
     # evaluate
     e = sub.add_parser("evaluate", help="compare predictions against masks")
