@@ -105,6 +105,9 @@ def main():
                              "3-stage overlap; pallas: VMEM-resident kernel, downloads "
                              "serialized (tunnel workaround)")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--int8", action="store_true",
+                        help="run the int8-quantized predict program "
+                             "(models/quant.py; calibrates on the first batch)")
     parser.add_argument("--s2d-stem", action="store_true",
                         help="exact space-to-depth rewrite of the full-res stem convs "
                              "(models/s2d.py): 144-deep MXU contraction instead of 25")
@@ -126,6 +129,12 @@ def main():
                              "per-batch seed and download only a checksum, taking the "
                              "link out of the loop entirely (isolates framework+device "
                              "cost)")
+    parser.add_argument("--sustained", type=int, default=528,
+                        help="after the headline reps, also run the sustained "
+                             "distinct-page mode over this many never-repeated "
+                             "pages and embed a compact summary in the headline "
+                             "JSON (0 = off; --corpus is the full standalone "
+                             "mode)")
     parser.add_argument("--time-budget", type=float, default=240.0,
                         help="stop repeating once this many measured seconds elapsed")
     args = parser.parse_args()
@@ -149,7 +158,7 @@ def main():
     if args.mode == "train":
         return bench_train(args, module, compute_dtype)
     if args.corpus:
-        return bench_corpus(args, module, compute_dtype)
+        return bench_corpus(args, module, compute_dtype, args.corpus)
 
     pages, binaries, line_height = synthesize_pages(args.pages, args.height, args.width)
     scale = args.target_line_height / line_height
@@ -165,6 +174,7 @@ def main():
         compute_dtype=compute_dtype,
         download=args.download,
         cc_vote=args.cc_vote_backend if args.cc_vote else False,
+        int8=args.int8,
     )
     print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
 
@@ -233,10 +243,23 @@ def main():
     }
     if not args.skip_train:
         result["train_pages_per_sec_per_chip"] = bench_train(args, module, compute_dtype, emit=False)
+    if args.sustained:
+        # BASELINE config #5 evidence in every recorded bench: sustained
+        # distinct-page throughput with per-stage attribution (always the
+        # full-stack mode; --synth-on-device only shapes --corpus runs)
+        args.synth_on_device = False
+        sus = bench_corpus(args, module, compute_dtype, args.sustained, emit=False)
+        result["sustained"] = {
+            "pages": sus["pages"],
+            "pages_per_sec": sus["value"],
+            "stage_ms_median": sus["stage_ms_median"],
+            "flat": bool(sus["batch_s_median_second_half"]
+                         <= 1.5 * sus["batch_s_median_first_half"]),
+        }
     print(json.dumps(result))
 
 
-def bench_corpus(args, module, compute_dtype):
+def bench_corpus(args, module, compute_dtype, corpus, emit=True):
     """Sustained distinct-page throughput (BASELINE config #5: 1k-page
     corpus).  Unlike the headline bench (a small page set rolled per rep,
     which sits in the tunnel's content-cache-friendly regime), every page
@@ -271,8 +294,8 @@ def bench_corpus(args, module, compute_dtype):
         download=args.download,
         cc_vote=(args.cc_vote_backend if args.cc_vote else False),
     )
-    n_batches = -(-args.corpus // args.batch)
-    print(f"corpus: {args.corpus} distinct pages, {n_batches} x {args.batch}, "
+    n_batches = -(-corpus // args.batch)
+    print(f"corpus: {corpus} distinct pages, {n_batches} x {args.batch}, "
           f"synth_on_device={args.synth_on_device}", file=sys.stderr)
 
     if args.synth_on_device:
@@ -325,10 +348,10 @@ def bench_corpus(args, module, compute_dtype):
         first, second = float(np.median(times[:half])), float(np.median(times[half:]))
         result = {
             "metric": "corpus_device_pages_per_sec_per_chip",
-            "value": round(args.corpus / wall, 2),
+            "value": round(corpus / wall, 2),
             "unit": "pages/sec",
-            "vs_baseline": round(args.corpus / wall / 50.0, 3),
-            "pages": args.corpus,
+            "vs_baseline": round(corpus / wall / 50.0, 3),
+            "pages": corpus,
             "batch_ms_median_first_half": round(first * 1e3, 1),
             "batch_ms_median_second_half": round(second * 1e3, 1),
             "flat": bool(second <= 1.5 * first),
@@ -337,8 +360,9 @@ def bench_corpus(args, module, compute_dtype):
                     "in-flight wait; flat=framework+device time stable "
                     "over the corpus",
         }
-        print(json.dumps(result))
-        return
+        if emit:
+            print(json.dumps(result))
+        return result
 
     # full stack, distinct pages, per-stage attribution
     stage_names = ("gen", "prep", "upload", "device", "download", "finish")
@@ -354,7 +378,7 @@ def bench_corpus(args, module, compute_dtype):
     done = 0
     for i in range(n_batches):
         t0 = time.perf_counter()
-        m = min(args.batch, args.corpus - done)
+        m = min(args.batch, corpus - done)
         pages, binaries, _ = synthesize_pages(m, args.height, args.width, seed=i)
         t1 = time.perf_counter()
         dec = native.decimate_u8(pages, predictor.host_decimate)
@@ -425,7 +449,9 @@ def bench_corpus(args, module, compute_dtype):
         "note": "unpipelined per-stage attribution over distinct never-repeated "
                 "pages; gen (host corpus synthesis) excluded from the rate",
     }
-    print(json.dumps(result))
+    if emit:
+        print(json.dumps(result))
+    return result
 
 
 def bench_train(args, module, compute_dtype, emit=True):

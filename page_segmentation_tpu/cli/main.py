@@ -114,6 +114,7 @@ def cmd_predict(args) -> int:
         post_process=post or None,
         compute_dtype=args.dtype,
         s2d_stem=args.s2d_stem,
+        int8=getattr(args, "int8", False),
         n_devices=args.n_devices,
         spatial_threshold=args.spatial_threshold,
     )
@@ -360,6 +361,7 @@ def cmd_serve(args) -> int:
         post_process=post or None,
         compute_dtype=args.dtype,
         s2d_stem=args.s2d_stem,
+        int8=getattr(args, "int8", False),
     )
     service = BatchingService(
         Predictor(settings),
@@ -517,6 +519,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post_process", nargs="*", default=None)
     p.add_argument("--high_res_output", action="store_true")
     p.add_argument("--fast", action="store_true", help="batched fused device pipeline")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 post-training quantization for the fast path "
+                        "(fcn/fcn_skip; calibrates on the first batch — "
+                        "models/quant.py); implies --fast semantics for "
+                        "the forward only")
     p.add_argument("--s2d_stem", action="store_true",
                    help="space-to-depth rewrite of the full-res stem convs "
                         "(fcn/fcn_skip TPU fast path; exact, argmax-gated)")
@@ -659,6 +666,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch waits for riders")
     v.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     v.add_argument("--s2d_stem", action="store_true")
+    v.add_argument("--int8", action="store_true",
+                   help="serve the int8-quantized model (fcn/fcn_skip; "
+                        "calibrated on the first batch)")
     v.set_defaults(func=cmd_serve)
 
     # export

@@ -41,6 +41,7 @@ class PixelClassifier:
         bucket_granularity: int = 1,
         seed: int = 0,
         s2d_stem: bool = False,
+        int8: bool = False,
     ):
         self.architecture = architecture
         self.n_classes = n_classes
@@ -49,6 +50,11 @@ class PixelClassifier:
         # exact space-to-depth stem rewrite (fcn/fcn_skip TPU fast path,
         # models/s2d.py); parameters are identical either way
         self.s2d_stem = s2d_stem
+        # int8 post-training quantization (models/quant.py): the batched
+        # fast path runs the quantized twin, calibrated on its first batch;
+        # the per-page parity path (predict_single_data) stays float
+        self.int8 = bool(int8)
+        self._int8_state = None  # (int8_twin, amax) once calibrated
         self.module = architecture.model(n_classes, dtype=compute_dtype, s2d_stem=s2d_stem)
         self.preprocess, self.rgb = architecture.preprocess()
         self.variables = None
@@ -180,9 +186,26 @@ class PixelClassifier:
         # bucketed widths are stride-factor (>= 8) multiples, so ink always
         # packs in practice; the raw-u8 branch is defensive only
         pack_ink = images.shape[2] % 8 == 0
-        key = ("masks", images.shape, pack, device_vote)
+        if self.int8 and self._int8_state is None:
+            # first batch doubles as the calibration set: one float forward
+            # of the calibrate twin records per-conv activation ranges
+            from ..models.quant import twin_classes_for
+
+            cal, q_module = twin_classes_for(self.module)
+            if self.rgb:
+                raise ValueError("int8 supports the grayscale FCN families only")
+
+            @jax.jit
+            def _calibrate(params, x):
+                xf = x.astype(jnp.float32)[..., None] / 255.0
+                _, mutated = cal.apply({"params": params}, xf, mutable=["amax"])
+                return mutated["amax"]
+
+            amax = jax.device_get(_calibrate(self.params, images))
+            self._int8_state = (q_module, amax)
+        key = ("masks", images.shape, pack, device_vote, self.int8)
         if key not in self._masks_cache:
-            module = self.module
+            module = self._int8_state[0] if self.int8 else self.module
             preprocess_on_device = not self.rgb  # grayscale archs: x/255 fuses on device
             host_preprocess = self.preprocess
             rgb = self.rgb
@@ -225,7 +248,11 @@ class PixelClassifier:
             ink_up = pack_bits_host(ink) if pack_ink else ink
         else:  # placeholder: the jitted fn ignores it, but jit wants an arg
             ink_up = np.zeros((1,), np.uint8)
-        downloaded = np.asarray(fused(self.variables, x, ink_up))
+        variables = (
+            {"params": self.params, "amax": self._int8_state[1]}
+            if self.int8 else self.variables
+        )
+        downloaded = np.asarray(fused(variables, x, ink_up))
         pred = unpack_classes(downloaded) if pack else downloaded
         return pred, np.stack(finish_mask_trio(pred, ink, palette))
 

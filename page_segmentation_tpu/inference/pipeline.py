@@ -38,6 +38,47 @@ def nearest_index_array(out_dim: int, in_dim: int) -> np.ndarray:
     return np.clip(np.floor(coords + 0.5).astype(np.int64), 0, in_dim - 1)
 
 
+def _device_normalize(out_h: int, out_w: int, pad_h: int, pad_w: int):
+    """The fused pipeline's device preprocessing: cubic resample to the
+    normalized shape, invert + /255 (dataset.py:137 fused), zero-pad to
+    the bucket.  Shared by the predict program and int8 calibration so
+    the calibrated activation ranges see exactly the inference inputs."""
+
+    def normalize(pages_u8):
+        n = pages_u8.shape[0]
+        img = pages_u8.astype(jnp.float32)
+        img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
+        img = 1.0 - img / 255.0
+        return jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+
+    return normalize
+
+
+def make_fused_calibrate(
+    calibrate_module,
+    normalized_shape: Tuple[int, int],
+    stride_factor: int = 8,
+    bucket_granularity: int = 1,
+):
+    """Jitted fn(params, pages_u8) -> 'amax' collection: one forward of the
+    int8 calibration twin (models/quant.py) over device-normalized pages,
+    recording per-conv input ranges for the quantized predict program."""
+    out_h, out_w = normalized_shape
+    pad_h = round_up(out_h, stride_factor * bucket_granularity)
+    pad_w = round_up(out_w, stride_factor * bucket_granularity)
+    normalize = _device_normalize(out_h, out_w, pad_h, pad_w)
+
+    @jax.jit
+    def calibrate(params, pages_u8):
+        img = normalize(pages_u8)
+        _, mutated = calibrate_module.apply(
+            {"params": params}, img[..., None], mutable=["amax"]
+        )
+        return mutated["amax"]
+
+    return calibrate
+
+
 def make_fused_predict(
     module,
     decimated_shape: Tuple[int, int],
@@ -77,13 +118,10 @@ def make_fused_predict(
     pad_h = round_up(out_h, stride_factor * bucket_granularity)
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
     cc_vote = "xla" if cc_vote is True else cc_vote
+    normalize = _device_normalize(out_h, out_w, pad_h, pad_w)
 
     def core(variables, pages_u8, palette, ink_packed=None):
-        n = pages_u8.shape[0]
-        img = pages_u8.astype(jnp.float32)
-        img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
-        img = 1.0 - img / 255.0  # dataset.py:137 inversion, fused with /255
-        img = jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+        img = normalize(pages_u8)
         logits = module.apply(variables, img[..., None].astype(compute_dtype))
         pred = jnp.argmax(logits, axis=-1)
         if cc_vote:
@@ -164,6 +202,7 @@ class ThroughputPredictor:
         cc_vote: bool = False,
         mesh=None,
         data_axis: str = "data",
+        int8: bool = False,
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
@@ -179,6 +218,18 @@ class ThroughputPredictor:
         out_w = int(np.round(in_w * scale))
         dec_h, dec_w = in_h // host_decimate, in_w // host_decimate
         self.decimated_shape = (dec_h, dec_w)
+        self.int8 = bool(int8)
+        self._calibrate_fn = None
+        if int8:
+            # int8 serving (models/quant.py): the predict program runs the
+            # quantized twin; activation ranges calibrate on the first
+            # batch of run() (one extra float forward, then frozen)
+            from ..models.quant import twin_classes_for
+
+            cal, module = twin_classes_for(module)
+            self._calibrate_fn = make_fused_calibrate(
+                cal, (out_h, out_w), stride_factor=stride_factor,
+            )
         self.fused = make_fused_predict(
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
@@ -270,6 +321,16 @@ class ThroughputPredictor:
 
         if not starts:
             return
+
+        if self._calibrate_fn is not None and "amax" not in self.variables:
+            # one float forward over the first batch records per-conv
+            # activation ranges; the int8 program uses them from then on
+            dec_dev, _ = self._prep(pages[: min(batch_size, n)],
+                                    binaries[: min(batch_size, n)])
+            amax = jax.device_get(
+                self._calibrate_fn(self.variables["params"], dec_dev)
+            )
+            self.variables = dict(self.variables, amax=amax)
 
         vote = self.cc_vote
 

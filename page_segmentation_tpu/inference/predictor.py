@@ -48,6 +48,11 @@ class PredictSettings:
     # exact space-to-depth stem rewrite for fcn/fcn_skip (models/s2d.py);
     # TPU fast path, parameters identical either way
     s2d_stem: bool = False
+    # int8 post-training quantization for the batched fast path
+    # (models/quant.py; fcn/fcn_skip only): activation ranges calibrate on
+    # the first batch, convs run int8 x int8 -> int32 on the MXU.  The
+    # per-page parity path stays float.
+    int8: bool = False
     # spatial partitioning: with n_devices > 1, pages whose prepared image
     # exceeds spatial_threshold pixels forward as row bands across a device
     # mesh with receptive-field halos (parallel/spatial.py) — exact, and
@@ -71,6 +76,7 @@ class Predictor:
                 compute_dtype=dtype,
                 bucket_granularity=settings.bucket_granularity,
                 s2d_stem=settings.s2d_stem,
+                int8=settings.int8,
             )
         if settings.output:
             for category in ("overlay", "color", "inverted"):
