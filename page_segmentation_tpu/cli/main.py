@@ -97,6 +97,49 @@ def cmd_predict(args) -> int:
             )
         )
 
+    if getattr(args, "pipeline", False):
+        # raw-corpus streaming: the fused ThroughputPredictor path
+        # (inference/corpus.py) — pages grouped by (shape, line height),
+        # decode + decimate on host, normalize/forward/argmax fused on
+        # device, one upload + one packed download per batch
+        import jax.numpy as jnp
+
+        from ..inference.classifier import PixelClassifier
+        from ..inference.corpus import RawCorpusPredictor, RawPage
+
+        if any(e.binary_path is None for e in entries):
+            raise SystemExit("--pipeline needs --binary (the overlay trio is "
+                             "reconstructed from the binarized pages)")
+        post_keys = [p.lower().replace("_", "").replace("-", "")
+                     for p in (args.post_process or [])]
+        if post_keys and post_keys != ["ccmajority"]:
+            raise SystemExit("--pipeline fuses only the cc_majority "
+                             "post-processor; drop --pipeline for others")
+        if args.high_res_output:
+            raise SystemExit("--pipeline outputs at the normalized scale; "
+                             "drop --pipeline for --high_res_output")
+        classifier = PixelClassifier(
+            n_classes=args.n_classes or color_map.n_classes,
+            model_path=os.path.abspath(args.load),
+            compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+            s2d_stem=args.s2d_stem,
+        )
+        runner = RawCorpusPredictor(
+            classifier,
+            color_map.palette,
+            target_line_height=args.target_line_height,
+            batch_size=args.batch_size,
+            cc_vote=bool(post_keys),
+            int8=getattr(args, "int8", False),
+        )
+        raw_pages = [
+            RawPage(e.image_path, e.binary_path, e.line_height_px)
+            for e in entries
+        ]
+        count = sum(1 for _ in runner.run(raw_pages, output_dir=args.output))
+        print(f"Predicted {count} pages -> {args.output}")
+        return 0
+
     loader = DatasetLoader(
         args.target_line_height, color_map, prediction=True, max_width=args.max_width,
         resize_backend=args.resize_backend,
@@ -519,6 +562,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post_process", nargs="*", default=None)
     p.add_argument("--high_res_output", action="store_true")
     p.add_argument("--fast", action="store_true", help="batched fused device pipeline")
+    p.add_argument("--pipeline", action="store_true",
+                   help="raw-corpus streaming (inference/corpus.py): groups "
+                        "pages by (shape, line height) and runs the fused "
+                        "ThroughputPredictor path — decode+decimate on host, "
+                        "normalize/forward/argmax on device, one upload + one "
+                        "packed download per batch, 3-stage overlap.  Needs "
+                        "--binary; outputs at the normalized scale")
     p.add_argument("--int8", action="store_true",
                    help="int8 post-training quantization for the fast path "
                         "(fcn/fcn_skip; calibrates on the first batch — "

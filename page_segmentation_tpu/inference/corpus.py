@@ -1,0 +1,172 @@
+"""Raw-corpus streaming prediction: the fused pipeline as a user feature.
+
+The reference's predict loop decodes, normalizes, and forwards one page
+at a time on the host (reference predictor.py:27-30, dataset.py:131-150).
+``RawCorpusPredictor`` runs the same contract — raw full-resolution page
+files in, the color/overlay/inverted trio out — through the
+ThroughputPredictor fast path (inference/pipeline.py): pages grouped by
+(shape, line height), host box-decimation, one uint8 upload / one packed
+download per batch, device-fused normalize+forward+argmax, 3-stage
+overlap.  This is what `cli predict --pipeline` uses; the per-page
+`Predictor.predict` path remains the bit-parity reference surface.
+
+Outputs are at the normalized (line-height-rescaled) page scale — the
+reference's default too (high_res_output is the per-page path's flag).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.image_io import imread, imread_bin, imsave
+
+
+@dataclass
+class RawPage:
+    """One corpus entry: raw image file + binarized file + line height."""
+
+    image_path: str
+    binary_path: str
+    line_height_px: int
+    output_name: Optional[str] = None
+
+    @property
+    def name(self) -> str:
+        return self.output_name or os.path.basename(self.image_path)
+
+
+def pick_host_decimate(scale: float, cap: int = 8) -> int:
+    """Largest decimation whose grid stays at/above the normalized grid
+    (so the device cubic resample only ever downsamples — no detail the
+    reference path would use is lost): floor(1/scale), capped."""
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    return max(1, min(cap, int(1.0 / scale)))
+
+
+class RawCorpusPredictor:
+    """Group raw pages by (shape, line height) and stream each group
+    through a ThroughputPredictor.
+
+    ``classifier``: a PixelClassifier holding the model (grayscale FCN
+    families; the pretrained RGB encoders go through the per-page path).
+    ``window`` bounds host memory: at most ``window`` full-resolution
+    pages are decoded and resident per run() slice.
+    """
+
+    def __init__(
+        self,
+        classifier,
+        palette: np.ndarray,
+        target_line_height: int = 6,
+        batch_size: int = 16,
+        window: Optional[int] = None,
+        download: str = "packed",
+        cc_vote: bool = False,
+        int8: bool = False,
+        compute_dtype=None,
+    ):
+        if classifier.rgb:
+            raise ValueError(
+                "--pipeline streams the grayscale FCN families; use the "
+                "per-page path (no --pipeline) for the RGB encoder models"
+            )
+        self.classifier = classifier
+        self.palette = np.ascontiguousarray(palette, np.uint8)
+        self.target_line_height = target_line_height
+        self.batch_size = batch_size
+        self.window = window or 4 * batch_size
+        self.download = download
+        self.cc_vote = cc_vote
+        self.int8 = int8
+        if compute_dtype is None:
+            import jax.numpy as jnp
+
+            compute_dtype = jnp.bfloat16
+        self.compute_dtype = compute_dtype
+        self._predictors = {}
+
+    # ------------------------------------------------------------- grouping
+    @staticmethod
+    def _probe_shape(path: str) -> Tuple[int, int]:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return im.height, im.width
+
+    def group(self, pages: Sequence[RawPage]):
+        """[(key, members)] with key = (H, W, line_height_px); shapes come
+        from the image headers (no full decode)."""
+        groups = {}
+        for page in pages:
+            h, w = self._probe_shape(page.image_path)
+            groups.setdefault((h, w, page.line_height_px), []).append(page)
+        return list(groups.items())
+
+    def _predictor_for(self, key):
+        if key not in self._predictors:
+            from .pipeline import ThroughputPredictor
+
+            h, w, line_height = key
+            scale = self.target_line_height / line_height
+            self._predictors[key] = ThroughputPredictor(
+                self.classifier.module,
+                self.classifier.variables,
+                self.palette,
+                (h, w),
+                scale,
+                host_decimate=pick_host_decimate(scale),
+                compute_dtype=self.compute_dtype,
+                download=self.download,
+                cc_vote=self.cc_vote,
+                int8=self.int8,
+            )
+        return self._predictors[key]
+
+    # -------------------------------------------------------------- running
+    def _load_slice(self, members: List[RawPage], h: int, w: int):
+        images = np.empty((len(members), h, w), np.uint8)
+        binaries = np.empty((len(members), h, w), np.uint8)
+        for i, page in enumerate(members):
+            img = imread(page.image_path, as_gray=True)
+            if img.shape != (h, w):
+                raise ValueError(
+                    f"{page.image_path}: shape {img.shape} changed between "
+                    f"header probe and decode (expected {(h, w)})"
+                )
+            images[i] = img
+            binaries[i] = imread_bin(page.binary_path)
+        return images, binaries
+
+    def run(self, pages: Sequence[RawPage], output_dir: Optional[str] = None):
+        """Yield (RawPage, color, overlay, inverted) per page, writing the
+        trio PNGs when ``output_dir`` is given (reference layout:
+        color/ overlay/ inverted/ subdirectories, output.py:20-41)."""
+        if output_dir:
+            for sub in ("color", "overlay", "inverted"):
+                os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
+        for (h, w, line_height), members in self.group(pages):
+            predictor = self._predictor_for((h, w, line_height))
+            for start in range(0, len(members), self.window):
+                chunk = members[start : start + self.window]
+                images, binaries = self._load_slice(chunk, h, w)
+                done = 0
+                for color, overlay, inverted in predictor.run(
+                    images, binaries, batch_size=self.batch_size
+                ):
+                    for j in range(color.shape[0]):
+                        page = chunk[done + j]
+                        trio = (color[j], overlay[j], inverted[j])
+                        if output_dir:
+                            for sub, mask in zip(
+                                ("color", "overlay", "inverted"), trio
+                            ):
+                                imsave(
+                                    os.path.join(output_dir, sub, page.name),
+                                    mask,
+                                )
+                        yield (page,) + trio
+                    done += color.shape[0]

@@ -24,7 +24,7 @@ reconstruct) overlaps link time with compute.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -313,9 +313,21 @@ class ThroughputPredictor:
         padded[:, :h, :w] = ink
         return np.packbits(padded, axis=-1)
 
+    def _download_finish(self, color_dev, ink: np.ndarray):
+        """Blocking device->host download + host mask reconstruction; runs
+        on the downloader thread so link time overlaps dispatch and prep."""
+        return self._finish(np.asarray(color_dev), ink)
+
     # -------------------------------------------------------------- pipeline
-    def run(self, pages: np.ndarray, binaries: np.ndarray, batch_size: int = 16):
-        """Yield (color, overlay, inverted) batches; 3-stage overlap."""
+    def run(self, pages: np.ndarray, binaries: np.ndarray, batch_size: int = 16,
+            depth: int = 2):
+        """Yield (color, overlay, inverted) batches, in order.
+
+        Full 3-stage overlap: a prefetch thread preps+uploads batch i+1, the
+        caller thread dispatches batch i, and a downloader thread drains
+        batch i-1 (forced download + host trio).  ``depth`` bounds the
+        in-flight device batches awaiting download (2 absorbs the tunneled
+        link's phase swings without stacking host memory)."""
         n = pages.shape[0]
         starts = list(range(0, n, batch_size))
 
@@ -355,9 +367,12 @@ class ThroughputPredictor:
                 yield self._finish(np.asarray(color_dev), ink)
             return
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        from collections import deque
+
+        with ThreadPoolExecutor(max_workers=2) as pool, \
+                ThreadPoolExecutor(max_workers=1) as downloader:
             next_prep = pool.submit(prep, starts[0])
-            pending: Optional[tuple] = None  # (device color future, ink)
+            pending = deque()  # ordered futures of (color, overlay, inverted)
             for index, start in enumerate(starts):
                 dec_dev, ink, ink_dev = next_prep.result()
                 if index + 1 < len(starts):
@@ -368,8 +383,10 @@ class ThroughputPredictor:
                     )
                 else:
                     color_dev = self.fused(self.variables, dec_dev, self.palette_dev)
-                if pending is not None:
-                    yield self._finish(np.asarray(pending[0]), pending[1])
-                pending = (color_dev, ink)
-            if pending is not None:
-                yield self._finish(np.asarray(pending[0]), pending[1])
+                pending.append(
+                    downloader.submit(self._download_finish, color_dev, ink)
+                )
+                while len(pending) > max(depth, 1):
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()

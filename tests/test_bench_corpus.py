@@ -29,7 +29,7 @@ def _run_corpus(bench_module, capsys, extra):
         from page_segmentation_tpu.models.fcn import FCNSkip
 
         module = FCNSkip(n_classes=3, dtype=jnp.float32)
-        bench_module.bench_corpus(args, module, jnp.float32)
+        bench_module.bench_corpus(args, module, jnp.float32, args.corpus)
     finally:
         sys.argv = argv
     out = capsys.readouterr().out.strip().splitlines()[-1]

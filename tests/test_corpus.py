@@ -1,0 +1,175 @@
+"""Raw-corpus streaming predictor (inference/corpus.py) + `predict
+--pipeline` CLI: grouping, decimation choice, equality with a direct
+ThroughputPredictor run, and the CLI loop end to end."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from page_segmentation_tpu.core.image_io import imread, imsave
+from page_segmentation_tpu.inference.corpus import (
+    RawCorpusPredictor,
+    RawPage,
+    pick_host_decimate,
+)
+
+
+def _page(h, w, seed):
+    rng = np.random.RandomState(seed)
+    img = np.full((h, w), 235, np.uint8)
+    for row in range(h // 8, h - 16, 24):
+        for col in range(w // 10, w - 12, 14):
+            if rng.rand() < 0.8:
+                img[row : row + 12, col : col + 8] = rng.randint(10, 60)
+    return img
+
+
+def _write_corpus(root, shapes, line_height=24):
+    """shapes: list of (h, w, count); returns RawPage list."""
+    img_dir = os.path.join(root, "images")
+    bin_dir = os.path.join(root, "binary")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(bin_dir, exist_ok=True)
+    pages = []
+    i = 0
+    for h, w, count in shapes:
+        for _ in range(count):
+            img = _page(h, w, i)
+            name = f"p{i:03d}.png"
+            imsave(os.path.join(img_dir, name), img)
+            imsave(os.path.join(bin_dir, name), ((img >= 128) * 255).astype(np.uint8))
+            pages.append(
+                RawPage(os.path.join(img_dir, name), os.path.join(bin_dir, name),
+                        line_height)
+            )
+            i += 1
+    return pages, img_dir, bin_dir
+
+
+def test_pick_host_decimate():
+    assert pick_host_decimate(6 / 50) == 8  # 1/scale = 8.33 -> 8
+    assert pick_host_decimate(0.5) == 2
+    assert pick_host_decimate(1.0) == 1
+    assert pick_host_decimate(2.0) == 1  # upscaling: no decimation
+    assert pick_host_decimate(0.01) == 8  # capped
+    with pytest.raises(ValueError):
+        pick_host_decimate(0.0)
+
+
+def _classifier():
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+
+    return PixelClassifier(n_classes=3, seed=0, compute_dtype=jnp.float32)
+
+
+def test_groups_by_shape_and_line_height(tmp_path):
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 3), (120, 88, 2)])
+    pages[-1].line_height_px = 32  # same shape, different norm -> own group
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    runner = RawCorpusPredictor(_classifier(), DEFAULT_IMAGE_MAP.palette)
+    groups = runner.group(pages)
+    keys = sorted(k for k, _ in groups)
+    assert keys == [(96, 80, 24), (120, 88, 24), (120, 88, 32)]
+    assert sum(len(m) for _, m in groups) == 5
+
+
+def test_matches_direct_throughput_predictor(tmp_path):
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+
+    h, w, lh = 96, 80, 24
+    pages, _, _ = _write_corpus(str(tmp_path), [(h, w, 4)], line_height=lh)
+    cls = _classifier()
+    runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, target_line_height=6, batch_size=2,
+        compute_dtype=jnp.float32,
+    )
+    got = {p.name: trio for p, *trio in runner.run(pages)}
+    assert len(got) == 4
+
+    scale = 6 / lh
+    direct = ThroughputPredictor(
+        cls.module, cls.variables, DEFAULT_IMAGE_MAP.palette, (h, w), scale,
+        host_decimate=pick_host_decimate(scale), compute_dtype=jnp.float32,
+        download="packed",
+    )
+    images = np.stack([imread(p.image_path, as_gray=True) for p in pages])
+    binaries = np.stack(
+        [((imread(p.image_path, as_gray=True) >= 128) * 255).astype(np.uint8)
+         for p in pages]
+    )
+    ref = [trio for trio in direct.run(images, binaries, batch_size=2)]
+    ref_colors = np.concatenate([c for c, _, _ in ref])
+    for i, page in enumerate(pages):
+        np.testing.assert_array_equal(got[page.name][0], ref_colors[i])
+
+
+def test_window_bounds_and_order(tmp_path):
+    """A window smaller than the group still yields every page, in order."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 5)])
+    runner = RawCorpusPredictor(
+        _classifier(), DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
+    )
+    names = [p.name for p, *_ in runner.run(pages)]
+    assert names == [p.name for p in pages]
+
+
+def test_rejects_rgb_families():
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.models.registry import Architecture
+
+    cls = PixelClassifier(n_classes=3, architecture=Architecture.MOBILE_NET, seed=0)
+    with pytest.raises(ValueError, match="grayscale"):
+        RawCorpusPredictor(cls, DEFAULT_IMAGE_MAP.palette)
+
+
+def test_cli_pipeline_end_to_end(tmp_path):
+    """`predict --pipeline` writes the trio for a mixed-shape corpus."""
+    from page_segmentation_tpu.train.checkpoint import save_checkpoint
+
+    pages, img_dir, bin_dir = _write_corpus(
+        str(tmp_path), [(96, 80, 3), (120, 88, 2)]
+    )
+    cls = _classifier()
+    ckpt = os.path.join(str(tmp_path), "model")
+    save_checkpoint(ckpt, cls.variables, {"architecture": "fcn_skip",
+                                          "n_classes": 3})
+    out = os.path.join(str(tmp_path), "out")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "page_segmentation_tpu.cli", "predict",
+         "--load", ckpt, "--output", out, "--images", img_dir,
+         "--binary", bin_dir, "--char_height", "24", "--pipeline",
+         "--batch_size", "2", "--dtype", "float32"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for sub in ("color", "overlay", "inverted"):
+        files = sorted(os.listdir(os.path.join(out, sub)))
+        assert files == [p.name for p in pages], (sub, files)
+
+
+def test_cli_pipeline_requires_binary(tmp_path):
+    pages, img_dir, _ = _write_corpus(str(tmp_path), [(96, 80, 1)])
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "page_segmentation_tpu.cli", "predict",
+         "--load", "nonexistent", "--output", str(tmp_path / "o"),
+         "--images", img_dir, "--char_height", "24", "--pipeline"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode != 0
+    assert "--binary" in proc.stderr
