@@ -173,3 +173,23 @@ def test_cli_pipeline_requires_binary(tmp_path):
     )
     assert proc.returncode != 0
     assert "--binary" in proc.stderr
+
+def test_corpus_cc_vote_runs(tmp_path):
+    """cc_vote=True (predict --pipeline --post_process cc_majority) fuses
+    the majority vote into the dispatch; outputs stay shape-correct and
+    the run covers every page (vote exactness is gated in
+    tests/test_device_vote.py)."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 3)])
+    runner = RawCorpusPredictor(
+        _classifier(), DEFAULT_IMAGE_MAP.palette, batch_size=2,
+        cc_vote=True, compute_dtype=jnp.float32,
+    )
+    out = list(runner.run(pages))
+    assert len(out) == 3
+    for _, color, overlay, inverted in out:
+        assert color.shape == overlay.shape == inverted.shape
+        assert color.shape[-1] == 3

@@ -210,3 +210,29 @@ def test_serve_cli_parser():
     )
     assert args.func.__name__ == "cmd_serve"
     assert args.max_batch == 4
+
+
+def test_int8_service_agrees_with_float():
+    """An int8-quantized service (serve --int8) stays close to the float
+    service on the same page (exact gates live in tests/test_quant.py)."""
+    page = make_page(3, h=96, w=80)
+    results = {}
+    for int8 in (False, True):
+        network = PixelClassifier(n_classes=3, seed=0, int8=int8)
+        predictor = Predictor(
+            PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
+            network=network,
+        )
+        svc = BatchingService(
+            predictor, DEFAULT_IMAGE_MAP, target_line_height=8,
+            default_char_height=8, max_batch=4, max_wait_ms=10.0,
+        )
+        try:
+            results[int8] = svc.submit(page).result(timeout=300)
+        finally:
+            svc.stop()
+    assert results[True]["labels"].shape == results[False]["labels"].shape
+    agree = (results[True]["labels"] == results[False]["labels"]).mean()
+    # random-init logits are near-tied, so int8 rounding flips more
+    # argmaxes than on a trained net; 0.9 matches tests/test_quant.py
+    assert agree >= 0.9
