@@ -24,6 +24,45 @@ import numpy as np
 
 _SYNTH_BUFS = {}  # (n, h, w) -> (pages, binaries); GB-scale cold-fault cost paid once
 
+# live progress shared with the watchdog: the tunneled link can wedge
+# *inside* a blocking transfer, where no loop-level time budget can fire
+_partial = {"rates": [], "stage": "startup"}
+
+
+def _start_watchdog(seconds: float):
+    """Emit a valid (partial) JSON result and exit if the bench exceeds
+    ``seconds`` wall-clock — a wedged link blocks mid-download where no
+    cooperative budget check can run.  Returns the timer (cancel on
+    normal completion), or None when disabled."""
+    if seconds <= 0:
+        return None
+    import os
+    import threading
+
+    def fire():
+        rates = list(_partial.get("rates") or [])
+        value = float(np.median(rates)) if rates else 0.0
+        result = {
+            "metric": "predict_pages_per_sec_per_chip",
+            "value": round(value, 2),
+            "unit": "pages/sec",
+            "vs_baseline": round(value / 50.0, 3),
+            "reps": [round(r, 1) for r in rates],
+            "watchdog": f"bench exceeded {seconds:.0f}s wall-clock at stage "
+                        f"'{_partial.get('stage')}' (degraded or wedged "
+                        "tunnel link; see docs/PERFORMANCE.md) — partial "
+                        "result from the reps that completed",
+        }
+        if "corpus_pages_done" in _partial:
+            result["corpus_pages_done"] = _partial["corpus_pages_done"]
+        print(json.dumps(result), flush=True)
+        os._exit(0)
+
+    timer = threading.Timer(seconds, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
+
 
 def synthesize_pages(n, h, w, seed=0):
     """Synthetic 300-DPI historical pages: text lines + a figure block."""
@@ -137,7 +176,19 @@ def main():
                              "mode)")
     parser.add_argument("--time-budget", type=float, default=240.0,
                         help="stop repeating once this many measured seconds elapsed")
+    parser.add_argument("--corpus-budget", type=float, default=300.0,
+                        help="stop a --corpus/--sustained pass after this many "
+                             "seconds (checked between batches); the summary is "
+                             "then marked truncated with the pages completed")
+    parser.add_argument("--hard-timeout", type=float, default=1500.0,
+                        help="watchdog: if the WHOLE bench exceeds this wall-clock "
+                             "(the tunneled link can wedge inside a blocking "
+                             "transfer, where no cooperative budget fires), print "
+                             "a JSON line from the reps that completed and exit "
+                             "(0 = off)")
     args = parser.parse_args()
+
+    watchdog = _start_watchdog(args.hard_timeout)
 
     import jax
 
@@ -156,9 +207,17 @@ def main():
     module = FCNSkip(n_classes=3, dtype=compute_dtype, s2d_stem=args.s2d_stem)
 
     if args.mode == "train":
-        return bench_train(args, module, compute_dtype)
+        _partial["stage"] = "train"
+        result = bench_train(args, module, compute_dtype)
+        if watchdog:
+            watchdog.cancel()
+        return result
     if args.corpus:
-        return bench_corpus(args, module, compute_dtype, args.corpus)
+        _partial["stage"] = "corpus"
+        result = bench_corpus(args, module, compute_dtype, args.corpus)
+        if watchdog:
+            watchdog.cancel()
+        return result
 
     pages, binaries, line_height = synthesize_pages(args.pages, args.height, args.width)
     scale = args.target_line_height / line_height
@@ -179,6 +238,7 @@ def main():
     print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
 
     # warmup: compile + pipeline spin-up on a small slice
+    _partial["stage"] = "warmup"
     warm_start = time.perf_counter()
     warm = min(args.batch, args.pages)
     for _ in predictor.run(pages[:warm], binaries[:warm], batch_size=args.batch):
@@ -188,7 +248,8 @@ def main():
     # repeat with a time budget: the tunneled link to this chip fluctuates
     # by several x between runs; report the median (headline) and the best
     # (pipeline capability)
-    rates = []
+    rates = _partial["rates"]  # shared with the watchdog
+    _partial["stage"] = "headline reps"
     measure_start = time.perf_counter()
     for rep in range(args.repeats):
         # unique batch content per rep (rolled page order, outside the
@@ -242,11 +303,13 @@ def main():
         "mfu_e2e": round(mfu, 5),
     }
     if not args.skip_train:
+        _partial["stage"] = "train side metric"
         result["train_pages_per_sec_per_chip"] = bench_train(args, module, compute_dtype, emit=False)
     if args.sustained:
         # BASELINE config #5 evidence in every recorded bench: sustained
         # distinct-page throughput with per-stage attribution (always the
         # full-stack mode; --synth-on-device only shapes --corpus runs)
+        _partial["stage"] = "sustained corpus"
         args.synth_on_device = False
         sus = bench_corpus(args, module, compute_dtype, args.sustained, emit=False)
         result["sustained"] = {
@@ -256,7 +319,11 @@ def main():
             "flat": bool(sus["batch_s_median_second_half"]
                          <= 1.5 * sus["batch_s_median_first_half"]),
         }
+        if sus.get("truncated"):
+            result["sustained"]["truncated"] = True
     print(json.dumps(result))
+    if watchdog:
+        watchdog.cancel()
 
 
 def bench_corpus(args, module, compute_dtype, corpus, emit=True):
@@ -325,9 +392,13 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
         from collections import deque
 
         times = []
+        truncated = False
         pending = deque()  # keep a few batches in flight: dispatch
         t_corpus = time.perf_counter()  # latency overlaps device compute
         for i in range(n_batches):
+            if i and time.perf_counter() - t_corpus > args.corpus_budget:
+                truncated = True
+                break
             start = time.perf_counter()
             checksum = forward_checksum(
                 predictor.variables, synth(jnp.asarray(subkeys[i])), predictor.palette_dev)
@@ -344,14 +415,19 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
             int(done)
             times.append(time.perf_counter() - begun)
         wall = time.perf_counter() - t_corpus
+        pages_done = len(times) * args.batch
+        _partial["corpus_pages_done"] = pages_done
         half = len(times) // 2
-        first, second = float(np.median(times[:half])), float(np.median(times[half:]))
+        if half:
+            first, second = float(np.median(times[:half])), float(np.median(times[half:]))
+        else:
+            first = second = float(np.median(times)) if times else 0.0
         result = {
             "metric": "corpus_device_pages_per_sec_per_chip",
-            "value": round(corpus / wall, 2),
+            "value": round(pages_done / wall, 2),
             "unit": "pages/sec",
-            "vs_baseline": round(corpus / wall / 50.0, 3),
-            "pages": corpus,
+            "vs_baseline": round(pages_done / wall / 50.0, 3),
+            "pages": pages_done,
             "batch_ms_median_first_half": round(first * 1e3, 1),
             "batch_ms_median_second_half": round(second * 1e3, 1),
             "flat": bool(second <= 1.5 * first),
@@ -360,6 +436,9 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
                     "in-flight wait; flat=framework+device time stable "
                     "over the corpus",
         }
+        if truncated:
+            result["truncated"] = True
+            result["note"] += f"; TRUNCATED at --corpus-budget {args.corpus_budget:.0f}s"
         if emit:
             print(json.dumps(result))
         return result
@@ -376,7 +455,11 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
 
     t_corpus = time.perf_counter()
     done = 0
+    truncated = False
     for i in range(n_batches):
+        if i and time.perf_counter() - t_corpus > args.corpus_budget:
+            truncated = True
+            break
         t0 = time.perf_counter()
         m = min(args.batch, corpus - done)
         pages, binaries, _ = synthesize_pages(m, args.height, args.width, seed=i)
@@ -424,14 +507,19 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
                 file=sys.stderr,
             )
     wall = time.perf_counter() - t_corpus
+    _partial["corpus_pages_done"] = done
     gen_total = sum(stages["gen"])
     measured = wall - gen_total  # pages flow from disk in production, not synth
     per_stage = {k: round(float(np.median(v)) * 1e3, 1) for k, v in stages.items()}
     totals = {k: round(sum(v), 2) for k, v in stages.items()}
-    batch_times = [sum(stages[k][j] for k in stage_names[1:]) for j in range(n_batches)]
+    n_done = len(stages["prep"])
+    batch_times = [sum(stages[k][j] for k in stage_names[1:]) for j in range(n_done)]
     half = len(batch_times) // 2
-    first = float(np.median(batch_times[:half]))
-    second = float(np.median(batch_times[half:]))
+    if half:
+        first = float(np.median(batch_times[:half]))
+        second = float(np.median(batch_times[half:]))
+    else:
+        first = second = float(np.median(batch_times)) if batch_times else 0.0
     transport = totals["upload"] + totals["download"]
     framework = totals["prep"] + totals["device"] + totals["finish"]
     result = {
@@ -449,6 +537,9 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
         "note": "unpipelined per-stage attribution over distinct never-repeated "
                 "pages; gen (host corpus synthesis) excluded from the rate",
     }
+    if truncated:
+        result["truncated"] = True
+        result["note"] += f"; TRUNCATED at --corpus-budget {args.corpus_budget:.0f}s"
     if emit:
         print(json.dumps(result))
     return result

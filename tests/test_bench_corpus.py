@@ -60,6 +60,7 @@ def _parse(bench_module):
     parser.add_argument("--corpus", type=int, default=48)
     parser.add_argument("--synth-on-device", action="store_true")
     parser.add_argument("--time-budget", type=float, default=60.0)
+    parser.add_argument("--corpus-budget", type=float, default=300.0)
     return parser.parse_args()
 
 
@@ -80,3 +81,40 @@ def test_corpus_mode_synth_on_device(bench_module, capsys):
     assert result["pages"] == 48
     assert isinstance(result["flat"], bool)
     assert result["batch_ms_median_second_half"] > 0
+
+
+def test_corpus_budget_truncates(bench_module, capsys):
+    """A degraded link must not hang the driver's bench run: the corpus
+    pass stops between batches once --corpus-budget elapses and reports
+    the pages it completed, marked truncated."""
+    result = _run_corpus(bench_module, capsys, ["--corpus-budget", "0.0"])
+    assert result["truncated"] is True
+    assert 0 < result["pages"] < 48
+    assert "TRUNCATED" in result["note"]
+    assert result["value"] > 0
+
+
+def test_watchdog_emits_partial_result(bench_module, capsys, monkeypatch):
+    """The watchdog prints a valid JSON line built from completed reps when
+    the bench wedges inside a blocking transfer (no cooperative budget can
+    fire there)."""
+    import os
+
+    import bench as b
+
+    fired = {}
+    monkeypatch.setattr(os, "_exit", lambda code: fired.setdefault("code", code))
+    b._partial["rates"][:] = [101.0, 99.0]
+    b._partial["stage"] = "headline reps"
+    timer = b._start_watchdog(0.01)
+    import time as _t
+
+    _t.sleep(0.3)
+    if timer:
+        timer.cancel()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert result["metric"] == "predict_pages_per_sec_per_chip"
+    assert result["value"] == 100.0
+    assert "watchdog" in result
+    b._partial["rates"][:] = []
