@@ -239,6 +239,8 @@ def cmd_train(args) -> int:
         checkpoint_backend=args.checkpoint_backend,
         remat=args.remat,
         export_h5=args.export_h5,
+        grad_accum=args.grad_accum,
+        skip_nonfinite=args.skip_nonfinite,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -629,6 +631,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keras-applications backbone .h5 to fine-tune from "
                         "(mobilenet/resnet/efficientnet families)")
     t.add_argument("--batch_size", type=int, default=1)
+    t.add_argument("--grad_accum", type=int, default=1,
+                   help="apply the optimizer on the mean of every k "
+                        "micro-batch gradients (batch-k statistics without "
+                        "the HBM footprint)")
+    t.add_argument("--skip_nonfinite", type=int, default=0,
+                   help="skip updates whose loss/grads are non-finite and "
+                        "abort after this many consecutive ones (0 = off)")
     t.add_argument("--n_devices", type=int, default=None)
     t.add_argument("--distributed", action="store_true",
                    help="multi-host training: runs jax.distributed.initialize "

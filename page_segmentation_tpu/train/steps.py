@@ -34,6 +34,7 @@ def make_step_fns(
     donate: bool = True,
     remat: bool = False,
     device_preprocess: Optional[Callable] = None,
+    skip_nonfinite: bool = False,
 ):
     """Returns (train_step, eval_step).
 
@@ -170,6 +171,24 @@ def make_step_fns(
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         step_metrics = compute_metrics(batch, logits)
+        if skip_nonfinite:
+            # failure detection: a non-finite loss or gradient (exploded
+            # activations, bad page) poisons Adam's moments permanently —
+            # keep the pre-step params/opt/BN state instead and report the
+            # event so the Trainer can count consecutive failures.  Under a
+            # mesh the grads are already globally psum'ed, so the verdict is
+            # identical on every shard.
+            finite = jnp.isfinite(loss_value)
+            for g in jax.tree_util.tree_leaves(grads):
+                finite &= jnp.all(jnp.isfinite(g))
+
+            def keep(new, old):
+                return jnp.where(finite, new, old)
+
+            new_params = jax.tree_util.tree_map(keep, new_params, params)
+            new_opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
+            new_model_state = jax.tree_util.tree_map(keep, new_model_state, model_state)
+            step_metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
         if mesh is None:
             step_metrics["loss"] = loss_value
         else:

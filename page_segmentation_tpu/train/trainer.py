@@ -127,6 +127,18 @@ class TrainSettings(NamedTuple):
     # <model_name>.h5 (reference network.py:177-183 writes .h5 for every
     # architecture) — each time the native checkpoint is saved
     export_h5: bool = False
+    # gradient accumulation: apply the optimizer once every k steps on the
+    # equal-weight mean of the k micro-batch gradients (large effective
+    # batch without the HBM footprint; full-res pages at batch 1 still get
+    # batch-k statistics).  1 = off
+    grad_accum: int = 1
+    # failure detection: when > 0, a step whose loss or gradients are
+    # non-finite leaves params/opt-state/BN stats untouched (the update is
+    # skipped on device, no host round-trip) and training aborts — after
+    # saving nothing new — once this many *consecutive* steps are
+    # non-finite.  0 = off (a NaN silently poisons Adam's moments, the
+    # reference's Keras behavior)
+    skip_nonfinite: int = 0
 
 
 def _weighted_means(weighted_metrics) -> dict:
@@ -168,6 +180,11 @@ class Trainer:
             )
 
         self.optimizer = optax.inject_hyperparams(build)(learning_rate=s.l_rate)
+        if s.grad_accum > 1:
+            # MultiSteps accumulates k micro-gradients and applies their
+            # equal-weight mean once; the inner inject_hyperparams state
+            # (plateau LR) lives at opt_state.inner_opt_state (see _set_lr)
+            self.optimizer = optax.MultiSteps(self.optimizer, every_k_schedule=s.grad_accum)
 
         # params: fresh init or load/continue (reference network.py:76-107)
         from ..inference.classifier import PixelClassifier
@@ -294,6 +311,7 @@ class Trainer:
         self._train_step, self._eval_step = make_step_fns(
             self.module, self.optimizer, self.loss_fn, mesh=self.mesh, remat=s.remat,
             device_preprocess=s.architecture.device_preprocess(),
+            skip_nonfinite=s.skip_nonfinite > 0,
         )
 
         if len(s.train_data) == 0 and s.n_epoch > 0:
@@ -474,6 +492,7 @@ class Trainer:
         stop = False
         global_step = 0
         start_epoch = 0
+        nonfinite_streak = 0
 
         if self._resume_meta:
             meta = self._resume_meta
@@ -544,6 +563,21 @@ class Trainer:
                         self.params, self.model_state, self.opt_state, batch, step_key
                     )
                     epoch_metrics.append((len(batches[index]), step_metrics))
+                    if s.skip_nonfinite:
+                        if float(step_metrics["nonfinite"]) > 0:
+                            nonfinite_streak += 1
+                            logger.warning(
+                                f"step {global_step}: non-finite loss/grads — update "
+                                f"skipped ({nonfinite_streak}/{s.skip_nonfinite} consecutive)"
+                            )
+                            if nonfinite_streak >= s.skip_nonfinite:
+                                raise RuntimeError(
+                                    f"training diverged: {nonfinite_streak} consecutive "
+                                    "non-finite steps (params kept at the last finite state; "
+                                    "lower l_rate or enable optimizer clipping)"
+                                )
+                        else:
+                            nonfinite_streak = 0
                     if callback:
                         callback.update_loss(
                             global_step,
@@ -673,7 +707,10 @@ class Trainer:
         return train_avg.get(key, train_avg["loss"])
 
     def _set_lr(self, lr: float) -> None:
-        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state = self.opt_state
+        if not hasattr(state, "hyperparams"):  # optax.MultiSteps wrapper
+            state = state.inner_opt_state
+        state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
     def _save(self, monitor_value: float, epoch: int, **loop_state) -> None:
         import os

@@ -357,3 +357,124 @@ def test_weighted_means_page_count():
     batches = [(4, {"loss": 1.0}), (1, {"loss": 6.0})]
     out = _weighted_means(batches)
     assert out["loss"] == pytest.approx((4 * 1.0 + 1 * 6.0) / 5)
+
+
+def test_grad_accum_matches_large_batch(tmp_path):
+    """grad_accum=k at batch 1 reproduces the batch-k trajectory:
+    equal-shape pages make every micro-gradient an equal-mass pixel mean,
+    so MultiSteps' equal-weight average of k micro-grads equals the
+    large-batch weighted mean (FCN_SKIP has no dropout, so the per-step
+    RNG split is inert).  SGD so the comparison is linear in the gradient
+    — Adam's m̂/√v̂ is a sign function near zero-gradient entries and
+    amplifies fp32 conv-batching noise (~1e-7) to full update size."""
+    data = _synthetic_dataset(n_pages=4)
+    # compare end-of-training params: best-epoch restoration would compare
+    # different epochs (the accum run's *monitored* epoch loss averages
+    # micro-steps evaluated at stale params, so the trajectories differ
+    # even though the applied updates are identical)
+    big = Trainer(
+        _settings(
+            tmp_path / "big", data, n_epoch=3, batch_size=4,
+            optimizer=Optimizers.SGD,
+            early_stopping_restore_best_weights=False,
+        )
+    )
+    big.train()
+    accum = Trainer(
+        _settings(
+            tmp_path / "acc", data, n_epoch=3, batch_size=1, grad_accum=4,
+            optimizer=Optimizers.SGD,
+            early_stopping_restore_best_weights=False,
+        )
+    )
+    accum.train()
+    import jax
+
+    for path, a, b in zip(
+        jax.tree_util.tree_leaves_with_path(big.params),
+        jax.tree_util.tree_leaves(big.params),
+        jax.tree_util.tree_leaves(accum.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=str(path[0])
+        )
+
+
+def test_grad_accum_set_lr_reaches_inner_state(tmp_path):
+    """ReduceLROnPlateau must find the inject_hyperparams state inside the
+    MultiSteps wrapper."""
+    data = _synthetic_dataset(n_pages=2)
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=1, grad_accum=2))
+    trainer._set_lr(3e-4)
+    lr = float(trainer.opt_state.inner_opt_state.hyperparams["learning_rate"])
+    assert lr == pytest.approx(3e-4)
+
+
+def test_skip_nonfinite_step_guard():
+    """A step with non-finite loss/grads leaves params, optimizer state and
+    metrics' nonfinite flag set; the next finite step updates normally."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.train.metrics import Loss
+    from page_segmentation_tpu.train.steps import make_step_fns
+
+    classifier = PixelClassifier(n_classes=2, seed=0)
+    params = classifier.params
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_step_fns(
+        classifier.module, optimizer, Loss.CATEGORICAL_CROSSENTROPY(),
+        donate=False, skip_nonfinite=True,
+    )
+    h, w = 32, 32
+    ok = {
+        "image": np.full((1, h, w, 1), 0.5, np.float32),
+        "mask": np.zeros((1, h, w), np.int32),
+        "binary": np.ones((1, h, w), np.uint8),
+        "weights": np.ones((1, h, w), np.float32),
+    }
+    bad = {**ok, "image": np.full((1, h, w, 1), np.inf, np.float32)}
+    before = jax.device_get(params)
+    rng = jax.random.PRNGKey(0)
+
+    p1, ms1, os1, m1 = train_step(params, {}, opt_state, bad, rng)
+    assert float(m1["nonfinite"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p2, ms2, os2, m2 = train_step(p1, ms1, os1, ok, rng)
+    assert float(m2["nonfinite"]) == 0.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(p2))
+    )
+    assert changed
+
+
+def test_trainer_skip_nonfinite_clean_run(tmp_path):
+    """With the guard armed, a healthy run trains normally and records a
+    zero nonfinite rate."""
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=2, skip_nonfinite=3))
+    history = trainer.train()
+    assert len(history["loss"]) == 2
+    assert history["loss"][-1] <= history["loss"][0]
+
+
+def test_trainer_skip_nonfinite_aborts(tmp_path):
+    """The Trainer aborts with a clear error after N consecutive
+    non-finite steps (states kept at the last finite point)."""
+    data = _synthetic_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_epoch=2, skip_nonfinite=2))
+    real_step = trainer._train_step
+
+    def poisoned(params, model_state, opt_state, batch, rng):
+        p, ms, os_, metrics = real_step(params, model_state, opt_state, batch, rng)
+        return p, ms, os_, {**metrics, "nonfinite": 1.0}
+
+    trainer._train_step = poisoned
+    with pytest.raises(RuntimeError, match="non-finite"):
+        trainer.train()
