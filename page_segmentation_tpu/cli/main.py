@@ -194,11 +194,15 @@ def cmd_train(args) -> int:
         args.target_line_height, color_map, max_width=args.max_width,
         resize_backend=args.resize_backend,
     )
-    train_data = loader.load_data_from_json(_resolve_split_files(args, "train"), "train")
+    lazy = args.streaming
+    train_data = loader.load_data_from_json(
+        _resolve_split_files(args, "train"), "train", lazy=lazy)
     test_files = _resolve_split_files(args, "test")
-    validation = loader.load_data_from_json(test_files, "test") if test_files else None
+    validation = (loader.load_data_from_json(test_files, "test", lazy=lazy)
+                  if test_files else None)
     eval_files = _resolve_split_files(args, "eval")
-    evaluation = loader.load_data_from_json(eval_files, "eval") if eval_files else None
+    evaluation = (loader.load_data_from_json(eval_files, "eval", lazy=lazy)
+                  if eval_files else None)
 
     n_classes = args.n_classes or color_map.n_classes
     if args.n_iter:
@@ -631,6 +635,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keras-applications backbone .h5 to fine-tune from "
                         "(mobilenet/resnet/efficientnet families)")
     t.add_argument("--batch_size", type=int, default=1)
+    t.add_argument("--streaming", action="store_true",
+                   help="keep page pixels on disk: shapes are peeked from "
+                        "the PNG headers for bucketing, and each batch is "
+                        "loaded in the prefetch thread and dropped after "
+                        "its step (O(batch) host memory instead of "
+                        "O(corpus); the reference loads everything up "
+                        "front, dataset.py:193-198)")
     t.add_argument("--grad_accum", type=int, default=1,
                    help="apply the optimizer on the mean of every k "
                         "micro-batch gradients (batch-k statistics without "

@@ -34,6 +34,11 @@ class SingleData:
     original_shape: Optional[Tuple[int, int]] = None
     output_path: Optional[str] = None
     user_data: Any = None
+    # lazy (streaming) entries: pixels stay on disk; the prepared shape is
+    # peeked from the PNG header so training can bucket without loading,
+    # and ``loader`` materializes a copy at batch-build time
+    prepared_shape: Optional[Tuple[int, int]] = None
+    loader: Any = None
 
 
 @dataclass

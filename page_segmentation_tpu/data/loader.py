@@ -66,8 +66,47 @@ class DatasetLoader:
         entry.original_shape = original_shape
         return entry
 
-    def load_data(self, entries: Iterable[SingleData]) -> Dataset:
+    def peek_prepared_shape(self, entry: SingleData):
+        """The shape ``load_images`` would produce, from the PNG header
+        alone (PIL opens lazily — no pixel decode)."""
+        from PIL import Image
+
+        from .prepare import prepared_shape
+
+        path = entry.binary_path or entry.image_path
+        with Image.open(path) as im:
+            w, h = im.size
+        return prepared_shape((h, w), self.target_line_height, entry.line_height_px, self.max_width)
+
+    def load_lazy(self, entry: SingleData) -> SingleData:
+        """Materialize a lazy entry into a shallow copy: the source entry
+        keeps only paths, so a streaming epoch holds O(batch) pages in
+        memory, not O(corpus)."""
+        import copy
+
+        fresh = copy.copy(entry)
+        fresh.loader = None
+        return self.load_images(fresh)
+
+    def load_data(self, entries: Iterable[SingleData], lazy: bool = False) -> Dataset:
+        """Eager (default): load every page into memory in parallel, the
+        reference's Pool(12) behavior (dataset.py:193-198).  ``lazy``:
+        keep pixels on disk — entries carry their prepared shape (peeked
+        from the PNG header) and a loader back-reference; the Trainer
+        materializes batch-sized copies in its prefetch thread."""
         entries = list(entries)
+        if lazy:
+            pathless = [e for e in entries if e.image is None and e.image_path is None]
+            if pathless:
+                raise ValueError(
+                    "lazy loading needs image_path on every entry "
+                    f"({len(pathless)} in-memory entries given)"
+                )
+            for e in entries:
+                if e.image is None:
+                    e.prepared_shape = self.peek_prepared_shape(e)
+                    e.loader = self
+            return Dataset(entries, self.color_map)
         if self.num_workers <= 1 or len(entries) <= 1:
             out = [self.load_images(e) for e in entries]
         else:
@@ -75,6 +114,6 @@ class DatasetLoader:
                 out = list(pool.map(self.load_images, entries))
         return Dataset(out, self.color_map)
 
-    def load_data_from_json(self, files: List[str], split_type: str) -> Dataset:
+    def load_data_from_json(self, files: List[str], split_type: str, lazy: bool = False) -> Dataset:
         entries = read_dataset_json(files, split_type)
-        return self.load_data(entries)
+        return self.load_data(entries, lazy=lazy)

@@ -66,6 +66,30 @@ def prepare_images(
     return img, bin_scaled
 
 
+def prepared_shape(
+    binary_shape: Tuple[int, int],
+    target_line_height: int,
+    line_height_px: int,
+    max_width: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Output shape of ``prepare_images`` without touching any pixels.
+
+    Mirrors the arithmetic above exactly: the prepared shape is the
+    binary's shape through ``rescale_nearest(scale)`` (skimage rounding),
+    then the optional ``max_width`` downscale.  Lets the lazy dataset
+    loader bucket pages for training without loading them.
+    """
+    from ..ops.resize import output_shape_for_scale
+
+    scale = target_line_height / line_height_px
+    shape = output_shape_for_scale(binary_shape[:2], scale)
+    if max_width is not None:
+        n_scale = max_width / shape[1]
+        if n_scale < 1.0:
+            shape = output_shape_for_scale(shape, n_scale)
+    return shape
+
+
 def prepare_mask(mask_labels: np.ndarray, scaled_shape) -> np.ndarray:
     """Nearest-resize a label mask to the prepared image shape
     (reference dataset.py:181-184)."""

@@ -141,6 +141,32 @@ class TrainSettings(NamedTuple):
     skip_nonfinite: int = 0
 
 
+def _entry_shape(d) -> tuple:
+    """Prepared (H, W) of an entry — loaded pixels, or the header-peeked
+    shape of a lazy (streaming) entry."""
+    if d.image is not None:
+        return tuple(d.image.shape[:2])
+    if d.prepared_shape is not None:
+        return tuple(d.prepared_shape)
+    raise ValueError("dataset entry has neither pixels nor a prepared_shape")
+
+
+def _materialize(samples):
+    """Load any lazy entries of a batch into shallow copies (pixels are
+    dropped with the copies after the step — O(batch) memory)."""
+    if not any(d.image is None and d.loader is not None for d in samples):
+        return samples
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(d):
+        return d.loader.load_lazy(d) if d.image is None and d.loader is not None else d
+
+    if len(samples) == 1:
+        return [load(samples[0])]
+    with ThreadPoolExecutor(max_workers=min(8, len(samples))) as pool:
+        return list(pool.map(load, samples))
+
+
 def _weighted_means(weighted_metrics) -> dict:
     """Mean of per-batch metric dicts weighted by batch page count."""
     total = float(sum(n for n, _ in weighted_metrics))
@@ -275,12 +301,12 @@ class Trainer:
                 # duplicates per epoch globally)
                 self._forced_bucket = (
                     max(
-                        bucket_shape(d.image.shape[:2], s.architecture.stride_factor,
+                        bucket_shape(_entry_shape(d), s.architecture.stride_factor,
                                      s.bucket_granularity)[0]
                         for d in s.train_data.data
                     ),
                     max(
-                        bucket_shape(d.image.shape[:2], s.architecture.stride_factor,
+                        bucket_shape(_entry_shape(d), s.architecture.stride_factor,
                                      s.bucket_granularity)[1]
                         for d in s.train_data.data
                     ),
@@ -354,6 +380,20 @@ class Trainer:
         """Majority-class accuracy floor (reference trainer.py:135-143)."""
         s = self.settings
 
+        if any(d.mask is None and d.loader is not None for d in s.train_data.data):
+            # streaming data: one pass, each page loaded into a transient copy
+            counts = np.zeros(s.n_classes, np.int64)
+            total = 0
+            for d in s.train_data.data:
+                mask = d.mask if d.mask is not None else d.loader.load_lazy(d).mask
+                counts += np.bincount(mask.ravel(), minlength=s.n_classes)[: s.n_classes]
+                total += mask.size
+            percentages = list(counts / max(total, 1))
+            logging.info(f"Label percentage: {list(zip(range(s.n_classes), percentages))}")
+            logging.info(f"Baseline: {max(percentages)}")
+            self.baseline = max(percentages)
+            return
+
         def label_percentage(label):
             total = np.sum([d.mask.shape[0] * d.mask.shape[1] for d in s.train_data.data])
             return np.sum([np.sum(d.mask == label) for d in s.train_data.data]) / total
@@ -367,6 +407,7 @@ class Trainer:
     # --------------------------------------------------------------- batches
     def _make_batch(self, samples, augment: bool, rng: Optional[np.random.Generator]):
         s = self.settings
+        samples = _materialize(samples)  # streaming entries load here (prefetch thread)
         # multi-host lockstep: all processes pad to the same (global max)
         # bucket regardless of their local pages
         target = self._forced_bucket or (0, 0)
@@ -449,7 +490,7 @@ class Trainer:
         groups = {}
         for d in dataset.data:
             shape = self._forced_bucket or bucket_shape(
-                d.image.shape[:2], s.architecture.stride_factor, s.bucket_granularity
+                _entry_shape(d), s.architecture.stride_factor, s.bucket_granularity
             )
             groups.setdefault(shape, []).append(d)
         order = []
@@ -765,6 +806,7 @@ class Trainer:
 
     def _diagnostic_samples(self, dataset: Dataset):
         for d in dataset.data[:10]:
+            d = _materialize([d])[0]  # transient copy for streaming entries
             batch = self._make_batch([d], augment=False, rng=None)
             image = batch["image"]
             if image.dtype == np.uint8:  # compact layout: normalize here
