@@ -144,7 +144,7 @@ def cmd_predict(args) -> int:
         args.target_line_height, color_map, prediction=True, max_width=args.max_width,
         resize_backend=args.resize_backend,
     )
-    dataset = loader.load_data(entries)
+    dataset = loader.load_data(entries, lazy=getattr(args, "streaming", False))
 
     n_classes = args.n_classes or color_map.n_classes
     post = [find_postprocessor(p) for p in (args.post_process or [])]
@@ -245,6 +245,10 @@ def cmd_train(args) -> int:
         export_h5=args.export_h5,
         grad_accum=args.grad_accum,
         skip_nonfinite=args.skip_nonfinite,
+        lr_schedule=args.lr_schedule,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_decay_steps=args.lr_decay_steps,
+        lr_min_fraction=args.lr_min_fraction,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -568,6 +572,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--post_process", nargs="*", default=None)
     p.add_argument("--high_res_output", action="store_true")
     p.add_argument("--fast", action="store_true", help="batched fused device pipeline")
+    p.add_argument("--streaming", action="store_true",
+                   help="keep page pixels on disk until their batch runs "
+                        "(O(batch) host memory; shapes peeked from PNG "
+                        "headers) — the prepared-dataset analogue of "
+                        "--pipeline's raw-corpus streaming")
     p.add_argument("--pipeline", action="store_true",
                    help="raw-corpus streaming (inference/corpus.py): groups "
                         "pages by (shape, line height) and runs the fused "
@@ -649,6 +658,17 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--skip_nonfinite", type=int, default=0,
                    help="skip updates whose loss/grads are non-finite and "
                         "abort after this many consecutive ones (0 = off)")
+    t.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine: per-step warmup+cosine decay over the run "
+                        "(supersedes the plateau reducer; exact across "
+                        "resume — the step count lives in the optimizer "
+                        "state)")
+    t.add_argument("--lr_warmup_steps", type=int, default=0)
+    t.add_argument("--lr_decay_steps", type=int, default=None,
+                   help="cosine horizon; default = steps of the whole run")
+    t.add_argument("--lr_min_fraction", type=float, default=0.0,
+                   help="cosine floor as a fraction of l_rate")
     t.add_argument("--n_devices", type=int, default=None)
     t.add_argument("--distributed", action="store_true",
                    help="multi-host training: runs jax.distributed.initialize "

@@ -53,6 +53,34 @@ class Dataset:
         return iter(self.data)
 
 
+def entry_shape(d: SingleData) -> Tuple[int, int]:
+    """Prepared (H, W) of an entry — loaded pixels, or the header-peeked
+    shape of a lazy (streaming) entry."""
+    if d.image is not None:
+        return tuple(d.image.shape[:2])
+    if d.prepared_shape is not None:
+        return tuple(d.prepared_shape)
+    raise ValueError("dataset entry has neither pixels nor a prepared_shape")
+
+
+def materialize(samples: List[SingleData]) -> List[SingleData]:
+    """Load any lazy (streaming) entries into shallow copies — the copies
+    (and their pixels) drop after use, the sources stay path-only, so
+    callers hold O(batch) pages in memory, not O(corpus)."""
+    if not any(d.image is None and d.loader is not None for d in samples):
+        return samples
+
+    def load(d):
+        return d.loader.load_lazy(d) if d.image is None and d.loader is not None else d
+
+    if len(samples) == 1:
+        return [load(samples[0])]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(samples))) as pool:
+        return list(pool.map(load, samples))
+
+
 def _stem(path: str) -> str:
     """Filename up to the first dot — the page id that ties the three
     directories (binary/images/masks) together."""

@@ -18,7 +18,7 @@ from typing import Callable, Generator, List, NamedTuple, Optional
 import numpy as np
 
 from ..core.colors import ColorMap
-from ..data.dataset import Dataset, SingleData
+from ..data.dataset import Dataset, SingleData, entry_shape, materialize
 from ..ops.pad import bucket_shape, pad_to
 from .classifier import PixelClassifier
 from .output import Masks, generate_output_masks, output_data, scale_to_original_shape
@@ -126,6 +126,7 @@ class Predictor:
         return h * w > self.settings.spatial_threshold
 
     def predict_single(self, data: SingleData) -> Prediction:
+        data = materialize([data])[0]  # streaming entry -> transient copy
         if self._use_spatial(data):
             logit, prob, pred = self._spatial_single_data(data)
         else:
@@ -183,7 +184,7 @@ class Predictor:
         groups = {}
         for data in dataset.data:
             shape = bucket_shape(
-                data.image.shape[:2],
+                entry_shape(data),  # header-peeked for streaming entries
                 self.network.architecture.stride_factor,
                 self.network.bucket_granularity,
             )
@@ -191,7 +192,7 @@ class Predictor:
 
         for shape, members in groups.items():
             for start in range(0, len(members), batch_size):
-                chunk = members[start : start + batch_size]
+                chunk = materialize(members[start : start + batch_size])
                 n = len(chunk)
                 # ragged tail chunks pad to the full batch size (zero
                 # pages, results cropped per page below) so every chunk of

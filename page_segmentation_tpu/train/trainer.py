@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from ..data.augment import augment_triple, sample_affine_params
-from ..data.dataset import Dataset
+from ..data.dataset import Dataset, entry_shape as _entry_shape, materialize as _materialize
 from ..models.registry import Architecture, Optimizers
 from ..ops.pad import bucket_shape, pad_to
 from .callbacks import ModelDiagnoser, ScalarLogger, TrainProgressCallback
@@ -139,32 +139,16 @@ class TrainSettings(NamedTuple):
     # non-finite.  0 = off (a NaN silently poisons Adam's moments, the
     # reference's Keras behavior)
     skip_nonfinite: int = 0
-
-
-def _entry_shape(d) -> tuple:
-    """Prepared (H, W) of an entry — loaded pixels, or the header-peeked
-    shape of a lazy (streaming) entry."""
-    if d.image is not None:
-        return tuple(d.image.shape[:2])
-    if d.prepared_shape is not None:
-        return tuple(d.prepared_shape)
-    raise ValueError("dataset entry has neither pixels nor a prepared_shape")
-
-
-def _materialize(samples):
-    """Load any lazy entries of a batch into shallow copies (pixels are
-    dropped with the copies after the step — O(batch) memory)."""
-    if not any(d.image is None and d.loader is not None for d in samples):
-        return samples
-    from concurrent.futures import ThreadPoolExecutor
-
-    def load(d):
-        return d.loader.load_lazy(d) if d.image is None and d.loader is not None else d
-
-    if len(samples) == 1:
-        return [load(samples[0])]
-    with ThreadPoolExecutor(max_workers=min(8, len(samples))) as pool:
-        return list(pool.map(load, samples))
+    # learning-rate schedule: "constant" (default; ReduceLROnPlateau may
+    # adjust it, the reference behavior) or "cosine" (optax
+    # warmup_cosine_decay over the run, per-step, tracked inside the
+    # optimizer state so resume continues at the right point).  A
+    # non-constant schedule supersedes reduce_lr_on_plateau.
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0  # cosine: linear warmup from 0 to l_rate
+    # cosine: total decay steps; None = ceil(pages/batch) * n_epoch
+    lr_decay_steps: Optional[int] = None
+    lr_min_fraction: float = 0.0  # cosine: final lr = l_rate * fraction
 
 
 def _weighted_means(weighted_metrics) -> dict:
@@ -205,7 +189,28 @@ class Trainer:
                 clip_value=s.optimizer_clip_value,
             )
 
-        self.optimizer = optax.inject_hyperparams(build)(learning_rate=s.l_rate)
+        if s.lr_schedule == "constant":
+            lr_arg = s.l_rate
+        elif s.lr_schedule == "cosine":
+            import math
+
+            total = s.lr_decay_steps or (
+                math.ceil(len(s.train_data) / max(1, s.batch_size)) * s.n_epoch
+            )
+            # a schedule passed to inject_hyperparams evaluates per applied
+            # update (its count lives in the optimizer state, so exact
+            # resume continues the curve; with grad_accum, per *applied*
+            # step, not per micro-step)
+            lr_arg = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if s.lr_warmup_steps else s.l_rate,
+                peak_value=s.l_rate,
+                warmup_steps=s.lr_warmup_steps,
+                decay_steps=max(total, s.lr_warmup_steps + 1),
+                end_value=s.l_rate * s.lr_min_fraction,
+            )
+        else:
+            raise ValueError(f"unknown lr_schedule '{s.lr_schedule}'")
+        self.optimizer = optax.inject_hyperparams(build)(learning_rate=lr_arg)
         if s.grad_accum > 1:
             # MultiSteps accumulates k micro-gradients and applies their
             # equal-weight mean once; the inner inject_hyperparams state
@@ -539,7 +544,11 @@ class Trainer:
             meta = self._resume_meta
             start_epoch = int(meta["epoch"]) + 1
             lr = float(meta.get("lr", lr))
-            self._set_lr(lr)
+            if s.lr_schedule == "constant":
+                # schedules track their own step count inside the restored
+                # optimizer state; only the plateau-adjusted constant lr is
+                # a loop-level value to reinstate
+                self._set_lr(lr)
             if meta.get("best_value") is not None:
                 best_value = float(meta["best_value"])
             wait = int(meta.get("wait", 0))
@@ -631,6 +640,8 @@ class Trainer:
             # (ragged bucket tails), so an equal-weight mean over batches
             # would over-weight small ones
             train_avg = _weighted_means(epoch_metrics)
+            if s.lr_schedule != "constant":
+                lr = self._current_lr()  # the schedule's value after this epoch
             record = {"epoch": epoch, "lr": lr, **{k: v for k, v in train_avg.items()}}
 
             val_avg = None
@@ -669,6 +680,7 @@ class Trainer:
                     stop = True
                 if (
                     s.reduce_lr_on_plateau
+                    and s.lr_schedule == "constant"  # a schedule supersedes plateau
                     and wait > 0
                     and wait % max(int(s.early_stopping_max_performance_drops / 2), 1) == 0
                 ):
@@ -752,6 +764,12 @@ class Trainer:
         if not hasattr(state, "hyperparams"):  # optax.MultiSteps wrapper
             state = state.inner_opt_state
         state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def _current_lr(self) -> float:
+        state = self.opt_state
+        if not hasattr(state, "hyperparams"):  # optax.MultiSteps wrapper
+            state = state.inner_opt_state
+        return float(state.hyperparams["learning_rate"])
 
     def _save(self, monitor_value: float, epoch: int, **loop_state) -> None:
         import os

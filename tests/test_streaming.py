@@ -129,3 +129,30 @@ def test_streaming_cli_flag(dataset_root, tmp_path):
     ])
     assert rc == 0
     assert (model_dir / "model" / "params.msgpack").exists()
+
+
+def test_streaming_predict_matches_eager(dataset_root):
+    """Both predict paths (per-page and batched-fused) give identical
+    labels on a lazy dataset, and the source entries stay on disk."""
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+
+    root, cmap = dataset_root
+    loader = DatasetLoader(8, cmap, prediction=True)
+    eager = loader.load_data(_entries(root))
+    lazy = loader.load_data(_entries(root), lazy=True)
+    network = PixelClassifier(n_classes=2, seed=0)
+    predictor = Predictor(PredictSettings(color_map=cmap, n_classes=2), network=network)
+
+    eager_preds = [p.labels for p in predictor.predict(eager)]
+    lazy_preds = [p.labels for p in predictor.predict(lazy)]
+    for a, b in zip(eager_preds, lazy_preds):
+        np.testing.assert_array_equal(a, b)
+    assert all(d.image is None for d in lazy.data)
+
+    eager_fast = {id(r[0]): r[1] for r in predictor.predict_dataset_fast(eager, batch_size=2)}
+    lazy_fast = [r[1] for r in predictor.predict_dataset_fast(lazy, batch_size=2)]
+    assert len(lazy_fast) == len(eager_fast) == 4
+    for a, b in zip(eager_fast.values(), lazy_fast):
+        np.testing.assert_array_equal(a, b)
+    assert all(d.image is None for d in lazy.data)

@@ -478,3 +478,54 @@ def test_trainer_skip_nonfinite_aborts(tmp_path):
     trainer._train_step = poisoned
     with pytest.raises(RuntimeError, match="non-finite"):
         trainer.train()
+
+
+def test_lr_schedule_cosine_decays(tmp_path):
+    """Cosine schedule: the logged lr decays monotonically over epochs and
+    reaches the configured floor fraction by the end of the run."""
+    data = _synthetic_dataset(n_pages=3)
+    trainer = Trainer(_settings(
+        tmp_path, data, n_epoch=4, lr_schedule="cosine",
+        lr_min_fraction=0.1, reduce_lr_on_plateau=True,  # superseded
+    ))
+    history = trainer.train()
+    lrs = history["lr"]
+    assert all(b < a for a, b in zip(lrs, lrs[1:]))
+    # the last applied update sits one step before the curve's end, so the
+    # logged lr is near (not exactly at) the floor
+    assert 1e-3 * 0.1 <= lrs[-1] < 1e-3 * 0.2
+
+
+def test_lr_schedule_warmup_rises_then_falls(tmp_path):
+    data = _synthetic_dataset(n_pages=3)
+    trainer = Trainer(_settings(
+        tmp_path, data, n_epoch=4, lr_schedule="cosine",
+        lr_warmup_steps=6,  # 2 epochs x 3 steps
+    ))
+    history = trainer.train()
+    lrs = history["lr"]
+    assert lrs[1] > lrs[0]  # warming up
+    assert lrs[-1] < lrs[1]  # decaying
+
+
+def test_lr_schedule_resumes_on_curve(tmp_path):
+    """An interrupted cosine run continues the curve exactly: the schedule
+    step count restores with the optimizer state."""
+    data = _synthetic_dataset(n_pages=3)
+    kwargs = dict(
+        lr_schedule="cosine", lr_min_fraction=0.05, lr_decay_steps=12,
+        save_best_model_only=False,
+        early_stopping_restore_best_weights=False,
+    )
+    full = Trainer(_settings(tmp_path / "full", data, n_epoch=4, **kwargs))
+    full_hist = full.train()
+
+    part = Trainer(_settings(tmp_path / "part", data, n_epoch=2, **kwargs))
+    part.train()
+    resumed = Trainer(_settings(
+        tmp_path / "part", data, n_epoch=4, continue_training=True,
+        load=str(tmp_path / "part" / "out" / "model"), **kwargs,
+    ))
+    resumed_hist = resumed.train()
+    np.testing.assert_allclose(
+        resumed_hist["lr"], full_hist["lr"][2:], rtol=1e-6)
