@@ -424,6 +424,7 @@ def cmd_serve(args) -> int:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         max_width=args.max_width,
+        max_queue=args.max_queue,
     )
     server = PredictionServer(service, host=args.host, port=args.port)
     logger.info("model %s ready; POST /predict on %s:%d",
@@ -754,6 +755,9 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--max_wait_ms", type=float, default=25.0,
                    help="batching window: how long the first request of a "
                         "batch waits for riders")
+    v.add_argument("--max_queue", type=int, default=0,
+                   help="backpressure: reject (HTTP 503 + Retry-After) new "
+                        "pages beyond this many pending; 0 = unbounded")
     v.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     v.add_argument("--s2d_stem", action="store_true")
     v.add_argument("--int8", action="store_true",

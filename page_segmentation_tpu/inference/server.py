@@ -48,6 +48,11 @@ logger = logging.getLogger(__name__)
 OUTPUTS = ("color", "overlay", "inverted", "labels")
 
 
+class ServiceOverloaded(RuntimeError):
+    """The pending-request queue is at max_queue; the HTTP layer maps this
+    to 503 so load balancers shed instead of piling latency."""
+
+
 @dataclass
 class ServeStats:
     """Batch-efficiency counters exposed at ``GET /stats``."""
@@ -56,6 +61,7 @@ class ServeStats:
     batches_total: int = 0
     pages_total: int = 0
     errors_total: int = 0
+    rejected_total: int = 0
     batch_sizes: List[int] = field(default_factory=list)
     latency_ms: List[float] = field(default_factory=list)
 
@@ -71,6 +77,7 @@ class ServeStats:
             "batches_total": self.batches_total,
             "pages_total": self.pages_total,
             "errors_total": self.errors_total,
+            "rejected_total": self.rejected_total,
             "mean_batch_size": round(float(np.mean(sizes)), 2) if sizes else None,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
@@ -96,12 +103,17 @@ class BatchingService:
         max_batch: int = 16,
         max_wait_ms: float = 25.0,
         max_width: Optional[int] = None,
+        max_queue: int = 0,
     ):
         self.predictor = predictor
         self.color_map = color_map
         self.default_char_height = default_char_height
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        # backpressure: reject new work beyond this many queued pages
+        # (0 = unbounded); rejected requests fail fast with
+        # ServiceOverloaded / HTTP 503 instead of stacking latency
+        self.max_queue = max_queue
         self.loader = DatasetLoader(
             target_line_height, color_map, prediction=True, max_width=max_width
         )
@@ -123,6 +135,11 @@ class BatchingService:
         char_height = char_height or self.default_char_height
         if not char_height:
             raise ValueError("char_height required (no service default configured)")
+        if self.max_queue and self._queue.qsize() >= self.max_queue:
+            self.stats.rejected_total += 1
+            raise ServiceOverloaded(
+                f"{self._queue.qsize()} pages pending (max_queue={self.max_queue})"
+            )
         if binary is None:
             # same contract as the loader's fallback (reference
             # dataset.py:172: the binary defaults to the image itself,
@@ -270,6 +287,15 @@ def make_handler(service: BatchingService, request_timeout_s: float = 120.0):
                 future = service.submit(
                     image, char_height=int(char_height) if char_height else None
                 )
+            except ServiceOverloaded as exc:
+                self.send_response(503)
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except ValueError as exc:
                 self._json(400, {"error": str(exc)})
                 return

@@ -236,3 +236,64 @@ def test_int8_service_agrees_with_float():
     # random-init logits are near-tied, so int8 rounding flips more
     # argmaxes than on a trained net; 0.9 matches tests/test_quant.py
     assert agree >= 0.9
+
+
+def test_backpressure_rejects_beyond_max_queue():
+    """With max_queue set, submits beyond the pending limit fail fast with
+    ServiceOverloaded (counted in stats); queued work still completes."""
+    import time
+
+    from page_segmentation_tpu.inference.server import ServiceOverloaded
+
+    network = PixelClassifier(n_classes=3, seed=0)
+    predictor = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
+        network=network,
+    )
+    svc = BatchingService(
+        predictor, DEFAULT_IMAGE_MAP, target_line_height=8,
+        default_char_height=8, max_batch=1, max_wait_ms=1.0, max_queue=2,
+    )
+    gate = threading.Event()
+    orig = predictor.predict_dataset_fast
+
+    def gated(dataset, batch_size=1, **kw):
+        gate.wait(timeout=60)
+        yield from orig(dataset, batch_size=batch_size, **kw)
+
+    predictor.predict_dataset_fast = gated
+    try:
+        first = svc.submit(make_page(0))  # picked up by the worker, gated
+        time.sleep(0.4)
+        queued = [svc.submit(make_page(i)) for i in (1, 2)]  # fill the queue
+        with pytest.raises(ServiceOverloaded, match="max_queue"):
+            svc.submit(make_page(3))
+        assert svc.stats.rejected_total == 1
+        gate.set()
+        for f in [first, *queued]:
+            assert f.result(timeout=300)["labels"].shape == (64, 48)
+    finally:
+        gate.set()
+        svc.stop()
+        predictor.predict_dataset_fast = orig
+
+
+def test_http_503_on_overload(server, service):
+    """The HTTP layer maps ServiceOverloaded to 503 + Retry-After."""
+    from page_segmentation_tpu.inference.server import ServiceOverloaded
+
+    orig_submit = service.submit
+
+    def rejecting(*a, **kw):
+        service.stats.rejected_total += 1
+        raise ServiceOverloaded("5 pages pending (max_queue=4)")
+
+    service.submit = rejecting
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post_png(server.port, make_page(9))
+        assert err.value.code == 503
+        assert err.value.headers.get("Retry-After") == "1"
+        assert "max_queue" in json.loads(err.value.read())["error"]
+    finally:
+        service.submit = orig_submit
