@@ -121,7 +121,9 @@ class Predictor:
         from ..parallel.spatial import DEFAULT_MARGINS
 
         if self.network.architecture.value not in DEFAULT_MARGINS:
-            return False  # BN families: margins not characterized
+            # effnet: squeeze-excitation global-pools over the page, so
+            # band splitting is not exact (see parallel/spatial.py)
+            return False
         h, w = data.image.shape[:2]
         return h * w > self.settings.spatial_threshold
 

@@ -30,26 +30,36 @@ from ..ops.pad import round_up
 
 # derived half-receptive-field margins (rows), rounded up to the stride
 # factor: measured by single-row perturbation (measure_half_rf) —
-# fcn_skip/fcn 72, unet 85, res_unet 109 — and pinned by
-# tests/test_spatial.py, which re-measures and checks these stay >= actual
+# fcn_skip/fcn 72, unet 85, res_unet 109, mobile_net 44, image_res_net
+# 153 — and pinned by tests/test_spatial.py, which re-measures and checks
+# these stay >= actual.  The EfficientNet family is deliberately ABSENT:
+# its squeeze-excitation blocks global-average-pool over the whole page,
+# so a single-row perturbation moves logits arbitrarily far away
+# (measured: a row-5 poke shifts 17% of a 512-row page) — banding is not
+# exact there, and Predictor._use_spatial correctly refuses it.
 DEFAULT_MARGINS = {
     "fcn_skip": 80,
     "fcn": 80,
     "unet": 96,
     "res_unet": 112,
+    "mobile_net": 64,
+    "image_res_net": 192,
 }
 
 
-def measure_half_rf(module, variables=None, height: int = 1024, width: int = 32) -> int:
+def measure_half_rf(
+    module, variables=None, height: int = 1024, width: int = 32, channels: int = 1
+) -> int:
     """Empirical half receptive field of a conv module, in rows.
 
     Perturb one input row and find the farthest output row whose logits
     move — the exact support radius, independent of analytic layer
-    bookkeeping.  Works for any finite-RF architecture."""
+    bookkeeping.  Works for any finite-RF architecture (``channels=3``
+    for the RGB encoder families)."""
     if variables is None:
-        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+        variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, channels)))
     probe = height // 2
-    base = jnp.zeros((1, height, width, 1))
+    base = jnp.zeros((1, height, width, channels))
     poked = base.at[0, probe].set(1.0)
     clean = np.asarray(module.apply(variables, base))
     moved = np.asarray(module.apply(variables, poked))
@@ -62,7 +72,8 @@ def measure_half_rf(module, variables=None, height: int = 1024, width: int = 32)
 def derived_margin(architecture, variables=None) -> int:
     """Stride-aligned halo margin for an architecture: measured half-RF
     rounded up to the stride factor."""
-    half = measure_half_rf(architecture.model(3), variables)
+    channels = 3 if architecture.preprocess()[1] else 1
+    half = measure_half_rf(architecture.model(3), variables, channels=channels)
     return round_up(half, architecture.stride_factor)
 
 

@@ -218,3 +218,77 @@ def test_spatial_predict_cli_auto_dispatch(tmp_path):
         a = (tmp_path / "single" / cat / "big.png").read_bytes()
         b = (tmp_path / "mesh" / cat / "big.png").read_bytes()
         assert a == b, f"{cat} differs between single-device and spatial mesh"
+
+
+@pytest.mark.parametrize("name", ["mobile_net", "image_res_net"])
+def test_margin_table_covers_bn_families(name):
+    """The BN encoder families' margins also dominate their measured
+    half-RF (RGB perturbation probe).  EffNet is deliberately absent:
+    its squeeze-excitation blocks global-pool over the page."""
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS, measure_half_rf
+
+    arch = Architecture(name)
+    half = measure_half_rf(arch.model(3), channels=3)
+    margin = DEFAULT_MARGINS[name]
+    assert margin >= half, f"{name}: margin {margin} < measured half-RF {half}"
+    assert margin % arch.stride_factor == 0
+
+
+def test_effnet_not_band_splittable():
+    """EffNet must stay out of the margin table: a single-row poke moves
+    logits far beyond any local window (global SE pooling)."""
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS
+
+    for name in ("effb0", "effb3", "effb7"):
+        assert name not in DEFAULT_MARGINS
+
+
+def test_spatial_forward_exact_mobilenet():
+    """Band-split forward equals the unsplit forward for the MobileNetV2
+    encoder family (BN inference uses the frozen moving stats, so banding
+    stays exact given margin >= half-RF)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS
+
+    arch = Architecture.MOBILE_NET
+    module = arch.model(3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    mesh = make_mesh(2)
+    rng = np.random.RandomState(3)
+    image = rng.rand(384, 64, 3).astype(np.float32)
+
+    single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+    sharded = spatial_forward(
+        module, variables, image, mesh,
+        margin=DEFAULT_MARGINS[arch.value], stride_factor=arch.stride_factor,
+    )
+    np.testing.assert_allclose(sharded, single, atol=5e-4)
+    assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
+
+
+def test_spatial_forward_exact_resnet():
+    """Same exactness gate for the ResNet50 fine-tuning family (its
+    truncated encoder measures half-RF 153 -> margin 192)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS
+
+    arch = Architecture.RES_NET
+    module = arch.model(3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    mesh = make_mesh(2)
+    rng = np.random.RandomState(3)
+    image = rng.rand(768, 64, 3).astype(np.float32)  # 384-row bands >= 2x192
+
+    single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+    sharded = spatial_forward(
+        module, variables, image, mesh,
+        margin=DEFAULT_MARGINS[arch.value], stride_factor=arch.stride_factor,
+    )
+    np.testing.assert_allclose(sharded, single, atol=5e-4)
+    assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
