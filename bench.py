@@ -250,14 +250,21 @@ def main():
     # (pipeline capability)
     rates = _partial["rates"]  # shared with the watchdog
     _partial["stage"] = "headline reps"
+    # unique batch content per rep (rolled page order, outside the timer):
+    # the tunneled chip content-caches repeated dispatches — identical
+    # replays time dishonestly and can replay Pallas-bearing programs as
+    # empty buffers.  Reused destination buffers: np.roll allocates ~1.7 GB
+    # of fresh pages per rep, which this host cold-faults at ~30 MB/s —
+    # observed ~100 s/rep of un-timed overhead that ate the whole
+    # time budget after 2 reps
+    pages_rep = np.empty_like(pages)
+    binaries_rep = np.empty_like(binaries)
     measure_start = time.perf_counter()
     for rep in range(args.repeats):
-        # unique batch content per rep (rolled page order, outside the
-        # timer): the tunneled chip content-caches repeated dispatches —
-        # identical replays time dishonestly and can replay Pallas-bearing
-        # programs as empty buffers
-        pages_rep = np.roll(pages, rep + 1, axis=0)
-        binaries_rep = np.roll(binaries, rep + 1, axis=0)
+        k = (rep + 1) % len(pages)
+        idx = np.r_[k : len(pages), :k]
+        np.take(pages, idx, axis=0, out=pages_rep)
+        np.take(binaries, idx, axis=0, out=binaries_rep)
         start = time.perf_counter()
         total = 0
         for color, overlay, inverted in predictor.run(pages_rep, binaries_rep, batch_size=args.batch):
@@ -301,6 +308,11 @@ def main():
                          if drop_spinup else "median over all reps",
         "gflop_per_page": round(flops_page / 1e9, 2),
         "mfu_e2e": round(mfu, 5),
+        # host context: the pipeline's prep/finish stages and all thread
+        # overlap run on the host CPU; a 1-core host serializes them
+        # (observed this round) and bounds e2e pages/s regardless of the
+        # device
+        "host_cpus": __import__("os").cpu_count(),
     }
     if not args.skip_train:
         _partial["stage"] = "train side metric"
@@ -536,6 +548,7 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
         "batch_s_median_second_half": round(second, 3),
         "note": "unpipelined per-stage attribution over distinct never-repeated "
                 "pages; gen (host corpus synthesis) excluded from the rate",
+        "host_cpus": __import__("os").cpu_count(),
     }
     if truncated:
         result["truncated"] = True
