@@ -337,6 +337,14 @@ void ps_finish(const uint8_t* pred, const uint8_t* ink, const uint8_t* palette,
         uint8_t* cp = color + base;
         uint8_t* op = overlay + base;
         uint8_t* vp = inverted + base;
+        // Pass 1 (scalar): palette gather into color.  Pass 2+3 run over
+        // the contiguous 3*ow row as pure byte arithmetic so the compiler
+        // vectorizes them: overlay = color & (is_ink - 1)  (is_ink 1 ->
+        // mask 0x00, 0 -> 0xFF), and since overlay/inverted partition
+        // color, inverted = color - overlay.  The branchy fused loop this
+        // replaces ran at ~330 MB/s of output on the 1-core host; the
+        // split form is memory-bound instead.
+        std::vector<uint8_t> m3(static_cast<size_t>(ow) * 3);
         for (int y = 0; y < oh; ++y) {
             const uint8_t* prow = pp + static_cast<size_t>(y) * pred_w;
             const uint8_t* irow = ip + static_cast<size_t>(y) * ow;
@@ -347,12 +355,19 @@ void ps_finish(const uint8_t* pred, const uint8_t* ink, const uint8_t* palette,
                 int cls = prow[x];
                 if (cls >= n_colors) cls = n_colors - 1;
                 const uint8_t* rgb = palette + cls * 3;
-                const bool is_ink = irow[x] != 0;
-                for (int c = 0; c < 3; ++c) {
-                    crow[x * 3 + c] = rgb[c];
-                    orow[x * 3 + c] = is_ink ? 0 : rgb[c];
-                    vrow[x * 3 + c] = is_ink ? rgb[c] : 0;
-                }
+                crow[x * 3] = rgb[0];
+                crow[x * 3 + 1] = rgb[1];
+                crow[x * 3 + 2] = rgb[2];
+                const uint8_t m = irow[x] != 0 ? 1 : 0;
+                m3[x * 3] = m;
+                m3[x * 3 + 1] = m;
+                m3[x * 3 + 2] = m;
+            }
+            const int row3 = ow * 3;
+            for (int j = 0; j < row3; ++j) {
+                const uint8_t o = static_cast<uint8_t>(crow[j] & (m3[j] - 1));
+                orow[j] = o;
+                vrow[j] = static_cast<uint8_t>(crow[j] - o);
             }
         }
     }
