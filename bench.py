@@ -150,9 +150,11 @@ def main():
     parser.add_argument("--s2d-stem", action="store_true",
                         help="exact space-to-depth rewrite of the full-res stem convs "
                              "(models/s2d.py): 144-deep MXU contraction instead of 25")
-    # the tunneled link fluctuates several-x between reps; more reps keep
-    # the median robust to cold/stalled ones (time budget still bounds it)
-    parser.add_argument("--repeats", type=int, default=9)
+    # the tunneled link AND the 1-core host fluctuate several-x between
+    # reps (starvation phases measured minutes long); many cheap reps over
+    # a longer window keep the median robust — the time budget still
+    # bounds the loop, and the full rep list ships in the JSON
+    parser.add_argument("--repeats", type=int, default=21)
     parser.add_argument("--skip-train", action="store_true",
                         help="omit the train-step throughput side metric")
     parser.add_argument("--mode", default="predict", choices=["predict", "train"],
@@ -250,21 +252,19 @@ def main():
     # (pipeline capability)
     rates = _partial["rates"]  # shared with the watchdog
     _partial["stage"] = "headline reps"
-    # unique batch content per rep (rolled page order, outside the timer):
-    # the tunneled chip content-caches repeated dispatches — identical
-    # replays time dishonestly and can replay Pallas-bearing programs as
-    # empty buffers.  Reused destination buffers: np.roll allocates ~1.7 GB
-    # of fresh pages per rep, which this host cold-faults at ~30 MB/s —
-    # observed ~100 s/rep of un-timed overhead that ate the whole
-    # time budget after 2 reps
-    pages_rep = np.empty_like(pages)
-    binaries_rep = np.empty_like(binaries)
+    # unique content per rep: the tunneled chip content-addresses whole
+    # transfers and replays identical inputs from a cache — repeated
+    # content times dishonestly and can replay Pallas-bearing programs as
+    # empty buffers.  One mutated corner pixel per page changes every
+    # page's (and its decimated upload's) content hash at the cost of 96
+    # byte-writes; the np.roll/np.take variants this replaces moved
+    # ~1.7 GB per rep outside the timer, which the 1-core host's
+    # starvation phases stretched to minutes, expiring the time budget
+    # after 1-2 reps
     measure_start = time.perf_counter()
     for rep in range(args.repeats):
-        k = (rep + 1) % len(pages)
-        idx = np.r_[k : len(pages), :k]
-        np.take(pages, idx, axis=0, out=pages_rep)
-        np.take(binaries, idx, axis=0, out=binaries_rep)
+        pages[:, 0, 0] = (rep + 1) % 256
+        pages_rep, binaries_rep = pages, binaries
         start = time.perf_counter()
         total = 0
         for color, overlay, inverted in predictor.run(pages_rep, binaries_rep, batch_size=args.batch):
