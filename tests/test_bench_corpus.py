@@ -118,3 +118,29 @@ def test_watchdog_emits_partial_result(bench_module, capsys, monkeypatch):
     assert result["value"] == 100.0
     assert "watchdog" in result
     b._partial["rates"][:] = []
+
+
+def test_headline_bench_smoke(tmp_path):
+    """bench.py's headline mode end-to-end on CPU at tiny shapes: all reps
+    complete (the rep-novelty path mutates in place, no GB copies) and the
+    JSON carries the audit fields."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--pages", "4", "--batch", "2",
+         "--height", "352", "--width", "256", "--repeats", "2",
+         "--skip-train", "--sustained", "0", "--time-budget", "60"],
+        capture_output=True, text=True, timeout=560,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["metric"] == "predict_pages_per_sec_per_chip"
+    assert len(result["reps"]) == 2
+    assert result["value"] > 0
+    assert result["host_cpus"] >= 1
+    assert "median_policy" in result
