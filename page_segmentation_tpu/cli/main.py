@@ -160,6 +160,7 @@ def cmd_predict(args) -> int:
         int8=getattr(args, "int8", False),
         n_devices=args.n_devices,
         spatial_threshold=args.spatial_threshold,
+        band_rows=args.band_rows,
     )
     predictor = Predictor(settings)
 
@@ -600,6 +601,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spatial_threshold", type=int, default=16_000_000,
                    help="prepared-image pixel count above which spatial "
                         "partitioning engages (with --n_devices > 1)")
+    p.add_argument("--band_rows", type=int, default=None,
+                   help="single-chip banding: pages taller than this forward "
+                        "in sequential row bands with receptive-field halos "
+                        "(exact; bounds peak HBM at one window's activations "
+                        "— the one-chip answer to giant pages)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"])

@@ -60,6 +60,12 @@ class PredictSettings:
     # only recourse is host downscaling, dataset.py:139-143)
     n_devices: Optional[int] = None
     spatial_threshold: int = 16_000_000
+    # single-chip banding: pages taller than (band_rows + 2*margin) forward
+    # in sequential row bands with receptive-field halos
+    # (parallel/spatial.banded_forward) — exact, and peak HBM is bounded by
+    # one window's activations instead of the whole page's.  The
+    # out-of-mesh complement of n_devices spatial partitioning
+    band_rows: Optional[int] = None
 
 
 class Predictor:
@@ -127,10 +133,46 @@ class Predictor:
         h, w = data.image.shape[:2]
         return h * w > self.settings.spatial_threshold
 
+    def _banded_single_data(self, data: SingleData):
+        """predict_single_data in sequential single-chip row bands
+        (parallel/spatial.banded_forward): exact, bounded peak HBM."""
+        import scipy.special
+
+        from ..parallel.spatial import DEFAULT_MARGINS, banded_forward
+
+        net = self.network
+        arr = np.asarray(net.preprocess(np.asarray(data.image, np.float32)))
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        elif arr.ndim == 3 and arr.shape[-1] == 1 and net.rgb:
+            arr = np.repeat(arr, 3, axis=-1)
+        logit = banded_forward(
+            net.module,
+            net.variables,
+            arr,
+            band_rows=self.settings.band_rows,
+            margin=DEFAULT_MARGINS.get(net.architecture.value, 192),
+            stride_factor=net.architecture.stride_factor,
+        )
+        prob = scipy.special.softmax(logit, axis=-1)
+        return logit, prob, logit.argmax(-1)
+
+    def _use_banded(self, data: SingleData) -> bool:
+        if not self.settings.band_rows:
+            return False
+        from ..parallel.spatial import DEFAULT_MARGINS
+
+        if self.network.architecture.value not in DEFAULT_MARGINS:
+            return False  # effnet: SE global pooling, banding not exact
+        margin = DEFAULT_MARGINS[self.network.architecture.value]
+        return data.image.shape[0] > self.settings.band_rows + 2 * margin
+
     def predict_single(self, data: SingleData) -> Prediction:
         data = materialize([data])[0]  # streaming entry -> transient copy
         if self._use_spatial(data):
             logit, prob, pred = self._spatial_single_data(data)
+        elif self._use_banded(data):
+            logit, prob, pred = self._banded_single_data(data)
         else:
             logit, prob, pred = self.network.predict_single_data(data)
         if self.settings.high_res_output:

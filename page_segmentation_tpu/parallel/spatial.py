@@ -248,3 +248,52 @@ def spatial_predict(
         stride_factor=classifier.architecture.stride_factor,
     )
     return logits.argmax(-1)
+
+
+def banded_forward(
+    module,
+    variables,
+    image: np.ndarray,
+    band_rows: int = 1024,
+    margin: int = 96,
+    stride_factor: int = 8,
+):
+    """Forward one (H, W, C) page in sequential row bands on ONE device.
+
+    Peak HBM is bounded by one (band_rows + 2*margin)-row window's
+    activations instead of the whole page's — the single-chip complement
+    of :func:`spatial_forward` for pages whose activations exceed HBM
+    (the reference's only recourse is host downscaling,
+    dataset.py:139-143).  Same uniform-window halo scheme, so every
+    window holds only real page rows and the result is exact; one fixed
+    window shape means one compiled program for all bands.
+    """
+    margin = round_up(margin, stride_factor)
+    band_rows = round_up(max(band_rows, stride_factor), stride_factor)
+    h, w = image.shape[:2]
+    c = image.shape[2] if image.ndim == 3 else 1
+    arr = np.asarray(image, np.float32).reshape(h, w, c)
+
+    padded_h = round_up(h, stride_factor)
+    padded_w = round_up(w, stride_factor)
+    win_h = band_rows + 2 * margin
+    if win_h >= padded_h:  # page fits one window: no banding needed
+        full = np.zeros((padded_h, padded_w, c), np.float32)
+        full[:h, :w] = arr
+        return np.asarray(module.apply(variables, jnp.asarray(full)[None])[0])[:h, :w]
+
+    full = np.zeros((padded_h, padded_w, c), np.float32)
+    full[:h, :w] = arr
+
+    forward = jax.jit(lambda v, x: module.apply(v, x))
+    out = None
+    for start in range(0, padded_h, band_rows):
+        rows = min(band_rows, padded_h - start)
+        lo = min(max(0, start - margin), padded_h - win_h)
+        window = jnp.asarray(full[lo : lo + win_h])[None]
+        logits = np.asarray(forward(variables, window)[0])
+        if out is None:
+            out = np.empty((padded_h, padded_w, logits.shape[-1]), logits.dtype)
+        offset = start - lo
+        out[start : start + rows] = logits[offset : offset + rows]
+    return out[:h, :w]

@@ -292,3 +292,67 @@ def test_spatial_forward_exact_resnet():
     )
     np.testing.assert_allclose(sharded, single, atol=5e-4)
     assert (sharded.argmax(-1) == single.argmax(-1)).mean() == 1.0
+
+
+def test_banded_forward_exact():
+    """Sequential single-chip banding equals the unsplit forward for every
+    margin-table architecture (fixed window shape -> one compile)."""
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import DEFAULT_MARGINS, banded_forward
+
+    for name, chans in (("fcn_skip", 1), ("mobile_net", 3)):
+        arch = Architecture(name)
+        module = arch.model(3)
+        variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, chans))))
+        rng = np.random.RandomState(3)
+        # stride-aligned height (the classifier pads to stride outside the
+        # graph) that is NOT band-aligned: 704 / 192 leaves a ragged band
+        image = rng.rand(704, 64, chans).astype(np.float32)
+        single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+        banded = banded_forward(
+            module, variables, image,
+            band_rows=192, margin=DEFAULT_MARGINS[name],
+            stride_factor=arch.stride_factor,
+        )
+        assert banded.shape == single.shape
+        np.testing.assert_allclose(banded, single, atol=5e-4, err_msg=name)
+        assert (banded.argmax(-1) == single.argmax(-1)).mean() == 1.0, name
+
+
+def test_banded_forward_small_page_short_circuits():
+    """A page that fits one window skips banding entirely."""
+    from page_segmentation_tpu.models.registry import Architecture
+    from page_segmentation_tpu.parallel.spatial import banded_forward
+
+    arch = Architecture.FCN_SKIP
+    module = arch.model(3)
+    variables = dict(module.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1))))
+    image = np.random.RandomState(0).rand(96, 48, 1).astype(np.float32)
+    single = np.asarray(module.apply(variables, jnp.asarray(image[None])))[0]
+    banded = banded_forward(module, variables, image, band_rows=512, margin=80)
+    np.testing.assert_allclose(banded, single, atol=1e-5)
+
+
+def test_predictor_band_rows_path():
+    """Predictor(band_rows=...) routes tall pages through banding and the
+    prediction equals the plain path; short pages keep the plain path."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.data.dataset import SingleData
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+
+    network = PixelClassifier(n_classes=3, seed=0)
+    plain = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3), network=network)
+    banded = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3, band_rows=192),
+        network=network)
+    rng = np.random.RandomState(0)
+    tall = SingleData(image=(rng.rand(712, 64) * 255).astype(np.uint8),
+                      binary=np.ones((712, 64), np.uint8))
+    assert banded._use_banded(tall) and not plain._use_banded(tall)
+    np.testing.assert_array_equal(
+        banded.predict_single(tall).labels, plain.predict_single(tall).labels)
+    short = SingleData(image=(rng.rand(96, 64) * 255).astype(np.uint8),
+                       binary=np.ones((96, 64), np.uint8))
+    assert not banded._use_banded(short)
