@@ -236,6 +236,7 @@ def main():
         download=args.download,
         cc_vote=args.cc_vote_backend if args.cc_vote else False,
         int8=args.int8,
+        reuse_output_buffers=True,  # bench discards trios immediately
     )
     print(f"normalized page: {predictor.fused.valid_shape}", file=sys.stderr)
 
@@ -372,6 +373,7 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
         compute_dtype=compute_dtype,
         download=args.download,
         cc_vote=(args.cc_vote_backend if args.cc_vote else False),
+        reuse_output_buffers=True,  # the corpus loop drops each trio
     )
     n_batches = -(-corpus // args.batch)
     print(f"corpus: {corpus} distinct pages, {n_batches} x {args.batch}, "

@@ -142,19 +142,28 @@ def unpack_bits_device(packed):
     return bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,)).astype(jnp.bool_)
 
 
-def finish_mask_trio(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray):
+def finish_mask_trio(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray, out=None):
     """(color, overlay, inverted) for a batch of (padded) class maps and
     their ink masks — native C kernel when available, numpy fallback.
-    ``pred`` may be wider/taller than ``ink``; the trio crops to ink."""
+    ``pred`` may be wider/taller than ``ink``; the trio crops to ink.
+    ``out``: optional preallocated (color, overlay, inverted) uint8
+    buffers to write into (reused-buffer mode; see pipeline)."""
     from .. import native
 
     palette = np.ascontiguousarray(palette, np.uint8)
     ink_u8 = np.ascontiguousarray(ink, np.uint8)
-    fused = native.finish_masks(pred, ink_u8, palette)
+    fused = native.finish_masks(pred, ink_u8, palette, out=out)
     if fused is not None:
         return fused
     h, w = ink.shape[1:]
     clipped = np.minimum(pred[:, :h, :w], len(palette) - 1)
     color = palette[clipped]
     ink3 = ink_u8[..., None]
-    return color, color * (1 - ink3), color * ink3
+    overlay = color * (1 - ink3)
+    inverted = color * ink3
+    if out is not None:
+        out[0][...] = color
+        out[1][...] = overlay
+        out[2][...] = inverted
+        return out
+    return color, overlay, inverted

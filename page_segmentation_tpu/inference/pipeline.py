@@ -203,6 +203,7 @@ class ThroughputPredictor:
         mesh=None,
         data_axis: str = "data",
         int8: bool = False,
+        reuse_output_buffers: bool = False,
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
@@ -219,6 +220,13 @@ class ThroughputPredictor:
         dec_h, dec_w = in_h // host_decimate, in_w // host_decimate
         self.decimated_shape = (dec_h, dec_w)
         self.int8 = bool(int8)
+        # opt-in trio-buffer reuse: each batch's color/overlay/inverted are
+        # then views into per-instance buffers, valid only until the next
+        # batch's _finish — fresh 54 MB/batch allocations page-fault for
+        # ~120 ms on a 1-core host.  bench uses it; the library default
+        # keeps independent arrays
+        self.reuse_output_buffers = bool(reuse_output_buffers)
+        self._trio_bufs = None
         self._calibrate_fn = None
         if int8:
             # int8 serving (models/quant.py): the predict program runs the
@@ -283,12 +291,36 @@ class ThroughputPredictor:
             ink[i] = binaries[i][np.ix_(self.row_idx, self.col_idx)] < 128
         return self._put(dec), ink
 
+    def _out_bufs(self, n: int, h: int, w: int):
+        """4-deep ring of trio buffers: a yielded batch stays valid while
+        up to 3 further batches finish (covers the in-flight window)."""
+        if not self.reuse_output_buffers:
+            return None
+        shape = (n, h, w, 3)
+        if self._trio_bufs is None or self._trio_bufs[0][0][0].shape != shape:
+            ring = []
+            for _ in range(4):
+                color = np.empty(shape, np.uint8)
+                ring.append((color, np.empty_like(color), np.empty_like(color)))
+            self._trio_bufs = (ring, [0])
+        ring, idx = self._trio_bufs
+        trio = ring[idx[0] % 4]
+        idx[0] += 1
+        return trio
+
     def _finish(self, downloaded: np.ndarray, ink: np.ndarray):
         downloaded = downloaded[: ink.shape[0]]  # drop mesh-padding pages
         h, w = ink.shape[1:]
         if self.download == "packed":
+            from .. import native
             from .output import unpack_classes
 
+            fused = native.finish_masks_packed(
+                downloaded, ink, self.palette_np,
+                out=self._out_bufs(ink.shape[0], h, w),
+            )
+            if fused is not None:
+                return fused
             return self._finish_pred(unpack_classes(downloaded), ink)
         if self.download == "pred":
             return self._finish_pred(downloaded, ink)
@@ -303,7 +335,10 @@ class ThroughputPredictor:
         """color/overlay/inverted from a (padded) uint8 class map."""
         from .output import finish_mask_trio
 
-        return finish_mask_trio(pred, ink, self.palette_np)
+        h, w = ink.shape[1:]
+        return finish_mask_trio(
+            pred, ink, self.palette_np, out=self._out_bufs(ink.shape[0], h, w)
+        )
 
     def _pack_ink(self, ink: np.ndarray) -> np.ndarray:
         """1-bit pack the ink mask at the padded device shape."""

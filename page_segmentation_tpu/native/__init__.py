@@ -76,6 +76,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, u8p, u8p,
     ]
+    if hasattr(lib, "ps_finish_packed"):  # stale .so without the symbol
+        lib.ps_finish_packed.restype = None
+        lib.ps_finish_packed.argtypes = list(lib.ps_finish.argtypes)
     _lib = lib
     return _lib
 
@@ -163,7 +166,22 @@ def gather_ink(binaries: np.ndarray, row_idx: np.ndarray, col_idx: np.ndarray) -
     return out
 
 
-def finish_masks(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray):
+def _finish_out(n: int, oh: int, ow: int, out):
+    """Allocate the trio, or validate caller-supplied reusable buffers
+    (a fresh 54 MB/batch allocation costs ~120 ms of page faults on a
+    1-core host; pools amortize it)."""
+    if out is None:
+        color = np.empty((n, oh, ow, 3), np.uint8)
+        return color, np.empty_like(color), np.empty_like(color)
+    color, overlay, inverted = out
+    expected = (n, oh, ow, 3)
+    for arr in (color, overlay, inverted):
+        if arr.shape != expected or arr.dtype != np.uint8 or not arr.flags.c_contiguous:
+            raise ValueError(f"out buffers must be C-contiguous uint8 {expected}")
+    return color, overlay, inverted
+
+
+def finish_masks(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray, out=None):
     """Fused color/overlay/inverted reconstruction from a (padded) class map
     and the ink mask; None if the library is absent."""
     lib = get_lib()
@@ -174,9 +192,27 @@ def finish_masks(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray):
     palette = np.ascontiguousarray(palette, np.uint8)
     n, ph, pw = pred.shape
     oh, ow = ink.shape[1:]
-    color = np.empty((n, oh, ow, 3), np.uint8)
-    overlay = np.empty_like(color)
-    inverted = np.empty_like(color)
+    color, overlay, inverted = _finish_out(n, oh, ow, out)
     lib.ps_finish(pred, ink, palette, palette.shape[0], n, ph, pw, oh, ow,
                   color, overlay, inverted)
+    return color, overlay, inverted
+
+
+def finish_masks_packed(packed: np.ndarray, ink: np.ndarray, palette: np.ndarray, out=None):
+    """finish_masks reading the 2-bit packed class-map download directly
+    (4 pixels/byte, LSB-first — output.unpack_classes layout), skipping
+    the numpy unpack pass; None if the library or symbol is absent."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_finish_packed"):
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    ink = np.ascontiguousarray(ink, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    n, ph, pw = packed.shape
+    oh, ow = ink.shape[1:]
+    if pw * 4 < ow:
+        raise ValueError(f"packed width {pw} covers {pw * 4} pixels < ow {ow}")
+    color, overlay, inverted = _finish_out(n, oh, ow, out)
+    lib.ps_finish_packed(packed, ink, palette, palette.shape[0], n, ph, pw, oh, ow,
+                         color, overlay, inverted)
     return color, overlay, inverted

@@ -373,4 +373,49 @@ void ps_finish(const uint8_t* pred, const uint8_t* ink, const uint8_t* palette,
     }
 }
 
+// ps_finish for the 2-bit packed class-map download (output.py
+// pack_classes_device layout: 4 pixels per byte, LSB-first — pixel x of a
+// packed byte is (b >> (2*(x&3))) & 3).  Fusing the unpack here removes
+// the numpy unpack pass (several large temporaries per batch) from the
+// host's critical path.
+void ps_finish_packed(const uint8_t* packed, const uint8_t* ink,
+                      const uint8_t* palette, int n_colors, int n,
+                      int pred_h, int packed_w, int oh, int ow,
+                      uint8_t* color, uint8_t* overlay, uint8_t* inverted) {
+    std::vector<uint8_t> m3(static_cast<size_t>(ow) * 3);
+    for (int page = 0; page < n; ++page) {
+        const uint8_t* pp = packed + static_cast<size_t>(page) * pred_h * packed_w;
+        const uint8_t* ip = ink + static_cast<size_t>(page) * oh * ow;
+        const size_t base = static_cast<size_t>(page) * oh * ow * 3;
+        uint8_t* cp = color + base;
+        uint8_t* op = overlay + base;
+        uint8_t* vp = inverted + base;
+        for (int y = 0; y < oh; ++y) {
+            const uint8_t* prow = pp + static_cast<size_t>(y) * packed_w;
+            const uint8_t* irow = ip + static_cast<size_t>(y) * ow;
+            uint8_t* crow = cp + static_cast<size_t>(y) * ow * 3;
+            uint8_t* orow = op + static_cast<size_t>(y) * ow * 3;
+            uint8_t* vrow = vp + static_cast<size_t>(y) * ow * 3;
+            for (int x = 0; x < ow; ++x) {
+                int cls = (prow[x >> 2] >> ((x & 3) * 2)) & 3;
+                if (cls >= n_colors) cls = n_colors - 1;
+                const uint8_t* rgb = palette + cls * 3;
+                crow[x * 3] = rgb[0];
+                crow[x * 3 + 1] = rgb[1];
+                crow[x * 3 + 2] = rgb[2];
+                const uint8_t m = irow[x] != 0 ? 1 : 0;
+                m3[x * 3] = m;
+                m3[x * 3 + 1] = m;
+                m3[x * 3 + 2] = m;
+            }
+            const int row3 = ow * 3;
+            for (int j = 0; j < row3; ++j) {
+                const uint8_t o = static_cast<uint8_t>(crow[j] & (m3[j] - 1));
+                orow[j] = o;
+                vrow[j] = static_cast<uint8_t>(crow[j] - o);
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -152,3 +152,68 @@ class TestPredictHostKernels:
         np.testing.assert_array_equal(color, cref)
         np.testing.assert_array_equal(overlay, cref * (~ink[..., None]).astype(np.uint8))
         np.testing.assert_array_equal(inverted, cref * ink[..., None].astype(np.uint8))
+
+
+def test_finish_masks_packed_matches_unpacked():
+    """ps_finish_packed (2-bit classes read in-kernel) equals
+    unpack_classes + ps_finish bitwise, including padded packed rows and
+    the out= reuse path."""
+    from page_segmentation_tpu import native
+    from page_segmentation_tpu.inference.output import unpack_classes
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(1)
+    n, oh, ow = 3, 57, 41
+    pw = (ow + 3) // 4 + 2  # packed rows wider than needed (device padding)
+    packed = rng.randint(0, 256, (n, 60, pw), np.uint8)
+    ink = (rng.rand(n, oh, ow) < 0.3).astype(np.uint8)
+    palette = np.asarray([[255, 255, 255], [255, 0, 0], [0, 255, 0]], np.uint8)
+    ref = native.finish_masks(unpack_classes(packed), ink, palette)
+    got = native.finish_masks_packed(packed, ink, palette)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+    bufs = tuple(np.empty((n, oh, ow, 3), np.uint8) for _ in range(3))
+    reused = native.finish_masks_packed(packed, ink, palette, out=bufs)
+    assert reused[0] is bufs[0]
+    for a, b in zip(ref, reused):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="C-contiguous"):
+        native.finish_masks_packed(
+            packed, ink, palette,
+            out=tuple(np.empty((n, oh, ow, 3), np.int32) for _ in range(3)))
+
+
+def test_pipeline_reuse_output_buffers_ring():
+    """reuse_output_buffers hands out a 4-deep ring of identical-shape
+    trios and the contents match the non-reusing pipeline."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    import jax
+
+    module = FCNSkip(n_classes=3, dtype=jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), np.zeros((1, 32, 32, 1), np.float32))["params"]
+    rng = np.random.RandomState(0)
+    pages = rng.randint(0, 256, (4, 352, 256), np.uint8)
+    binaries = np.where(pages >= 128, np.uint8(255), np.uint8(0))
+
+    def run(reuse):
+        p = ThroughputPredictor(
+            module, params, DEFAULT_IMAGE_MAP.palette, (352, 256), 0.15,
+            compute_dtype=jnp.float32, download="packed",
+            reuse_output_buffers=reuse,
+        )
+        return [tuple(np.array(a) for a in trio)
+                for trio in p.run(pages, binaries, batch_size=2)]
+
+    plain = run(False)
+    reused = run(True)
+    assert len(plain) == len(reused)
+    for (c1, o1, i1), (c2, o2, i2) in zip(plain, reused):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(i1, i2)
