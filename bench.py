@@ -154,7 +154,7 @@ def main():
     # reps (starvation phases measured minutes long); many cheap reps over
     # a longer window keep the median robust — the time budget still
     # bounds the loop, and the full rep list ships in the JSON
-    parser.add_argument("--repeats", type=int, default=21)
+    parser.add_argument("--repeats", type=int, default=45)
     parser.add_argument("--skip-train", action="store_true",
                         help="omit the train-step throughput side metric")
     parser.add_argument("--mode", default="predict", choices=["predict", "train"],
@@ -176,8 +176,11 @@ def main():
                              "pages and embed a compact summary in the headline "
                              "JSON (0 = off; --corpus is the full standalone "
                              "mode)")
-    parser.add_argument("--time-budget", type=float, default=240.0,
-                        help="stop repeating once this many measured seconds elapsed")
+    parser.add_argument("--time-budget", type=float, default=360.0,
+                        help="stop repeating once this many measured seconds "
+                             "elapsed (host starvation phases last minutes — "
+                             "a window this long usually samples both sides "
+                             "of a phase boundary)")
     parser.add_argument("--corpus-budget", type=float, default=300.0,
                         help="stop a --corpus/--sustained pass after this many "
                              "seconds (checked between batches); the summary is "
