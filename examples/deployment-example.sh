@@ -60,3 +60,12 @@ from page_segmentation_tpu.inference.aot import AotClassifier
 clf = AotClassifier(sys.argv[1])
 print("AOT artifact loads:", clf.manifest["architecture"], clf.n_classes, "classes")
 EOF
+
+# --- giant pages & overload -------------------------------------------
+# single-chip giant pages, bounded HBM (sequential row bands + halos):
+#   python -m page_segmentation_tpu.cli predict ... --band_rows 4096
+# multi-chip giant pages (row bands across a mesh): --n_devices 4
+# serving backpressure (reject beyond 64 pending with 503 + Retry-After):
+#   python -m page_segmentation_tpu.cli serve ... --max_queue 64
+# prepared-dataset streaming predict (O(batch) host memory):
+#   python -m page_segmentation_tpu.cli predict ... --streaming

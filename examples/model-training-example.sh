@@ -44,3 +44,12 @@ python -m page_segmentation_tpu.cli predict \
 # multi-chip data parallelism: --n_devices 8 --batch_size 8
 # multi-host (DCN):            --distributed  (one process per host, env:
 #                              JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID)
+#
+# corpora that do not fit host RAM: --streaming keeps pixels on disk
+# (shapes peeked from PNG headers; batches load in the prefetch thread)
+#
+# large effective batch at batch-1 HBM: --grad_accum 8
+# divergence guard (skip NaN steps, abort after 5 consecutive):
+#   --skip_nonfinite 5
+# cosine LR schedule with warmup (supersedes the plateau reducer):
+#   --lr_schedule cosine --lr_warmup_steps 200 --lr_min_fraction 0.05
