@@ -156,3 +156,26 @@ def test_streaming_predict_matches_eager(dataset_root):
     for a, b in zip(eager_fast.values(), lazy_fast):
         np.testing.assert_array_equal(a, b)
     assert all(d.image is None for d in lazy.data)
+
+
+def test_streaming_mesh_training(dataset_root, tmp_path):
+    """Streaming composes with data-parallel mesh training: lazy entries
+    load in the prefetch thread, batches shard over the virtual mesh."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    root, cmap = dataset_root
+    loader = DatasetLoader(8, cmap)
+    data = loader.load_data(_entries(root), lazy=True)
+    trainer = Trainer(TrainSettings(
+        n_epoch=2, n_classes=2, l_rate=1e-3, train_data=data,
+        validation_data=None, display=10, threads=1,
+        output_dir=str(tmp_path / "out"),
+        monitor=Monitor.LOSS, early_stopping_max_performance_drops=0,
+        batch_size=2, n_devices=2, seed=0,
+    ))
+    history = trainer.train()
+    assert len(history["loss"]) == 2
+    assert np.isfinite(history["loss"]).all()
+    assert all(d.image is None for d in data.data)
