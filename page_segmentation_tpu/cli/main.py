@@ -840,7 +840,21 @@ def main(argv=None) -> int:
     if argv and argv[0].startswith("-") and argv[0] not in ("-h", "--help"):
         argv = ["predict"] + list(argv)
     args = build_parser().parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except (FileNotFoundError, NotADirectoryError, IsADirectoryError) as exc:
+        # user-input errors: a clean one-line message, not a traceback
+        # (set PS_TPU_TRACEBACK=1 to re-raise for debugging)
+        if os.environ.get("PS_TPU_TRACEBACK"):
+            raise
+        path = getattr(exc, "filename", None) or exc
+        print(f"error: no such file or directory: {path}", file=sys.stderr)
+        return 2
+    except ValueError as exc:
+        if os.environ.get("PS_TPU_TRACEBACK"):
+            raise
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
 
 
 def main_compute_normalizations(argv=None) -> int:

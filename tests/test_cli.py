@@ -275,3 +275,18 @@ def test_bare_invocation_is_predict(dataset_dir, tmp_path):
     ])
     assert rc == 0
     assert (pred_out / "color").is_dir()
+
+
+def test_cli_friendly_errors(capsys):
+    """User-input mistakes exit 2 with a one-line message, not a
+    traceback (PS_TPU_TRACEBACK=1 re-raises for debugging)."""
+    rc = main(["predict", "--load", "/nope/model", "--output", "/tmp/o",
+               "--images", "/nope/imgs"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error: no such file or directory: /nope/imgs" in err
+    assert "Traceback" not in err
+
+    rc = main(["gen-masks", "--input_dir", "/nope", "--output_dir", "/tmp/o2"])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
