@@ -139,10 +139,13 @@ def main():
                              "off by default, matching the reference's default predict "
                              "(no --post_process chain).  Enable to measure the optional "
                              "on-device connected-components config instead")
-    parser.add_argument("--cc-vote-backend", default="xla", choices=["xla", "pallas"],
+    parser.add_argument("--cc-vote-backend", default="xla",
+                        choices=["xla", "pallas", "host"],
                         help="xla (default): pure-XLA segmented-scan labeler, keeps the "
                              "3-stage overlap; pallas: VMEM-resident kernel, downloads "
-                             "serialized (tunnel workaround)")
+                             "serialized (tunnel workaround); host: native C union-find "
+                             "vote inside the overlapped finish stage (frees the device, "
+                             "costs host CPU — the multi-core-host choice)")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--int8", action="store_true",
                         help="run the int8-quantized predict program "

@@ -208,8 +208,12 @@ class ThroughputPredictor:
         in_h, in_w = page_shape
         self.page_shape = page_shape
         self.host_decimate = host_decimate
-        self.download = download
         self.cc_vote = "xla" if cc_vote is True else cc_vote
+        if self.cc_vote == "host" and download == "color":
+            # the host vote rewrites the class map, so the dispatch must
+            # download classes, not rendered colors
+            download = "packed"
+        self.download = download
         self.mesh = mesh
         self.data_axis = data_axis
         self._mesh_size = (
@@ -238,10 +242,15 @@ class ThroughputPredictor:
             self._calibrate_fn = make_fused_calibrate(
                 cal, (out_h, out_w), stride_factor=stride_factor,
             )
+        # "host": the dispatch itself carries no vote — the native C
+        # union-find vote runs per page inside the (thread-overlapped)
+        # finish stage, the reference's own placement (postprocess.py:9-26)
+        device_vote = self.cc_vote if self.cc_vote in ("xla", "pallas") else False
+        self.n_classes = int(getattr(module, "n_classes", len(palette)))
         self.fused = make_fused_predict(
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
-            download=download, cc_vote=cc_vote, mesh=mesh, data_axis=data_axis,
+            download=self.download, cc_vote=device_vote, mesh=mesh, data_axis=data_axis,
         )
         self.palette_np = np.asarray(palette, np.uint8)
         if not isinstance(variables, dict) or "params" not in variables:
@@ -308,6 +317,26 @@ class ThroughputPredictor:
         idx[0] += 1
         return trio
 
+    def _host_vote(self, pred: np.ndarray, ink: np.ndarray) -> np.ndarray:
+        """Per-page cc-majority vote on the host (native C union-find; the
+        reference's placement, postprocess.py:9-26) inside the overlapped
+        finish stage."""
+        from .. import native
+
+        out = np.empty_like(pred)
+        for i in range(pred.shape[0]):
+            voted = native.cc_vote(ink[i], pred[i], self.n_classes)
+            if voted is None:  # no native library: reference-shape fallback
+                from ..data.dataset import SingleData
+                from .postprocess import vote_connected_component_class
+
+                voted = vote_connected_component_class(
+                    pred[i].astype(np.int64),
+                    SingleData(binary=ink[i].astype(np.uint8)),
+                )
+            out[i] = voted.astype(pred.dtype)
+        return out
+
     def _finish(self, downloaded: np.ndarray, ink: np.ndarray):
         downloaded = downloaded[: ink.shape[0]]  # drop mesh-padding pages
         h, w = ink.shape[1:]
@@ -315,6 +344,9 @@ class ThroughputPredictor:
             from .. import native
             from .output import unpack_classes
 
+            if self.cc_vote == "host":
+                pred = unpack_classes(downloaded)[:, :h, :w]
+                return self._finish_pred(self._host_vote(pred, ink), ink)
             fused = native.finish_masks_packed(
                 downloaded, ink, self.palette_np,
                 out=self._out_bufs(ink.shape[0], h, w),
@@ -323,6 +355,9 @@ class ThroughputPredictor:
                 return fused
             return self._finish_pred(unpack_classes(downloaded), ink)
         if self.download == "pred":
+            if self.cc_vote == "host":
+                return self._finish_pred(
+                    self._host_vote(downloaded[:, :h, :w], ink), ink)
             return self._finish_pred(downloaded, ink)
         color = downloaded[:, :h, :w]
         not_ink3 = (~ink[..., None]).astype(np.uint8)
@@ -379,7 +414,7 @@ class ThroughputPredictor:
             )
             self.variables = dict(self.variables, amax=amax)
 
-        vote = self.cc_vote
+        vote = self.cc_vote if self.cc_vote in ("xla", "pallas") else False
 
         def prep(start):
             stop = min(start + batch_size, n)

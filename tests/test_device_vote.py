@@ -193,3 +193,39 @@ def test_throughput_pipeline_device_cc_vote():
     exp_color = palette[np.minimum(got[:, :out_h, :out_w], 2)]
     np.testing.assert_array_equal(trio[0], exp_color)
 
+
+
+def test_throughput_pipeline_host_cc_vote_matches_device():
+    """cc_vote='host' (native C vote inside the overlapped finish stage)
+    yields the identical trio to the device 'xla' vote — same pages, same
+    labels, different placement."""
+    import jax
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    module = FCNSkip(n_classes=3)
+    rng = np.random.RandomState(5)
+    h, w = 400, 296
+    pages = rng.randint(0, 255, (4, h, w)).astype(np.uint8)
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+
+    def trios(cc, download):
+        p = ThroughputPredictor(
+            module, params, DEFAULT_IMAGE_MAP.palette, (h, w), 6 / 50,
+            host_decimate=8, compute_dtype=jnp.float32, download=download,
+            cc_vote=cc,
+        )
+        return [tuple(np.array(a) for a in t)
+                for t in p.run(pages, binaries, batch_size=2)]
+
+    device = trios("xla", "pred")
+    host_packed = trios("host", "packed")
+    host_color = trios("host", "color")  # auto-switches to a class download
+    for a, b, c in zip(device, host_packed, host_color):
+        for x, y, z in zip(a, b, c):
+            np.testing.assert_array_equal(x, y)
+            np.testing.assert_array_equal(x, z)
