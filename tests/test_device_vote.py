@@ -167,7 +167,7 @@ def test_throughput_pipeline_device_cc_vote():
             cc_vote=cc,
         )
 
-    plain, voted = build(False), build(True)
+    plain, voted = build(False), build("xla")  # the fused DEVICE vote
     dec_dev, ink = plain._prep(pages, binaries)
     pad_h, pad_w = plain.fused.padded_shape
     ink_padded = np.zeros((2, pad_h, pad_w), bool)
