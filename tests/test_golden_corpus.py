@@ -163,6 +163,23 @@ def test_step3_full_train_predict_segment_evaluate(workdir, frozen):
         agreement = (slow == fast).all(axis=-1).mean()
         assert agreement >= 0.995, f"fast vs parity path diverged on {name}: {agreement:.4f}"
 
+    # --streaming (lazy pages, loaded per batch) must write byte-identical
+    # outputs to the eager parity path
+    stream_dir = workdir / "pred_stream"
+    rc = cli(["predict", "--load", str(out / "model"),
+              "--output", str(stream_dir), "--streaming",
+              "--images", os.path.join(CORPUS, "images"),
+              "--binary", os.path.join(CORPUS, "binary"),
+              "--norm", str(ds / "normalizations"),
+              "--color_map", str(workdir / "image_map.json"),
+              "--target_line_height", "10"])
+    assert rc == 0
+    for name in color_files:
+        for sub in ("color", "overlay", "inverted"):
+            a = (pred_dir / sub / name).read_bytes()
+            b = (stream_dir / sub / name).read_bytes()
+            assert a == b, f"--streaming diverged on {sub}/{name}"
+
     # both post-processors over the degraded corpus: cc-majority on the
     # parity and fast paths must agree; bbox must run and stay in-palette
     def predict_to(out, extra):
