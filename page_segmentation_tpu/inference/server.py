@@ -256,7 +256,10 @@ def make_handler(service: BatchingService, request_timeout_s: float = 120.0):
                     "n_devices": jax.device_count(),
                 })
             elif path == "/stats":
-                self._json(200, service.stats.snapshot())
+                snapshot = service.stats.snapshot()
+                snapshot["queue_depth"] = service._queue.qsize()
+                snapshot["max_queue"] = service.max_queue
+                self._json(200, snapshot)
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 
