@@ -13,6 +13,7 @@ exactly.  A batched entry point amortizes dispatch for throughput.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional, Tuple
 
@@ -23,6 +24,8 @@ import numpy as np
 from ..data.dataset import SingleData
 from ..models.registry import Architecture
 from ..ops.pad import bucket_shape, crop_to, pad_to
+
+logger = logging.getLogger(__name__)
 
 
 class PixelClassifier:
@@ -98,15 +101,25 @@ class PixelClassifier:
         path = str(path)
         if path.endswith(".h5") and not os.path.exists(path):
             # legacy-model migration hook (reference network.py:60-68 shells
-            # out to a TF1->TF2 migration script when only a .meta exists;
-            # TF1 graphs are out of scope here, so fail with guidance)
+            # out to a TF1->TF2 migration script it does not ship when only
+            # a .meta exists; here the migration is native —
+            # models/tf1_import.py maps the checkpoint's creation-ordered
+            # trainables by order, shape-validated)
             meta_path = path[:-3] + ".meta"
             if os.path.exists(meta_path):
-                raise FileNotFoundError(
-                    f"{path} not found but legacy TF1 checkpoint {meta_path} exists; "
-                    f"migrate it to Keras .h5 with the reference's scripts/migrate_model.py "
-                    f"(TF1 graph import is not supported by this framework)"
-                )
+                try:
+                    from ..models.tf1_import import load_tf1_checkpoint
+                except ImportError:
+                    raise FileNotFoundError(
+                        f"{path} not found but legacy TF1 checkpoint {meta_path} "
+                        f"exists; TF1 migration needs TensorFlow importable "
+                        f"(models/tf1_import.py reads the checkpoint)"
+                    )
+                params = load_tf1_checkpoint(meta_path, self.architecture, self.n_classes)
+                self.variables = {"params": params}
+                logger.info(f"Migrated legacy TF1 checkpoint {meta_path} "
+                            f"({self.architecture.value}, by-order)")
+                return
         if path.endswith(".h5"):
             from ..models.h5_import import load_keras_variables
 

@@ -56,11 +56,16 @@ def test_orbax_manager(tmp_path):
     ckpt.close()
 
 
-def test_legacy_meta_migration_hint(tmp_path):
+def test_legacy_meta_triggers_migration(tmp_path):
+    """The reference's TF1 trigger (a .meta next to the missing .h5,
+    network.py:60-68) now attempts the native migration
+    (models/tf1_import.py) — a corrupt meta graph fails with a clear
+    error, not a protobuf traceback.  Real-checkpoint round-trips live in
+    tests/test_tf1_import.py."""
     from page_segmentation_tpu.inference.classifier import PixelClassifier
 
     (tmp_path / "old.meta").write_bytes(b"tf1")
-    with pytest.raises(FileNotFoundError, match="migrate"):
+    with pytest.raises(ValueError, match="not a valid TF1 meta graph"):
         PixelClassifier(n_classes=2, model_path=str(tmp_path / "old.h5"))
 
 
