@@ -41,6 +41,11 @@ def __getattr__(name):
         "ParallelPredictor": ("page_segmentation_tpu.parallel.executor", "ParallelPredictor"),
         "make_mesh": ("page_segmentation_tpu.parallel.mesh", "make_mesh"),
         "spatial_predict": ("page_segmentation_tpu.parallel.spatial", "spatial_predict"),
+        "banded_forward": ("page_segmentation_tpu.parallel.spatial", "banded_forward"),
+        "BatchingService": ("page_segmentation_tpu.inference.server", "BatchingService"),
+        "PredictionServer": ("page_segmentation_tpu.inference.server", "PredictionServer"),
+        "AotClassifier": ("page_segmentation_tpu.inference.aot", "AotClassifier"),
+        "RawCorpusPredictor": ("page_segmentation_tpu.inference.corpus", "RawCorpusPredictor"),
         "get_text_contours": ("page_segmentation_tpu.segmentation.pc_segmentation", "get_text_contours"),
         "build_pagexml": ("page_segmentation_tpu.pagexml.xml_gen", "build_pagexml"),
         "save_pagexml": ("page_segmentation_tpu.pagexml.xml_gen", "save_pagexml"),
