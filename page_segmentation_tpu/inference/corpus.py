@@ -130,7 +130,9 @@ class RawCorpusPredictor:
     def _load_slice(self, members: List[RawPage], h: int, w: int):
         images = np.empty((len(members), h, w), np.uint8)
         binaries = np.empty((len(members), h, w), np.uint8)
-        for i, page in enumerate(members):
+
+        def load(i_page):
+            i, page = i_page
             img = imread(page.image_path, as_gray=True)
             if img.shape != (h, w):
                 raise ValueError(
@@ -139,6 +141,16 @@ class RawCorpusPredictor:
                 )
             images[i] = img
             binaries[i] = imread_bin(page.binary_path)
+
+        if len(members) == 1:
+            load((0, members[0]))
+        else:
+            # PIL releases the GIL during PNG decode; threads parallelize
+            # the slice load on multi-core hosts (no-op cost on one core)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(members))) as pool:
+                list(pool.map(load, enumerate(members)))
         return images, binaries
 
     def run(self, pages: Sequence[RawPage], output_dir: Optional[str] = None):
