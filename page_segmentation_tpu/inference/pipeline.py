@@ -214,10 +214,16 @@ class ThroughputPredictor:
         # no-vote path best-to-best, vs 0.76x for the device vote) — the
         # device backends remain selectable by name
         self.cc_vote = "host" if cc_vote is True else cc_vote
+        self.n_classes = int(getattr(module, "n_classes", len(palette)))
         if self.cc_vote == "host" and download == "color":
             # the host vote rewrites the class map, so the dispatch must
             # download classes, not rendered colors
-            download = "packed"
+            download = "packed" if self.n_classes <= 4 else "pred"
+        if download == "packed" and self.n_classes > 4:
+            raise ValueError(
+                f"download='packed' carries 2-bit classes (n_classes <= 4); "
+                f"this model has {self.n_classes} — use 'pred' or 'color'"
+            )
         self.download = download
         self.mesh = mesh
         self.data_axis = data_axis
@@ -251,7 +257,6 @@ class ThroughputPredictor:
         # union-find vote runs per page inside the (thread-overlapped)
         # finish stage, the reference's own placement (postprocess.py:9-26)
         device_vote = self.cc_vote if self.cc_vote in ("xla", "pallas") else False
-        self.n_classes = int(getattr(module, "n_classes", len(palette)))
         self.fused = make_fused_predict(
             module, (dec_h, dec_w), (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,

@@ -229,3 +229,26 @@ def test_throughput_pipeline_host_cc_vote_matches_device():
         for x, y, z in zip(a, b, c):
             np.testing.assert_array_equal(x, y)
             np.testing.assert_array_equal(x, z)
+
+
+def test_packed_download_rejects_many_classes():
+    """download='packed' is 2-bit; >4-class models are refused up front
+    (and the host vote's color->packed auto-switch falls back to 'pred')."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.models.fcn import FCNSkip
+
+    module = FCNSkip(n_classes=6)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    palette = np.zeros((6, 3), np.uint8)
+    with pytest.raises(ValueError, match="packed"):
+        ThroughputPredictor(module, params, palette, (400, 296), 6 / 50,
+                            compute_dtype=jnp.float32, download="packed")
+    p = ThroughputPredictor(module, params, palette, (400, 296), 6 / 50,
+                            compute_dtype=jnp.float32, download="color",
+                            cc_vote="host")
+    assert p.download == "pred"
