@@ -250,6 +250,14 @@ def spatial_predict(
     return logits.argmax(-1)
 
 
+@partial(jax.jit, static_argnums=0)
+def _banded_apply(module, variables, window):
+    # module is a static (hashable frozen-dataclass) arg: the trace caches
+    # globally per (module, window shape) — pages after the first reuse
+    # the compiled program instead of retracing per banded_forward call
+    return module.apply(variables, window)
+
+
 def banded_forward(
     module,
     variables,
@@ -280,18 +288,19 @@ def banded_forward(
     if win_h >= padded_h:  # page fits one window: no banding needed
         full = np.zeros((padded_h, padded_w, c), np.float32)
         full[:h, :w] = arr
-        return np.asarray(module.apply(variables, jnp.asarray(full)[None])[0])[:h, :w]
+        return np.asarray(
+            _banded_apply(module, variables, jnp.asarray(full)[None])[0]
+        )[:h, :w]
 
     full = np.zeros((padded_h, padded_w, c), np.float32)
     full[:h, :w] = arr
 
-    forward = jax.jit(lambda v, x: module.apply(v, x))
     out = None
     for start in range(0, padded_h, band_rows):
         rows = min(band_rows, padded_h - start)
         lo = min(max(0, start - margin), padded_h - win_h)
         window = jnp.asarray(full[lo : lo + win_h])[None]
-        logits = np.asarray(forward(variables, window)[0])
+        logits = np.asarray(_banded_apply(module, variables, window)[0])
         if out is None:
             out = np.empty((padded_h, padded_w, logits.shape[-1]), logits.dtype)
         offset = start - lo
