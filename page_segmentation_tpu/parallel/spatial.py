@@ -17,7 +17,7 @@ pooling grids align across the split.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -120,8 +120,20 @@ def spatial_forward(
     if n_dev == 1:
         # no split: the ppermute ring would wrap the band onto itself and
         # corrupt the edge rows
-        logits = module.apply(variables, jnp.asarray(full)[None])[0]
+        logits = _banded_apply(module, variables, jnp.asarray(full)[None])[0]
         return np.asarray(logits)[:h, :w]
+
+    run = _spatial_run(module, mesh, margin, axis)
+    logits = run(variables, jnp.asarray(full))
+    return np.asarray(logits)[:h, :w]
+
+
+@lru_cache(maxsize=64)
+def _spatial_run(module, mesh: Mesh, margin: int, axis: str):
+    """Build (and cache) the jitted shard_map band program for one
+    (module, mesh, margin) combination — consecutive oversized pages of
+    the same shape reuse the compiled program instead of retracing."""
+    n_dev = mesh.devices.size
 
     @partial(
         shard_map,
@@ -147,8 +159,7 @@ def spatial_forward(
         offset = jnp.where(index == 0, 0, jnp.where(index == n_dev - 1, 2 * margin, margin))
         return lax.dynamic_slice_in_dim(logits, offset, band.shape[0], axis=0)
 
-    logits = run(variables, jnp.asarray(full))
-    return np.asarray(logits)[:h, :w]
+    return jax.jit(run)
 
 
 def spatial_forward_batch(
