@@ -87,8 +87,20 @@ def cmd_predict(args) -> int:
             if os.path.exists(norm_file):
                 with open(norm_file) as f:
                     line_height = json.load(f)["char_height"]
+        if line_height is None and getattr(args, "auto_norm", False):
+            # derive the normalization on the fly, the backend of
+            # compute-image-normalizations (reference image_ops.py:58-82):
+            # Otsu binarize -> letter-shaped CCs -> median height
+            from ..evaluation.image_ops import compute_char_height
+
+            src = binary_path or os.path.join(args.images, name)
+            line_height = compute_char_height(src, False)
+            if line_height:
+                logger.info(f"{name}: auto char_height {line_height}")
         if line_height is None:
-            raise SystemExit(f"No line height for {name}: pass --char_height or --norm")
+            raise SystemExit(
+                f"No line height for {name}: pass --char_height or --norm "
+                f"(or --auto_norm to estimate it per page)")
         entries.append(
             SingleData(
                 image_path=os.path.join(args.images, name),
@@ -566,6 +578,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--images", required=True)
     p.add_argument("--binary", default=None)
     p.add_argument("--norm", default=None, help="directory of char_height JSON files")
+    p.add_argument("--auto_norm", action="store_true",
+                   help="estimate char_height per page (Otsu + letter-CC "
+                        "median, the compute-image-normalizations backend) "
+                        "when neither --norm nor --char_height provides it")
     p.add_argument("--char_height", type=int, default=None)
     p.add_argument("--target_line_height", type=int, default=6)
     p.add_argument("--max_width", type=int, default=None)

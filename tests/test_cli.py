@@ -290,3 +290,27 @@ def test_cli_friendly_errors(capsys):
     rc = main(["gen-masks", "--input_dir", "/nope", "--output_dir", "/tmp/o2"])
     assert rc == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_predict_auto_norm(dataset_dir, tmp_path):
+    """predict --auto_norm estimates char_height per page (the
+    compute-image-normalizations backend) when no --norm/--char_height is
+    given; without it the same invocation errors with guidance."""
+    dataset_json = tmp_path / "dataset.json"
+    main(["create-dataset-file", "--dataset_path", str(dataset_dir),
+          "--output_file", str(dataset_json),
+          "--n_train", "4", "--n_test", "0", "--n_eval", "0"])
+    model_dir = tmp_path / "model_out"
+    rc = main(["train", "--train", str(dataset_json), "--output", str(model_dir),
+               "--n_iter", "4", "--color_map", str(dataset_dir / "image_map.json")])
+    assert rc == 0
+
+    base = ["predict", "--load", str(model_dir / "model"),
+            "--images", str(dataset_dir / "images"),
+            "--binary", str(dataset_dir / "binary_images"),
+            "--color_map", str(dataset_dir / "image_map.json")]
+    with pytest.raises(SystemExit, match="auto_norm"):
+        main(base + ["--output", str(tmp_path / "out_err")])
+    rc = main(base + ["--output", str(tmp_path / "out_auto"), "--auto_norm"])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "out_auto" / "color")) == 4
