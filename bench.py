@@ -135,10 +135,11 @@ def main():
     parser.add_argument("--host-decimate", type=int, default=8)
     parser.add_argument("--download", default="packed", choices=["color", "pred", "packed"])
     parser.add_argument("--cc-vote", action="store_true",
-                        help="ALSO fuse the on-device cc-majority vote into the dispatch; "
-                             "off by default, matching the reference's default predict "
-                             "(no --post_process chain).  Enable to measure the optional "
-                             "on-device connected-components config instead")
+                        help="ALSO run the cc-majority vote (BASELINE's optional "
+                             "connected-components config; placement chosen by "
+                             "--cc-vote-backend, default host).  Off by default, "
+                             "matching the reference's default predict (no "
+                             "--post_process chain)")
     parser.add_argument("--cc-vote-backend", default="host",
                         choices=["xla", "pallas", "host"],
                         help="host (default): native C union-find vote inside the "
