@@ -264,15 +264,17 @@ def main():
     # unique content per rep: the tunneled chip content-addresses whole
     # transfers and replays identical inputs from a cache — repeated
     # content times dishonestly and can replay Pallas-bearing programs as
-    # empty buffers.  One mutated corner pixel per page changes every
-    # page's (and its decimated upload's) content hash at the cost of 96
-    # byte-writes; the np.roll/np.take variants this replaces moved
-    # ~1.7 GB per rep outside the timer, which the 1-core host's
-    # starvation phases stretched to minutes, expiring the time budget
-    # after 1-2 reps
+    # empty buffers.  Only the DECIMATED array is uploaded, and the box
+    # mean absorbs single-pixel changes, so the whole top-left decimation
+    # block of every page is set to a rep-distinct value: the uploaded
+    # content provably differs every rep, at ~64 byte-writes/page.  (The
+    # np.roll/np.take variants this replaces moved ~1.7 GB per rep
+    # outside the timer, which the 1-core host's starvation phases
+    # stretched to minutes, expiring the time budget after 1-2 reps.)
+    d = args.host_decimate
     measure_start = time.perf_counter()
     for rep in range(args.repeats):
-        pages[:, 0, 0] = (rep + 1) % 256
+        pages[:, :d, :d] = (rep + 1) % 256
         pages_rep, binaries_rep = pages, binaries
         start = time.perf_counter()
         total = 0

@@ -869,7 +869,8 @@ def main(argv=None) -> int:
     except ValueError as exc:
         if os.environ.get("PS_TPU_TRACEBACK"):
             raise
-        print(f"error: {exc}", file=sys.stderr)
+        print(f"error: {exc}\n(set PS_TPU_TRACEBACK=1 for the full traceback)",
+              file=sys.stderr)
         return 2
 
 

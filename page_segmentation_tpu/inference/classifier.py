@@ -107,15 +107,19 @@ class PixelClassifier:
             # trainables by order, shape-validated)
             meta_path = path[:-3] + ".meta"
             if os.path.exists(meta_path):
+                from ..models.tf1_import import load_tf1_checkpoint
+
                 try:
-                    from ..models.tf1_import import load_tf1_checkpoint
-                except ImportError:
+                    params = load_tf1_checkpoint(meta_path, self.architecture, self.n_classes)
+                except ImportError as exc:
+                    # load_tf1_checkpoint imports TensorFlow lazily (only
+                    # to read the checkpoint); without it, fail the way
+                    # every other missing-model path does
                     raise FileNotFoundError(
                         f"{path} not found but legacy TF1 checkpoint {meta_path} "
                         f"exists; TF1 migration needs TensorFlow importable "
-                        f"(models/tf1_import.py reads the checkpoint)"
-                    )
-                params = load_tf1_checkpoint(meta_path, self.architecture, self.n_classes)
+                        f"({exc})"
+                    ) from exc
                 self.variables = {"params": params}
                 logger.info(f"Migrated legacy TF1 checkpoint {meta_path} "
                             f"({self.architecture.value}, by-order)")

@@ -79,6 +79,10 @@ class RawCorpusPredictor:
         self.target_line_height = target_line_height
         self.batch_size = batch_size
         self.window = window or 4 * batch_size
+        if download == "packed" and getattr(classifier, "n_classes", 0) > 4:
+            # the 2-bit packed download holds <= 4 classes; fall back to
+            # the raw class map so wide-class models stream too
+            download = "pred"
         self.download = download
         self.cc_vote = cc_vote
         self.int8 = int8

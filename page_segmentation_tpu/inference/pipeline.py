@@ -352,18 +352,21 @@ class ThroughputPredictor:
         h, w = ink.shape[1:]
         if self.download == "packed":
             from .. import native
-            from .output import unpack_classes
+            from .output import finish_mask_trio, unpack_classes
 
             if self.cc_vote == "host":
                 pred = unpack_classes(downloaded)[:, :h, :w]
                 return self._finish_pred(self._host_vote(pred, ink), ink)
-            fused = native.finish_masks_packed(
-                downloaded, ink, self.palette_np,
-                out=self._out_bufs(ink.shape[0], h, w),
-            )
+            # ONE ring slot per batch: the same out buffers serve the
+            # packed kernel and, when it is absent (stale .so / no
+            # toolchain), the unpack fallback — a second _out_bufs call
+            # here would advance the ring twice and halve the window a
+            # yielded trio stays valid for
+            out = self._out_bufs(ink.shape[0], h, w)
+            fused = native.finish_masks_packed(downloaded, ink, self.palette_np, out=out)
             if fused is not None:
                 return fused
-            return self._finish_pred(unpack_classes(downloaded), ink)
+            return finish_mask_trio(unpack_classes(downloaded), ink, self.palette_np, out=out)
         if self.download == "pred":
             if self.cc_vote == "host":
                 return self._finish_pred(

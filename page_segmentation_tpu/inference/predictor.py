@@ -97,6 +97,17 @@ class Predictor:
         for data in dataset.data:
             yield self.predict_single(data)
 
+    def _preprocessed_hwc(self, data: SingleData) -> np.ndarray:
+        """The network's preprocessed (H, W, C) array for one page —
+        shared by the banded and spatial forward paths."""
+        net = self.network
+        arr = np.asarray(net.preprocess(np.asarray(data.image, np.float32)))
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        elif arr.ndim == 3 and arr.shape[-1] == 1 and net.rgb:
+            arr = np.repeat(arr, 3, axis=-1)
+        return arr
+
     def _spatial_single_data(self, data: SingleData):
         """predict_single_data via row-band spatial partitioning
         (parallel/spatial.py): exact for the finite-RF conv families."""
@@ -105,11 +116,7 @@ class Predictor:
         from ..parallel.spatial import DEFAULT_MARGINS, spatial_forward
 
         net = self.network
-        arr = np.asarray(net.preprocess(np.asarray(data.image, np.float32)))
-        if arr.ndim == 2:
-            arr = arr[..., None]
-        elif arr.ndim == 3 and arr.shape[-1] == 1 and net.rgb:
-            arr = np.repeat(arr, 3, axis=-1)
+        arr = self._preprocessed_hwc(data)
         logit = spatial_forward(
             net.module,
             net.variables,
@@ -141,11 +148,7 @@ class Predictor:
         from ..parallel.spatial import DEFAULT_MARGINS, banded_forward
 
         net = self.network
-        arr = np.asarray(net.preprocess(np.asarray(data.image, np.float32)))
-        if arr.ndim == 2:
-            arr = arr[..., None]
-        elif arr.ndim == 3 and arr.shape[-1] == 1 and net.rgb:
-            arr = np.repeat(arr, 3, axis=-1)
+        arr = self._preprocessed_hwc(data)
         logit = banded_forward(
             net.module,
             net.variables,

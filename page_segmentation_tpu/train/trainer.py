@@ -194,8 +194,14 @@ class Trainer:
         elif s.lr_schedule == "cosine":
             import math
 
-            total = s.lr_decay_steps or (
+            # the schedule advances once per APPLIED update: with
+            # grad_accum, k micro-steps produce one update, so the default
+            # horizon converts micro-steps to updates (an explicit
+            # lr_decay_steps is already in applied-update units)
+            total = s.lr_decay_steps or max(
+                1,
                 math.ceil(len(s.train_data) / max(1, s.batch_size)) * s.n_epoch
+                // max(1, s.grad_accum),
             )
             # a schedule passed to inject_hyperparams evaluates per applied
             # update (its count lives in the optimizer state, so exact
@@ -386,13 +392,15 @@ class Trainer:
         s = self.settings
 
         if any(d.mask is None and d.loader is not None for d in s.train_data.data):
-            # streaming data: one pass, each page loaded into a transient copy
+            # streaming data: one pass in threaded chunks of transient
+            # copies (O(chunk) memory; parallel decode on multi-core hosts)
             counts = np.zeros(s.n_classes, np.int64)
             total = 0
-            for d in s.train_data.data:
-                mask = d.mask if d.mask is not None else d.loader.load_lazy(d).mask
-                counts += np.bincount(mask.ravel(), minlength=s.n_classes)[: s.n_classes]
-                total += mask.size
+            entries = s.train_data.data
+            for start in range(0, len(entries), 16):
+                for d in _materialize(entries[start : start + 16]):
+                    counts += np.bincount(d.mask.ravel(), minlength=s.n_classes)[: s.n_classes]
+                    total += d.mask.size
             percentages = list(counts / max(total, 1))
             logging.info(f"Label percentage: {list(zip(range(s.n_classes), percentages))}")
             logging.info(f"Baseline: {max(percentages)}")
