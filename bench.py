@@ -275,6 +275,12 @@ def main():
     measure_start = time.perf_counter()
     for rep in range(args.repeats):
         pages[:, :d, :d] = (rep + 1) % 256
+        # the vote configs ALSO upload a 1-bit ink mask sampled on the
+        # normalized grid: encode the rep number into eight d-wide blocks
+        # of the top rows so at least one sampled ink bit per block flips
+        # and the packed-ink upload is novel per rep too
+        for b in range(8):
+            binaries[:, :d, b * d : (b + 1) * d] = 255 * (((rep + 1) >> b) & 1)
         pages_rep, binaries_rep = pages, binaries
         start = time.perf_counter()
         total = 0
@@ -432,6 +438,7 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
                 begun, done = pending.popleft()
                 int(done)  # 8-byte download; blocks
                 times.append(time.perf_counter() - begun)
+                _partial["corpus_pages_done"] = len(times) * args.batch
             if (i + 1) % 5 == 0 and times:
                 print(f"  batch {i + 1}/{n_batches}: {times[-1] * 1e3:.0f} ms "
                       f"(3 in flight)", file=sys.stderr)
@@ -524,6 +531,7 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
                             (t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4, t6 - t5)):
             stages[name].append(dt)
         done += m
+        _partial["corpus_pages_done"] = done  # live: the watchdog reports it
         if (i + 1) % 3 == 0:
             batch_ms = (t6 - t1) * 1e3  # gen excluded: corpus-IO simulation
             print(

@@ -869,7 +869,17 @@ def main(argv=None) -> int:
     except ValueError as exc:
         if os.environ.get("PS_TPU_TRACEBACK"):
             raise
-        print(f"error: {exc}\n(set PS_TPU_TRACEBACK=1 for the full traceback)",
+        # one-line UX for user-input mistakes, but keep bugs diagnosable:
+        # name the raise site so a report pinpoints internal errors too
+        tb = exc.__traceback__
+        while tb is not None and tb.tb_next is not None:
+            tb = tb.tb_next
+        origin = (
+            f" [{os.path.basename(tb.tb_frame.f_code.co_filename)}:{tb.tb_lineno}]"
+            if tb is not None else ""
+        )
+        print(f"error: {exc}{origin}\n"
+              f"(set PS_TPU_TRACEBACK=1 for the full traceback)",
               file=sys.stderr)
         return 2
 

@@ -63,6 +63,21 @@ def entry_shape(d: SingleData) -> Tuple[int, int]:
     raise ValueError("dataset entry has neither pixels nor a prepared_shape")
 
 
+_io_pool = None
+
+
+def io_pool():
+    """Shared thread pool for page decode/IO fan-out (PIL releases the
+    GIL): one pool for the whole process instead of a spawn/teardown per
+    batch on the streaming hot path."""
+    global _io_pool
+    if _io_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _io_pool = ThreadPoolExecutor(max_workers=8, thread_name_prefix="ps-io")
+    return _io_pool
+
+
 def materialize(samples: List[SingleData]) -> List[SingleData]:
     """Load any lazy (streaming) entries into shallow copies — the copies
     (and their pixels) drop after use, the sources stay path-only, so
@@ -75,10 +90,7 @@ def materialize(samples: List[SingleData]) -> List[SingleData]:
 
     if len(samples) == 1:
         return [load(samples[0])]
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(8, len(samples))) as pool:
-        return list(pool.map(load, samples))
+    return list(io_pool().map(load, samples))
 
 
 def _stem(path: str) -> str:

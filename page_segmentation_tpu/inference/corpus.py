@@ -149,12 +149,11 @@ class RawCorpusPredictor:
         if len(members) == 1:
             load((0, members[0]))
         else:
-            # PIL releases the GIL during PNG decode; threads parallelize
-            # the slice load on multi-core hosts (no-op cost on one core)
-            from concurrent.futures import ThreadPoolExecutor
+            # PIL releases the GIL during PNG decode; the shared pool
+            # parallelizes the slice load on multi-core hosts
+            from ..data.dataset import io_pool
 
-            with ThreadPoolExecutor(max_workers=min(8, len(members))) as pool:
-                list(pool.map(load, enumerate(members)))
+            list(io_pool().map(load, enumerate(members)))
         return images, binaries
 
     def run(self, pages: Sequence[RawPage], output_dir: Optional[str] = None):

@@ -157,13 +157,15 @@ def finish_mask_trio(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray, out
         return fused
     h, w = ink.shape[1:]
     clipped = np.minimum(pred[:, :h, :w], len(palette) - 1)
-    color = palette[clipped]
     ink3 = ink_u8[..., None]
-    overlay = color * (1 - ink3)
-    inverted = color * ink3
     if out is not None:
-        out[0][...] = color
-        out[1][...] = overlay
-        out[2][...] = inverted
+        # honor the reuse contract on the fallback too: gather and the
+        # overlay/inverted products write straight into the caller's
+        # buffers (no fresh 54 MB/batch temporaries)
+        color, overlay, inverted = out
+        np.take(palette, clipped, axis=0, out=color)
+        np.multiply(color, 1 - ink3, out=overlay, casting="unsafe")
+        np.multiply(color, ink3, out=inverted, casting="unsafe")
         return out
-    return color, overlay, inverted
+    color = palette[clipped]
+    return color, color * (1 - ink3), color * ink3

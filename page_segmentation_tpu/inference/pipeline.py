@@ -242,6 +242,7 @@ class ThroughputPredictor:
         # keeps independent arrays
         self.reuse_output_buffers = bool(reuse_output_buffers)
         self._trio_bufs = None
+        self._ring_len = 4  # grown by run() for deeper in-flight windows
         self._calibrate_fn = None
         if int8:
             # int8 serving (models/quant.py): the predict program runs the
@@ -311,19 +312,26 @@ class ThroughputPredictor:
         return self._put(dec), ink
 
     def _out_bufs(self, n: int, h: int, w: int):
-        """4-deep ring of trio buffers: a yielded batch stays valid while
-        up to 3 further batches finish (covers the in-flight window)."""
+        """Ring of trio buffers sized to the in-flight window (depth + the
+        consumer's held batch + one being finished): a yielded batch stays
+        valid until that many further batches finish.  run() grows the
+        ring before a deeper run."""
         if not self.reuse_output_buffers:
             return None
         shape = (n, h, w, 3)
-        if self._trio_bufs is None or self._trio_bufs[0][0][0].shape != shape:
+        size = self._ring_len
+        if (
+            self._trio_bufs is None
+            or self._trio_bufs[0][0][0].shape != shape
+            or len(self._trio_bufs[0]) < size
+        ):
             ring = []
-            for _ in range(4):
+            for _ in range(size):
                 color = np.empty(shape, np.uint8)
                 ring.append((color, np.empty_like(color), np.empty_like(color)))
             self._trio_bufs = (ring, [0])
         ring, idx = self._trio_bufs
-        trio = ring[idx[0] % 4]
+        trio = ring[idx[0] % len(ring)]
         idx[0] += 1
         return trio
 
@@ -411,6 +419,9 @@ class ThroughputPredictor:
         batch i-1 (forced download + host trio).  ``depth`` bounds the
         in-flight device batches awaiting download (2 absorbs the tunneled
         link's phase swings without stacking host memory)."""
+        # with reused trio buffers the ring must cover depth in-flight
+        # finishes + the consumer's held batch + the one being written
+        self._ring_len = max(4, max(depth, 1) + 2)
         n = pages.shape[0]
         starts = list(range(0, n, batch_size))
 

@@ -272,6 +272,57 @@ int ps_contours(const uint8_t* img, int h, int w, int32_t* out_points,
 // the numpy palette/overlay products — the 1-core host work that bounds
 // predict throughput (ROADMAP: ~7 ms/page).  All run GIL-free via ctypes.
 
+// Shared core of ps_finish / ps_finish_packed: ClsAt fetches the class of
+// pixel x from a class-map row (raw byte vs 2-bit packed) and inlines
+// through the template.  Pass 1 (scalar): palette gather into color +
+// mask expansion.  Pass 2 over the contiguous 3*ow row is pure byte
+// arithmetic the compiler vectorizes: overlay = color & (is_ink - 1)
+// (is_ink 1 -> mask 0x00, 0 -> 0xFF), and since overlay/inverted
+// partition color, inverted = color - overlay.  (The branchy fused loop
+// this replaced ran at ~330 MB/s of output on the 1-core host; the split
+// form is memory-bound instead.)
+template <typename ClsAt>
+static void finish_pages(ClsAt cls_at, const uint8_t* cls_rows,
+                         const uint8_t* ink, const uint8_t* palette,
+                         int n_colors, int n, int cls_h, int cls_w,
+                         int oh, int ow,
+                         uint8_t* color, uint8_t* overlay, uint8_t* inverted) {
+    std::vector<uint8_t> m3(static_cast<size_t>(ow) * 3);
+    for (int page = 0; page < n; ++page) {
+        const uint8_t* pp = cls_rows + static_cast<size_t>(page) * cls_h * cls_w;
+        const uint8_t* ip = ink + static_cast<size_t>(page) * oh * ow;
+        const size_t base = static_cast<size_t>(page) * oh * ow * 3;
+        uint8_t* cp = color + base;
+        uint8_t* op = overlay + base;
+        uint8_t* vp = inverted + base;
+        for (int y = 0; y < oh; ++y) {
+            const uint8_t* prow = pp + static_cast<size_t>(y) * cls_w;
+            const uint8_t* irow = ip + static_cast<size_t>(y) * ow;
+            uint8_t* crow = cp + static_cast<size_t>(y) * ow * 3;
+            uint8_t* orow = op + static_cast<size_t>(y) * ow * 3;
+            uint8_t* vrow = vp + static_cast<size_t>(y) * ow * 3;
+            for (int x = 0; x < ow; ++x) {
+                int cls = cls_at(prow, x);
+                if (cls >= n_colors) cls = n_colors - 1;
+                const uint8_t* rgb = palette + cls * 3;
+                crow[x * 3] = rgb[0];
+                crow[x * 3 + 1] = rgb[1];
+                crow[x * 3 + 2] = rgb[2];
+                const uint8_t m = irow[x] != 0 ? 1 : 0;
+                m3[x * 3] = m;
+                m3[x * 3 + 1] = m;
+                m3[x * 3 + 2] = m;
+            }
+            const int row3 = ow * 3;
+            for (int j = 0; j < row3; ++j) {
+                const uint8_t o = static_cast<uint8_t>(crow[j] & (m3[j] - 1));
+                orow[j] = o;
+                vrow[j] = static_cast<uint8_t>(crow[j] - o);
+            }
+        }
+    }
+}
+
 extern "C" {
 
 // Box-mean decimation of a batch of uint8 pages by an integer factor
@@ -330,47 +381,10 @@ void ps_gather_ink(const uint8_t* binary, int n, int h, int w,
 void ps_finish(const uint8_t* pred, const uint8_t* ink, const uint8_t* palette,
                int n_colors, int n, int pred_h, int pred_w, int oh, int ow,
                uint8_t* color, uint8_t* overlay, uint8_t* inverted) {
-    for (int page = 0; page < n; ++page) {
-        const uint8_t* pp = pred + static_cast<size_t>(page) * pred_h * pred_w;
-        const uint8_t* ip = ink + static_cast<size_t>(page) * oh * ow;
-        const size_t base = static_cast<size_t>(page) * oh * ow * 3;
-        uint8_t* cp = color + base;
-        uint8_t* op = overlay + base;
-        uint8_t* vp = inverted + base;
-        // Pass 1 (scalar): palette gather into color.  Pass 2+3 run over
-        // the contiguous 3*ow row as pure byte arithmetic so the compiler
-        // vectorizes them: overlay = color & (is_ink - 1)  (is_ink 1 ->
-        // mask 0x00, 0 -> 0xFF), and since overlay/inverted partition
-        // color, inverted = color - overlay.  The branchy fused loop this
-        // replaces ran at ~330 MB/s of output on the 1-core host; the
-        // split form is memory-bound instead.
-        std::vector<uint8_t> m3(static_cast<size_t>(ow) * 3);
-        for (int y = 0; y < oh; ++y) {
-            const uint8_t* prow = pp + static_cast<size_t>(y) * pred_w;
-            const uint8_t* irow = ip + static_cast<size_t>(y) * ow;
-            uint8_t* crow = cp + static_cast<size_t>(y) * ow * 3;
-            uint8_t* orow = op + static_cast<size_t>(y) * ow * 3;
-            uint8_t* vrow = vp + static_cast<size_t>(y) * ow * 3;
-            for (int x = 0; x < ow; ++x) {
-                int cls = prow[x];
-                if (cls >= n_colors) cls = n_colors - 1;
-                const uint8_t* rgb = palette + cls * 3;
-                crow[x * 3] = rgb[0];
-                crow[x * 3 + 1] = rgb[1];
-                crow[x * 3 + 2] = rgb[2];
-                const uint8_t m = irow[x] != 0 ? 1 : 0;
-                m3[x * 3] = m;
-                m3[x * 3 + 1] = m;
-                m3[x * 3 + 2] = m;
-            }
-            const int row3 = ow * 3;
-            for (int j = 0; j < row3; ++j) {
-                const uint8_t o = static_cast<uint8_t>(crow[j] & (m3[j] - 1));
-                orow[j] = o;
-                vrow[j] = static_cast<uint8_t>(crow[j] - o);
-            }
-        }
-    }
+    finish_pages(
+        [](const uint8_t* row, int x) { return static_cast<int>(row[x]); },
+        pred, ink, palette, n_colors, n, pred_h, pred_w, oh, ow,
+        color, overlay, inverted);
 }
 
 // ps_finish for the 2-bit packed class-map download (output.py
@@ -382,40 +396,12 @@ void ps_finish_packed(const uint8_t* packed, const uint8_t* ink,
                       const uint8_t* palette, int n_colors, int n,
                       int pred_h, int packed_w, int oh, int ow,
                       uint8_t* color, uint8_t* overlay, uint8_t* inverted) {
-    std::vector<uint8_t> m3(static_cast<size_t>(ow) * 3);
-    for (int page = 0; page < n; ++page) {
-        const uint8_t* pp = packed + static_cast<size_t>(page) * pred_h * packed_w;
-        const uint8_t* ip = ink + static_cast<size_t>(page) * oh * ow;
-        const size_t base = static_cast<size_t>(page) * oh * ow * 3;
-        uint8_t* cp = color + base;
-        uint8_t* op = overlay + base;
-        uint8_t* vp = inverted + base;
-        for (int y = 0; y < oh; ++y) {
-            const uint8_t* prow = pp + static_cast<size_t>(y) * packed_w;
-            const uint8_t* irow = ip + static_cast<size_t>(y) * ow;
-            uint8_t* crow = cp + static_cast<size_t>(y) * ow * 3;
-            uint8_t* orow = op + static_cast<size_t>(y) * ow * 3;
-            uint8_t* vrow = vp + static_cast<size_t>(y) * ow * 3;
-            for (int x = 0; x < ow; ++x) {
-                int cls = (prow[x >> 2] >> ((x & 3) * 2)) & 3;
-                if (cls >= n_colors) cls = n_colors - 1;
-                const uint8_t* rgb = palette + cls * 3;
-                crow[x * 3] = rgb[0];
-                crow[x * 3 + 1] = rgb[1];
-                crow[x * 3 + 2] = rgb[2];
-                const uint8_t m = irow[x] != 0 ? 1 : 0;
-                m3[x * 3] = m;
-                m3[x * 3 + 1] = m;
-                m3[x * 3 + 2] = m;
-            }
-            const int row3 = ow * 3;
-            for (int j = 0; j < row3; ++j) {
-                const uint8_t o = static_cast<uint8_t>(crow[j] & (m3[j] - 1));
-                orow[j] = o;
-                vrow[j] = static_cast<uint8_t>(crow[j] - o);
-            }
-        }
-    }
+    finish_pages(
+        [](const uint8_t* row, int x) {
+            return static_cast<int>((row[x >> 2] >> ((x & 3) * 2)) & 3);
+        },
+        packed, ink, palette, n_colors, n, pred_h, packed_w, oh, ow,
+        color, overlay, inverted);
 }
 
 }  // extern "C"

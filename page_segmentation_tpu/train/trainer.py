@@ -620,9 +620,10 @@ class Trainer:
                     self.params, self.model_state, self.opt_state, step_metrics = self._train_step(
                         self.params, self.model_state, self.opt_state, batch, step_key
                     )
-                    epoch_metrics.append((len(batches[index]), step_metrics))
+                    skipped_step = False
                     if s.skip_nonfinite:
                         if float(step_metrics["nonfinite"]) > 0:
+                            skipped_step = True
                             nonfinite_streak += 1
                             logger.warning(
                                 f"step {global_step}: non-finite loss/grads — update "
@@ -636,7 +637,12 @@ class Trainer:
                                 )
                         else:
                             nonfinite_streak = 0
-                    if callback:
+                    if not skipped_step:
+                        # a skipped step's metrics are NaN — averaging them
+                        # in would poison the epoch means, the monitor, and
+                        # the history JSON
+                        epoch_metrics.append((len(batches[index]), step_metrics))
+                    if callback and not skipped_step:
                         callback.update_loss(
                             global_step,
                             float(step_metrics["loss"]),
@@ -647,6 +653,11 @@ class Trainer:
             # page-count-weighted epoch means: batches differ in size
             # (ragged bucket tails), so an equal-weight mean over batches
             # would over-weight small ones
+            if not epoch_metrics:
+                raise RuntimeError(
+                    "training diverged: every step this epoch was non-finite "
+                    "(updates skipped; lower l_rate or enable clipping)"
+                )
             train_avg = _weighted_means(epoch_metrics)
             if s.lr_schedule != "constant":
                 lr = self._current_lr()  # the schedule's value after this epoch

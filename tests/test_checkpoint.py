@@ -62,6 +62,7 @@ def test_legacy_meta_triggers_migration(tmp_path):
     (models/tf1_import.py) — a corrupt meta graph fails with a clear
     error, not a protobuf traceback.  Real-checkpoint round-trips live in
     tests/test_tf1_import.py."""
+    pytest.importorskip("tensorflow")  # the migration reads via TF
     from page_segmentation_tpu.inference.classifier import PixelClassifier
 
     (tmp_path / "old.meta").write_bytes(b"tf1")

@@ -217,3 +217,24 @@ def test_pipeline_reuse_output_buffers_ring():
         np.testing.assert_array_equal(c1, c2)
         np.testing.assert_array_equal(o1, o2)
         np.testing.assert_array_equal(i1, i2)
+
+
+def test_finish_mask_trio_fallback_honors_out(monkeypatch):
+    """Without the native lib, finish_mask_trio writes straight into the
+    caller's reuse buffers and matches the native result."""
+    from page_segmentation_tpu import native
+    from page_segmentation_tpu.inference.output import finish_mask_trio
+
+    rng = np.random.RandomState(2)
+    n, oh, ow = 2, 33, 41
+    pred = rng.randint(0, 3, (n, 40, 48), np.uint8)
+    ink = (rng.rand(n, oh, ow) < 0.3).astype(np.uint8)
+    palette = np.asarray([[255, 255, 255], [255, 0, 0], [0, 255, 0]], np.uint8)
+    ref = finish_mask_trio(pred, ink, palette)
+
+    monkeypatch.setattr(native, "finish_masks", lambda *a, **k: None)
+    bufs = tuple(np.empty((n, oh, ow, 3), np.uint8) for _ in range(3))
+    got = finish_mask_trio(pred, ink, palette, out=bufs)
+    assert got[0] is bufs[0]
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
