@@ -130,10 +130,14 @@ def cmd_predict(args) -> int:
         if args.high_res_output:
             raise SystemExit("--pipeline outputs at the normalized scale; "
                              "drop --pipeline for --high_res_output")
+        if args.max_width:
+            raise SystemExit("--pipeline sizes pages by line height alone; "
+                             "drop --pipeline for --max_width")
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         classifier = PixelClassifier(
             n_classes=args.n_classes or color_map.n_classes,
             model_path=os.path.abspath(args.load),
-            compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+            compute_dtype=dtype,
             s2d_stem=args.s2d_stem,
         )
         runner = RawCorpusPredictor(
@@ -143,6 +147,7 @@ def cmd_predict(args) -> int:
             batch_size=args.batch_size,
             cc_vote=bool(post_keys),
             int8=getattr(args, "int8", False),
+            compute_dtype=dtype,
         )
         raw_pages = [
             RawPage(e.image_path, e.binary_path, e.line_height_px)

@@ -3,8 +3,10 @@
 Capability parity with reference image_ops.py: ``fgpa`` (:8-19),
 ``fgoverlap_per_class`` (:22-55), ``compute_char_height`` (:58-82 — Otsu
 binarize, 4-connected components, letter-shaped box filter
-(0.5 < w/h < 2, 10 < h < 60, 5 < w < 50), median height) over the
-re-owned threshold/cc ops.  A batched on-device fgpa lives in
+(0.5 < w/h < 2, 10 < h < 60, 5 < w < 50), upper-median height — the
+reference's ``sorted[len//2]``, which for even counts picks the upper
+middle rather than the interpolated median; replicated, not "fixed")
+over the re-owned threshold/cc ops.  A batched on-device fgpa lives in
 train/metrics.py for in-loop use.
 """
 from __future__ import annotations
@@ -50,7 +52,9 @@ def fgpa(pred: np.ndarray, mask: np.ndarray, bin: np.ndarray) -> float:
     """
     fg = bin != 0
     correct = np.count_nonzero(fg & (pred == mask))
-    return correct / np.count_nonzero(fg)
+    # a page without foreground (blank binary) scores 0, not a crash —
+    # matching the in-graph twin's guard (train/metrics.py)
+    return correct / max(np.count_nonzero(fg), 1)
 
 
 def fgoverlap_per_class(

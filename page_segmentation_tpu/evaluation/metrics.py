@@ -129,7 +129,7 @@ class ConnectedComponentEval:
             yield self.mask[window][inside], self.pred[window][inside]
 
     def _keep(self, mask_px: np.ndarray, pred_px: np.ndarray) -> bool:
-        if not self.filtered_label:
+        if self.filtered_label is None:  # falsy check would disable label 0
             return True
         return (
             _coverage(mask_px, self.filtered_label) >= self.threshold

@@ -60,8 +60,21 @@ def output_data(output_dir, pred: np.ndarray, data: SingleData, color_map: Color
         filename = data.output_path
         directory = os.path.dirname(filename)
         if os.path.isabs(directory):
-            os.makedirs(directory, exist_ok=True)
-        elif directory:
+            # deliberate divergence from the reference (output.py:27-33):
+            # there, joining output_dir with an ABSOLUTE filename discards
+            # the prefix, so all three masks collide on one path and two
+            # are silently destroyed; here the trio lands in
+            # color/overlay/inverted subdirs of the requested directory
+            base = os.path.basename(filename)
+            masks = generate_output_masks(data, pred, color_map)
+            for category, mask in zip(
+                ("color", "overlay", "inverted"),
+                (masks.color, masks.overlay, masks.inverted_overlay),
+            ):
+                os.makedirs(os.path.join(directory, category), exist_ok=True)
+                imsave(os.path.join(directory, category, base), mask)
+            return
+        if directory:
             for category in ("color", "overlay", "inverted"):
                 os.makedirs(os.path.join(output_dir, category, directory), exist_ok=True)
     else:

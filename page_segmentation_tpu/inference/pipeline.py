@@ -81,7 +81,6 @@ def make_fused_calibrate(
 
 def make_fused_predict(
     module,
-    decimated_shape: Tuple[int, int],
     normalized_shape: Tuple[int, int],
     stride_factor: int = 8,
     bucket_granularity: int = 1,
@@ -259,7 +258,7 @@ class ThroughputPredictor:
         # finish stage, the reference's own placement (postprocess.py:9-26)
         device_vote = self.cc_vote if self.cc_vote in ("xla", "pallas") else False
         self.fused = make_fused_predict(
-            module, (dec_h, dec_w), (out_h, out_w),
+            module, (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
             download=self.download, cc_vote=device_vote, mesh=mesh, data_axis=data_axis,
         )
@@ -428,16 +427,6 @@ class ThroughputPredictor:
         if not starts:
             return
 
-        if self._calibrate_fn is not None and "amax" not in self.variables:
-            # one float forward over the first batch records per-conv
-            # activation ranges; the int8 program uses them from then on
-            dec_dev, _ = self._prep(pages[: min(batch_size, n)],
-                                    binaries[: min(batch_size, n)])
-            amax = jax.device_get(
-                self._calibrate_fn(self.variables["params"], dec_dev)
-            )
-            self.variables = dict(self.variables, amax=amax)
-
         vote = self.cc_vote if self.cc_vote in ("xla", "pallas") else False
 
         def prep(start):
@@ -446,6 +435,18 @@ class ThroughputPredictor:
             ink_dev = self._put(self._pack_ink(ink)) if vote else None
             return dec_dev, ink, ink_dev
 
+        first_prep = None
+        if self._calibrate_fn is not None and "amax" not in self.variables:
+            # one float forward over the first batch records per-conv
+            # activation ranges; the int8 program uses them from then on.
+            # The prepped batch is kept — re-prepping it would repeat the
+            # dominant host cost (decimate + upload) for nothing
+            first_prep = prep(starts[0])
+            amax = jax.device_get(
+                self._calibrate_fn(self.variables["params"], first_prep[0])
+            )
+            self.variables = dict(self.variables, amax=amax)
+
         if vote == "pallas":
             # fully sequential: the tunneled runtime corrupts (empties) the
             # download of a Pallas-bearing program when any other device
@@ -453,8 +454,10 @@ class ThroughputPredictor:
             # thread, or the next dispatch — overlaps it
             # (tools/repro_pallas_download.py; the "xla" vote below keeps
             # the overlap because its program carries no Pallas call)
-            for start in starts:
-                dec_dev, ink, ink_dev = prep(start)
+            for index, start in enumerate(starts):
+                dec_dev, ink, ink_dev = (
+                    first_prep if index == 0 and first_prep else prep(start)
+                )
                 color_dev = self.fused(
                     self.variables, dec_dev, self.palette_dev, ink_dev
                 )
@@ -465,7 +468,10 @@ class ThroughputPredictor:
 
         with ThreadPoolExecutor(max_workers=2) as pool, \
                 ThreadPoolExecutor(max_workers=1) as downloader:
-            next_prep = pool.submit(prep, starts[0])
+            next_prep = (
+                pool.submit(lambda: first_prep) if first_prep
+                else pool.submit(prep, starts[0])
+            )
             pending = deque()  # ordered futures of (color, overlay, inverted)
             for index, start in enumerate(starts):
                 dec_dev, ink, ink_dev = next_prep.result()

@@ -30,6 +30,7 @@ import logging
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -62,12 +63,14 @@ class ServeStats:
     pages_total: int = 0
     errors_total: int = 0
     rejected_total: int = 0
-    batch_sizes: List[int] = field(default_factory=list)
-    latency_ms: List[float] = field(default_factory=list)
+    # bounded: only the tail feeds /stats, and an unbounded list grows
+    # without limit in a long-lived serving process
+    batch_sizes: "deque" = field(default_factory=lambda: deque(maxlen=1024))
+    latency_ms: "deque" = field(default_factory=lambda: deque(maxlen=1024))
 
     def snapshot(self) -> dict:
-        sizes = self.batch_sizes[-256:]
-        lat = sorted(self.latency_ms[-256:])
+        sizes = list(self.batch_sizes)[-256:]
+        lat = sorted(list(self.latency_ms)[-256:])
 
         def pct(p):
             return round(lat[min(int(p * len(lat)), len(lat) - 1)], 1) if lat else None

@@ -21,6 +21,8 @@ def gray_to_rgb(img: np.ndarray) -> np.ndarray:
     """
     if img.ndim == 3 and img.shape[-1] == 3:
         return img
+    if img.ndim == 3 and img.shape[-1] == 1:
+        return np.repeat(img, 3, axis=-1)  # (H, W, 1) -> (H, W, 3), not rank 4
     return np.repeat(img[..., None], 3, axis=-1)
 
 

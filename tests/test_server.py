@@ -82,7 +82,7 @@ def test_concurrent_requests_share_batches(service):
     # 6 requests enqueued faster than the window closes: fewer batches
     # than requests proves dispatch sharing
     assert 1 <= new_batches < 6
-    assert max(service.stats.batch_sizes[-new_batches:]) >= 2
+    assert max(list(service.stats.batch_sizes)[-new_batches:]) >= 2
 
 
 def test_submit_requires_char_height():

@@ -75,3 +75,57 @@ def test_gray_to_rgb_batched_stack():
     assert rgb.shape == (2, 3, 4, 3)
     np.testing.assert_array_equal(rgb[..., 0], stack)
     np.testing.assert_array_equal(rgb[..., 2], stack)
+
+
+def test_gray_to_rgb_single_channel_rank():
+    """(H, W, 1) input gains channels, not a fourth axis."""
+    from page_segmentation_tpu.utils import gray_to_rgb
+
+    out = gray_to_rgb(np.zeros((10, 8, 1), np.uint8))
+    assert out.shape == (10, 8, 3)
+    out2 = gray_to_rgb(np.zeros((10, 8), np.uint8))
+    assert out2.shape == (10, 8, 3)
+
+
+def test_fgpa_blank_binary_scores_zero():
+    """A page with no foreground scores 0 instead of crashing (matches the
+    in-graph twin's guard)."""
+    from page_segmentation_tpu.evaluation.image_ops import fgpa
+
+    pred = np.zeros((8, 8), np.int64)
+    mask = np.zeros((8, 8), np.int64)
+    assert fgpa(pred, mask, np.zeros((8, 8), np.int64)) == 0
+
+
+def test_cc_eval_only_label_zero_filters():
+    """only_label(0, t) must actually filter (a falsy check used to
+    disable it for label 0)."""
+    from page_segmentation_tpu.evaluation.metrics import ConnectedComponentEval
+
+    binary = np.zeros((8, 8), np.uint8)
+    binary[1:4, 1:4] = 1   # one component: all label 1 in the mask
+    mask = np.ones((8, 8), np.int64)
+    pred = np.ones((8, 8), np.int64)
+    seen = []
+    ConnectedComponentEval(binary, mask, pred).only_label(0, 0.9).run_per_component(
+        lambda m, p: seen.append(1))
+    assert seen == []  # the component is 0% label-0: filtered out
+
+
+def test_output_data_absolute_path_keeps_all_three(tmp_path):
+    """An absolute output_path writes the trio into color/overlay/inverted
+    subdirs (the reference collides all three onto one file)."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.data.dataset import SingleData
+    from page_segmentation_tpu.inference.output import output_data
+
+    out = tmp_path / "abs"
+    data = SingleData(
+        image=np.full((8, 8), 200, np.uint8),
+        binary=np.ones((8, 8), np.uint8),
+        output_path=str(out / "page.png"),
+    )
+    output_data(str(tmp_path / "unused"), np.zeros((8, 8), np.int64), data,
+                DEFAULT_IMAGE_MAP)
+    for sub in ("color", "overlay", "inverted"):
+        assert (out / sub / "page.png").exists()
