@@ -11,6 +11,7 @@ cv2 is absent; morphology and contours are the re-owned ops
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -34,6 +35,39 @@ DEFAULT_COLOR_MAPPING = {
 }
 
 
+@dataclass(frozen=True)
+class CutThresholds:
+    """XY-cut decision thresholds at the canonical working scale.
+
+    The int-truncation of ``char_height * factor`` is the behavioral
+    contract (reference pc_segmentation.py:38-42): a projection row or
+    column counts as occupied at one char height's worth of label pixels,
+    and occupied runs split at gaps of two char heights (horizontal) or
+    one (vertical).
+    """
+
+    occupied_px: int  # min label pixels for a row/column to count (both axes)
+    gap_horizontal: int  # min empty-run length that splits, horizontal cuts
+    gap_vertical: int  # ... vertical cuts
+
+    @classmethod
+    def at_scale(cls, char_height: int, factor: float) -> "CutThresholds":
+        return cls(
+            occupied_px=int(char_height * factor),
+            gap_horizontal=int(char_height * 2 * factor),
+            gap_vertical=int(char_height * factor),
+        )
+
+    def cut(self, label_mask: np.ndarray) -> List[RectSegment]:
+        return do_xy_cut(
+            label_mask,
+            self.occupied_px,
+            self.occupied_px,
+            self.gap_horizontal,
+            self.gap_vertical,
+        )
+
+
 def find_segments(
     orig_height: int,
     image: np.ndarray,
@@ -42,44 +76,27 @@ def find_segments(
     color_map: ColorMap,
     only_images: bool = False,
 ) -> Tuple[List[RectSegment], List[RectSegment]]:
-    """XY-cut text/image segments from an RGB prediction image."""
-    # canonical height so the char_height-derived thresholds generalize
-    scale_percent = resize_height / image.shape[0]
-    height = resize_height
-    width = int(image.shape[1] * scale_percent)
-    image = resize_nearest(image, (height, width))
-    image = dilate(image)
+    """XY-cut text/image segments from an RGB prediction image.
 
-    absolute_resize_factor = height / orig_height
-    px_threshold_line = int(char_height * absolute_resize_factor)
-    px_threshold_column = int(char_height * absolute_resize_factor)
-    split_size_horizontal = int(char_height * 2 * absolute_resize_factor)
-    split_size_vertical = int(char_height * absolute_resize_factor)
+    Reference contract pc_segmentation.py:24-60: work at a canonical
+    ``resize_height`` (so char_height-derived thresholds generalize across
+    page sizes), dilate 3x3 to bridge hairline gaps, cut each label's
+    pixel set, and report rectangles in the ORIGINAL page's coordinates —
+    ``orig_height`` is the pre-prediction page height, which is why the
+    rescale factor keys on it and not on ``image.shape``.
+    """
+    canonical_w = int(image.shape[1] * resize_height / image.shape[0])
+    canonical = dilate(resize_nearest(image, (resize_height, canonical_w)))
 
-    def scale_all(segments, factor):
-        return [s.scale(factor) for s in segments]
+    to_canonical = resize_height / orig_height
+    thresholds = CutThresholds.at_scale(char_height, to_canonical)
 
-    segments_image = do_xy_cut(
-        color_map.filter_label(image, "image"),
-        px_threshold_line,
-        px_threshold_column,
-        split_size_horizontal,
-        split_size_vertical,
-    )
-    segments_image = scale_all(segments_image, 1.0 / absolute_resize_factor)
+    def segments_for(label: str) -> List[RectSegment]:
+        rects = thresholds.cut(color_map.filter_label(canonical, label))
+        return [r.scale(1.0 / to_canonical) for r in rects]
 
-    if only_images:
-        segments_text: List[RectSegment] = []
-    else:
-        segments_text = do_xy_cut(
-            color_map.filter_label(image, "text"),
-            px_threshold_line,
-            px_threshold_column,
-            split_size_horizontal,
-            split_size_vertical,
-        )
-        segments_text = scale_all(segments_text, 1.0 / absolute_resize_factor)
-
+    segments_image = segments_for("image")
+    segments_text = [] if only_images else segments_for("text")
     return segments_text, segments_image
 
 
