@@ -55,6 +55,12 @@ def _start_watchdog(seconds: float):
         }
         if "corpus_pages_done" in _partial:
             result["corpus_pages_done"] = _partial["corpus_pages_done"]
+        # sections that completed before the wedge (sustained/attribution/
+        # train) are already in the shared result dict: ship them
+        done_sections = _partial.get("sections")
+        if done_sections:
+            for key, val in done_sections.items():
+                result.setdefault(key, val)
         print(json.dumps(result), flush=True)
         os._exit(0)
 
@@ -95,6 +101,42 @@ def synthesize_pages(n, h, w, seed=0):
     for i in range(n):
         np.multiply(pages[i] >= 128, np.uint8(255), out=binaries[i], casting="unsafe")
     return pages, binaries, line_height
+
+
+def phase_stats(intervals, batch_pages: int) -> dict:
+    """Auditable phase statistics from per-batch completion intervals.
+
+    The 1-core host runs through minutes-long starvation phases and the
+    tunneled link swings several-x (docs/PERFORMANCE.md §5), so a single
+    whole-run number under-describes a run.  Every derived figure here is
+    recomputable from the shipped ``batch_s`` list:
+
+    * ``pages_per_sec_steady``   = batch / median(intervals[1:])
+      (first batch = pipeline spin-up);
+    * ``pages_per_sec_second_half`` = batch / median(second half of
+      intervals[1:]) — the run warmed up;
+    * ``pages_per_sec_top_phase``   = best contiguous quarter-length
+      window (the healthy-phase capability).
+    """
+    if not intervals:
+        return {}
+    arr = np.asarray(intervals, dtype=np.float64)
+    steady = arr[1:] if len(arr) > 2 else arr
+    half = len(steady) // 2
+    second = steady[half:] if half else steady
+    win = max(1, len(arr) // 4)
+    csum = np.concatenate([[0.0], np.cumsum(arr)])
+    window_s = csum[win:] - csum[:-win]
+    top = batch_pages * win / float(window_s.min()) if len(window_s) else 0.0
+    return {
+        "batch_s": [round(float(t), 3) for t in arr],
+        "pages_per_sec_steady": round(batch_pages / float(np.median(steady)), 2),
+        "pages_per_sec_second_half": round(batch_pages / float(np.median(second)), 2),
+        "pages_per_sec_top_phase": round(top, 2),
+        "phase_policy": "steady=batch/median(batch_s[1:]); second_half=batch/"
+                        "median(second half of batch_s[1:]); top_phase=best "
+                        "contiguous quarter-length window of batch_s",
+    }
 
 
 def fcn_skip_flops_per_page(h: int, w: int) -> float:
@@ -175,12 +217,28 @@ def main():
                              "per-batch seed and download only a checksum, taking the "
                              "link out of the loop entirely (isolates framework+device "
                              "cost)")
-    parser.add_argument("--sustained", type=int, default=528,
-                        help="after the headline reps, also run the sustained "
-                             "distinct-page mode over this many never-repeated "
-                             "pages and embed a compact summary in the headline "
-                             "JSON (0 = off; --corpus is the full standalone "
-                             "mode)")
+    parser.add_argument("--sustained", type=int, default=1008,
+                        help="after the headline reps, stream this many distinct "
+                             "never-repeated full-resolution pages through the "
+                             "PRODUCTION 3-stage pipeline (prep+upload / dispatch "
+                             "/ download+finish overlapped) and embed whole-run + "
+                             "per-batch phase stats in the headline JSON "
+                             "(BASELINE config #5 evidence; 0 = off)")
+    parser.add_argument("--sustained-vote", action="store_true", default=True,
+                        help="also record the cc-majority-vote variant of the "
+                             "sustained run (host union-find backend, the "
+                             "default vote placement) as a second line")
+    parser.add_argument("--no-sustained-vote", dest="sustained_vote",
+                        action="store_false")
+    parser.add_argument("--attribution", type=int, default=528,
+                        help="after the sustained runs, also run this many "
+                             "distinct pages UNPIPELINED with block_until_ready "
+                             "stage boundaries (gen/prep/upload/device/download/"
+                             "finish medians -> degradation attribution + "
+                             "mfu_device; 0 = off)")
+    parser.add_argument("--sustained-budget", type=float, default=300.0,
+                        help="per-pass wall budget for each pipelined sustained "
+                             "run; exceeded = stop and mark truncated")
     parser.add_argument("--time-budget", type=float, default=360.0,
                         help="stop repeating once this many measured seconds "
                              "elapsed (host starvation phases last minutes — "
@@ -305,6 +363,16 @@ def main():
     steady = rates[1:] if drop_spinup else rates
     median = float(np.median(steady))
     best = float(np.max(rates))
+    # phase figures for the headline mode, computed HERE so every number a
+    # reader meets in README/ROADMAP traces to a field in the bench JSON
+    # (recomputable from the shipped rep list)
+    half = len(steady) // 2
+    median_second_half = float(np.median(steady[half:])) if half else median
+    win = max(1, len(steady) // 4)
+    median_top_phase = max(
+        float(np.median(steady[i : i + win]))
+        for i in range(len(steady) - win + 1)
+    )
     pad_h, pad_w = predictor.fused.padded_shape
     flops_page = fcn_skip_flops_per_page(pad_h, pad_w)
     mfu = median * flops_page / PEAK_FLOPS
@@ -323,6 +391,11 @@ def main():
         "reps": [round(r, 1) for r in rates],
         "median_policy": "median over reps[1:] (rep 0 = pipeline spin-up)"
                          if drop_spinup else "median over all reps",
+        "median_second_half": round(median_second_half, 2),
+        "median_top_phase": round(median_top_phase, 2),
+        "phase_policy": "median_second_half=median of the steady reps' second "
+                        "half; median_top_phase=max over contiguous "
+                        "quarter-length windows of the window median",
         "gflop_per_page": round(flops_page / 1e9, 2),
         "mfu_e2e": round(mfu, 5),
         # host context: the pipeline's prep/finish stages and all thread
@@ -331,29 +404,135 @@ def main():
         # device
         "host_cpus": __import__("os").cpu_count(),
     }
+    # the watchdog ships whatever sections land in this dict if a later
+    # pass wedges inside a blocking transfer
+    _partial["sections"] = result
     if not args.skip_train:
         _partial["stage"] = "train side metric"
         result["train_pages_per_sec_per_chip"] = bench_train(args, module, compute_dtype, emit=False)
     if args.sustained:
-        # BASELINE config #5 evidence in every recorded bench: sustained
-        # distinct-page throughput with per-stage attribution (always the
-        # full-stack mode; --synth-on-device only shapes --corpus runs)
-        _partial["stage"] = "sustained corpus"
+        # BASELINE config #5 evidence in every recorded bench: stream a
+        # distinct never-repeated corpus through the PRODUCTION pipeline
+        # (the 3-stage overlap users actually run), whole-run wall + the
+        # per-batch interval list so a degraded phase is visible in the
+        # artifact itself, not just in prose
+        _partial["stage"] = "sustained gen"
+        s_pages, s_binaries, _ = synthesize_pages(
+            args.sustained, args.height, args.width, seed=20_000
+        )
+        _partial["stage"] = "sustained corpus (pipelined)"
+        result["sustained"] = bench_sustained_pipelined(
+            args, predictor, s_pages, s_binaries, flops_page
+        )
+        if args.sustained_vote:
+            # second recorded line: the cc-majority-vote config (BASELINE's
+            # optional connected-components post-processor; host union-find
+            # backend inside the overlapped finish stage = the default
+            # production placement).  One decimation block per page is
+            # rewritten so every upload is novel vs the first pass (the
+            # tunnel content-addresses transfers, docs/PERFORMANCE.md §2).
+            _partial["stage"] = "sustained corpus (cc-vote)"
+            d = args.host_decimate
+            s_pages[:, :d, :d] = 201
+            for b in range(8):
+                s_binaries[:, :d, b * d : (b + 1) * d] = 255 * ((201 >> b) & 1)
+            from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+            from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+
+            vote_predictor = ThroughputPredictor(
+                module,
+                predictor.variables,
+                DEFAULT_IMAGE_MAP.palette,
+                (args.height, args.width),
+                scale,
+                host_decimate=args.host_decimate,
+                compute_dtype=compute_dtype,
+                download=args.download,
+                cc_vote="host",
+                reuse_output_buffers=True,
+            )
+            # spin-up outside the timed pass (jit-cache hit: same program)
+            warm_pages, warm_bins, _ = synthesize_pages(
+                args.batch, args.height, args.width, seed=30_000
+            )
+            for _ in vote_predictor.run(warm_pages, warm_bins, batch_size=args.batch):
+                pass
+            result["sustained_vote"] = bench_sustained_pipelined(
+                args, vote_predictor, s_pages, s_binaries, flops_page
+            )
+    if args.attribution:
+        # unpipelined stage-attribution pass: block_until_ready boundaries
+        # decompose each batch into gen/prep/upload/device/download/finish,
+        # which is also where mfu_device comes from (the device stage alone)
+        _partial["stage"] = "attribution corpus (unpipelined)"
         args.synth_on_device = False
-        sus = bench_corpus(args, module, compute_dtype, args.sustained, emit=False)
-        result["sustained"] = {
-            "pages": sus["pages"],
-            "pages_per_sec": sus["value"],
-            "pages_per_sec_steady": sus.get("pages_per_sec_steady"),
-            "stage_ms_median": sus["stage_ms_median"],
-            "flat": bool(sus["batch_s_median_second_half"]
-                         <= 1.5 * sus["batch_s_median_first_half"]),
+        att = bench_corpus(args, module, compute_dtype, args.attribution, emit=False)
+        result["attribution"] = {
+            "pages": att["pages"],
+            "pages_per_sec": att["value"],
+            "pages_per_sec_steady": att.get("pages_per_sec_steady"),
+            "stage_ms_median": att["stage_ms_median"],
+            "flat": bool(att["batch_s_median_second_half"]
+                         <= 1.5 * att["batch_s_median_first_half"]),
         }
-        if sus.get("truncated"):
-            result["sustained"]["truncated"] = True
+        if att.get("truncated"):
+            result["attribution"]["truncated"] = True
+        dev_ms = att["stage_ms_median"].get("device", 0.0)
+        if dev_ms:
+            device_rate = args.batch / (dev_ms / 1e3)
+            result["device_stage_pages_per_sec"] = round(device_rate, 2)
+            result["mfu_device"] = round(device_rate * flops_page / PEAK_FLOPS, 5)
     print(json.dumps(result))
     if watchdog:
         watchdog.cancel()
+
+
+def bench_sustained_pipelined(args, predictor, pages, binaries, flops_page):
+    """Stream a pre-synthesized distinct-page corpus through the production
+    3-stage pipeline and time the whole run (first prep to last trio).
+
+    Corpus synthesis stays OUTSIDE the clock — in production pages flow
+    from disk, and the unpipelined ``--attribution`` pass measures gen
+    explicitly.  Returns whole-run pages/s plus the full per-batch
+    interval list (phase evidence lives in the artifact)."""
+    corpus = pages.shape[0]
+    intervals = []
+    done = 0
+    truncated = False
+    t0 = time.perf_counter()
+    last = t0
+    stream = predictor.run(pages, binaries, batch_size=args.batch)
+    for color, _overlay, _inverted in stream:
+        now = time.perf_counter()
+        intervals.append(now - last)
+        last = now
+        done += color.shape[0]
+        _partial["corpus_pages_done"] = done
+        if now - t0 > args.sustained_budget and done < corpus:
+            truncated = True
+            stream.close()
+            break
+    wall = last - t0
+    value = done / wall if wall > 0 else 0.0
+    out = {
+        "pages": done,
+        "mode": "pipelined (production 3-stage overlap, distinct pages)",
+        "pages_per_sec": round(value, 2),
+        "vs_baseline": round(value / 50.0, 3),
+        "mfu_e2e": round(value * flops_page / PEAK_FLOPS, 5),
+    }
+    out.update(phase_stats(intervals, args.batch))
+    if truncated:
+        out["truncated"] = True
+        out["note"] = f"TRUNCATED at --sustained-budget {args.sustained_budget:.0f}s"
+    print(
+        f"sustained[{'vote' if predictor.cc_vote else 'plain'}]: {done} pages "
+        f"in {wall:.2f}s = {value:.1f} pages/s whole-run "
+        f"(steady {out.get('pages_per_sec_steady')}, "
+        f"top phase {out.get('pages_per_sec_top_phase')})",
+        file=sys.stderr,
+    )
+    return out
 
 
 def bench_corpus(args, module, compute_dtype, corpus, emit=True):
