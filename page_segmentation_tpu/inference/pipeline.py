@@ -362,8 +362,23 @@ class ThroughputPredictor:
             from .output import finish_mask_trio, unpack_classes
 
             if self.cc_vote == "host":
+                # one native call for the whole vote finish (unpack + per-
+                # component majority vote + trio, GIL-free) — the Python
+                # chain below remains as the no-toolchain fallback and the
+                # equality oracle (test_device_vote.py).  ONE ring slot
+                # serves both paths (a second _out_bufs call would advance
+                # the ring twice — see the no-vote branch below).
+                out = self._out_bufs(ink.shape[0], h, w)
+                fused = native.vote_finish_packed(
+                    downloaded, ink.astype(np.uint8), self.palette_np,
+                    self.n_classes, out=out,
+                )
+                if fused is not None:
+                    return fused
                 pred = unpack_classes(downloaded)[:, :h, :w]
-                return self._finish_pred(self._host_vote(pred, ink), ink)
+                return finish_mask_trio(
+                    self._host_vote(pred, ink), ink, self.palette_np, out=out
+                )
             # ONE ring slot per batch: the same out buffers serve the
             # packed kernel and, when it is absent (stale .so / no
             # toolchain), the unpack fallback — a second _out_bufs call

@@ -79,6 +79,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "ps_finish_packed"):  # stale .so without the symbol
         lib.ps_finish_packed.restype = None
         lib.ps_finish_packed.argtypes = list(lib.ps_finish.argtypes)
+    if hasattr(lib, "ps_vote_finish_packed"):
+        lib.ps_vote_finish_packed.restype = None
+        lib.ps_vote_finish_packed.argtypes = [
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -195,6 +202,30 @@ def finish_masks(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray, out=Non
     color, overlay, inverted = _finish_out(n, oh, ow, out)
     lib.ps_finish(pred, ink, palette, palette.shape[0], n, ph, pw, oh, ow,
                   color, overlay, inverted)
+    return color, overlay, inverted
+
+
+def vote_finish_packed(packed: np.ndarray, ink: np.ndarray, palette: np.ndarray,
+                       n_classes: int, out=None):
+    """The whole cc-vote finish stage in one GIL-free call: unpack the
+    2-bit packed class download, majority-vote each 4-connected ink
+    component (reference postprocess.py:9-26 semantics), render the trio.
+    None if the library or symbol is absent (callers fall back to the
+    unpack -> cc_vote -> finish_mask_trio chain)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_vote_finish_packed"):
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    ink = np.ascontiguousarray(ink, np.uint8)
+    palette = np.ascontiguousarray(palette, np.uint8)
+    n, ph, pw = packed.shape
+    oh, ow = ink.shape[1:]
+    if pw * 4 < ow:
+        raise ValueError(f"packed width {pw} covers {pw * 4} pixels < ow {ow}")
+    color, overlay, inverted = _finish_out(n, oh, ow, out)
+    lib.ps_vote_finish_packed(packed, ink, palette, palette.shape[0],
+                              int(n_classes), n, ph, pw, oh, ow,
+                              color, overlay, inverted)
     return color, overlay, inverted
 
 

@@ -404,4 +404,58 @@ void ps_finish_packed(const uint8_t* packed, const uint8_t* ink,
         color, overlay, inverted);
 }
 
+// The cc-vote finish path in ONE call: unpack the 2-bit class download,
+// majority-vote each 4-connected ink component (reference
+// postprocess.py:9-26 behavior, identical to ps_cc_vote), and render the
+// trio — all per page, GIL-free.  Replaces the Python chain
+// unpack_classes -> per-page ctypes cc_vote (with int32 round-trips) ->
+// finish_mask_trio, whose numpy temporaries and call overhead serialize
+// with prep on a 1-core host.
+void ps_vote_finish_packed(const uint8_t* packed, const uint8_t* ink,
+                           const uint8_t* palette, int n_colors, int n_classes,
+                           int n, int pred_h, int packed_w, int oh, int ow,
+                           uint8_t* color, uint8_t* overlay, uint8_t* inverted) {
+    const size_t page_px = static_cast<size_t>(oh) * ow;
+    std::vector<uint8_t> cls(page_px);
+    std::vector<int32_t> labels(page_px);
+    for (int page = 0; page < n; ++page) {
+        const uint8_t* pp = packed + static_cast<size_t>(page) * pred_h * packed_w;
+        const uint8_t* ip = ink + page * page_px;
+        // unpack the valid region once into a dense class buffer
+        for (int y = 0; y < oh; ++y) {
+            const uint8_t* prow = pp + static_cast<size_t>(y) * packed_w;
+            uint8_t* crow = cls.data() + static_cast<size_t>(y) * ow;
+            for (int x = 0; x < ow; ++x)
+                crow[x] = (prow[x >> 2] >> ((x & 3) * 2)) & 3;
+        }
+        std::vector<int32_t> remap;
+        const int num_labels = label_image(ip, oh, ow, 4, labels.data(), remap);
+        if (num_labels > 1) {
+            std::vector<int64_t> counts(
+                static_cast<size_t>(num_labels) * n_classes, 0);
+            for (size_t i = 0; i < page_px; ++i) {
+                const int32_t l = labels[i];
+                const uint8_t c = cls[i];
+                if (l && c < n_classes)
+                    counts[static_cast<size_t>(l) * n_classes + c]++;
+            }
+            std::vector<uint8_t> majority(num_labels, 0);
+            for (int l = 1; l < num_labels; ++l) {
+                const int64_t* c = counts.data() + static_cast<size_t>(l) * n_classes;
+                int best = 0;
+                for (int k = 1; k < n_classes; ++k)
+                    if (c[k] > c[best]) best = k;
+                majority[l] = static_cast<uint8_t>(best);
+            }
+            for (size_t i = 0; i < page_px; ++i)
+                if (labels[i]) cls[i] = majority[labels[i]];
+        }
+        const size_t base = page * page_px * 3;
+        finish_pages(
+            [](const uint8_t* row, int x) { return static_cast<int>(row[x]); },
+            cls.data(), ip, palette, n_colors, /*n=*/1, oh, ow, oh, ow,
+            color + base, overlay + base, inverted + base);
+    }
+}
+
 }  // extern "C"

@@ -28,11 +28,22 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
     local_device_ids: Optional[Sequence[int]] = None,
+    initialization_timeout: int = 600,
+    heartbeat_timeout_seconds: int = 600,
 ) -> None:
     """jax.distributed bootstrap; parameters default to the standard env
     vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID),
-    and a no-argument call on a managed TPU pod autodetects everything."""
-    kwargs = {}
+    and a no-argument call on a managed TPU pod autodetects everything.
+
+    Both timeouts default well above jax's own (300/100 s): on a loaded
+    host a first-run XLA compile can exceed 100 s, and a starved heartbeat
+    thread then gets the whole job torn down as "dead" mid-compile.  Ten
+    minutes of heartbeat grace costs nothing when healthy (failures still
+    surface via the coordination barrier / collective errors)."""
+    kwargs = {
+        "initialization_timeout": initialization_timeout,
+        "heartbeat_timeout_seconds": heartbeat_timeout_seconds,
+    }
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         kwargs["coordinator_address"] = coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"]
     if num_processes is not None or os.environ.get("JAX_NUM_PROCESSES"):
@@ -44,6 +55,24 @@ def initialize(
     if local_device_ids is not None:
         kwargs["local_device_ids"] = list(local_device_ids)
     jax.distributed.initialize(**kwargs)
+
+
+def barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service rendezvous (gRPC to the coordinator — NOT a
+    device collective): block until every process arrives at ``name``.
+
+    The CPU cross-process backend (Gloo) has a short non-configurable
+    collective timeout, so a device collective launched while the peer is
+    still compiling the same program (cache-state skew, loaded host) dies
+    with DEADLINE_EXCEEDED.  The cure is to compile first — AOT
+    ``.lower(...).compile()`` or a persistent-cache load — then meet here,
+    then execute: collectives start within milliseconds of each other.
+    No-op single-process, so callers need no topology guard."""
+    from jax._src import distributed as _dist
+
+    client = getattr(_dist.global_state, "client", None)
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def global_mesh(axis_names: Sequence[str] = ("data",)) -> Mesh:

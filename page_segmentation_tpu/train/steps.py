@@ -250,6 +250,18 @@ def make_step_fns(
     def eval_step(params, model_state, batch):
         return _steps_for(batch)[1](params, model_state, batch)
 
+    # AOT hooks mirroring jax.jit's .lower: multi-process callers compile
+    # first (.lower(...).compile() — no execution), rendezvous on
+    # parallel.distributed.barrier, then execute, so the short fixed Gloo
+    # collective timeout never spans a compile-skew window (loaded hosts)
+    def _train_lower(params, model_state, opt_state, batch, dropout_rng):
+        return _steps_for(batch)[0].lower(params, model_state, opt_state, batch, dropout_rng)
+
+    def _eval_lower(params, model_state, batch):
+        return _steps_for(batch)[1].lower(params, model_state, batch)
+
+    train_step.lower = _train_lower
+    eval_step.lower = _eval_lower
     return train_step, eval_step
 
 

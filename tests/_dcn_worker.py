@@ -59,7 +59,16 @@ def main():
     }
     batch = distributed.global_batch(mesh, local)
 
-    params, _, opt_state, metrics = train_step(params, {}, opt_state, batch, jax.random.PRNGKey(1))
+    # Compile BEFORE executing, then rendezvous: the Gloo CPU collectives
+    # have a short fixed timeout, and on a loaded 1-core host one process
+    # can hit the persistent compile cache while the other compiles for
+    # minutes — a collective launched across that skew window times out.
+    # AOT compile (no execution) + coordination barrier closes the window.
+    step_rng = jax.random.PRNGKey(1)
+    train_step.lower(params, {}, opt_state, batch, step_rng).compile()
+    distributed.barrier("dcn_test_compiled")
+
+    params, _, opt_state, metrics = train_step(params, {}, opt_state, batch, step_rng)
     loss = float(metrics["loss"])
     print(f"DCN_LOSS {process_id} {loss:.8f}", flush=True)
 
@@ -98,6 +107,10 @@ def main():
         )
     )
     assert len(trainer.settings.train_data) == 5  # ceil(9 / 2), wrapped
+    # enter the trainer together so its internal compiles start in lockstep
+    # (shared persistent cache + same entry point -> minimal compile skew
+    # when the first collective runs)
+    distributed.barrier("dcn_test_trainer_start")
     history = trainer.train()
     assert np.isfinite(history["val_loss"][0])
     print(f"DCN_TRAINER_LOSS {process_id} {history['loss'][0]:.8f}", flush=True)

@@ -132,7 +132,8 @@ def test_headline_bench_smoke(tmp_path):
     proc = subprocess.run(
         [sys.executable, "bench.py", "--pages", "4", "--batch", "2",
          "--height", "352", "--width", "256", "--repeats", "2",
-         "--skip-train", "--sustained", "0", "--time-budget", "60"],
+         "--skip-train", "--sustained", "0", "--attribution", "0",
+         "--time-budget", "60"],
         capture_output=True, text=True, timeout=560,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env,
@@ -144,3 +145,41 @@ def test_headline_bench_smoke(tmp_path):
     assert result["value"] > 0
     assert result["host_cpus"] >= 1
     assert "median_policy" in result
+    # phase statistics are computed in-bench so README numbers trace to
+    # artifact fields
+    assert result["median_second_half"] > 0
+    assert result["median_top_phase"] > 0
+    assert "phase_policy" in result
+
+
+def test_sustained_pipelined_smoke(tmp_path):
+    """The pipelined sustained mode (BASELINE config #5 evidence) on CPU at
+    tiny shapes: distinct corpus synthesized under a gen budget, streamed
+    through the production 3-stage pipeline, whole-run + per-batch phase
+    fields in the embedded JSON."""
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--pages", "4", "--batch", "2",
+         "--height", "352", "--width", "256", "--repeats", "1",
+         "--skip-train", "--sustained", "6", "--no-sustained-vote",
+         "--attribution", "0", "--time-budget", "60",
+         "--sustained-budget", "120"],
+        capture_output=True, text=True, timeout=560,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    sus = result["sustained"]
+    assert sus["pages"] == 6
+    assert sus["pages_requested"] == 6
+    assert sus["pages_per_sec"] > 0
+    assert len(sus["batch_s"]) == 3
+    assert sus["pages_per_sec_steady"] > 0
+    assert sus["pages_per_sec_top_phase"] > 0
+    assert "phase_policy" in sus
+    assert sus["mode"].startswith("pipelined")

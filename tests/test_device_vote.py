@@ -252,3 +252,45 @@ def test_packed_download_rejects_many_classes():
                             compute_dtype=jnp.float32, download="color",
                             cc_vote="host")
     assert p.download == "pred"
+
+
+def test_native_vote_finish_packed_matches_python_chain():
+    """The one-call native vote finish (unpack + per-component majority
+    vote + trio) must equal the Python chain it replaces: unpack_classes
+    -> reference-semantics vote -> finish_mask_trio."""
+    import jax.numpy as jnp
+    import pytest
+
+    from page_segmentation_tpu import native
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.output import (
+        finish_mask_trio,
+        pack_classes_device,
+        unpack_classes,
+    )
+
+    if not native.available() or native.get_lib() is None or \
+            not hasattr(native.get_lib(), "ps_vote_finish_packed"):
+        pytest.skip("native library without ps_vote_finish_packed")
+
+    palette = DEFAULT_IMAGE_MAP.palette
+    rng = np.random.RandomState(3)
+    for h, w, pad_w in [(17, 24, 24), (33, 40, 48)]:  # incl. padded packed rows
+        n = 3
+        pred = rng.randint(0, 3, (n, h, pad_w)).astype(np.int32)
+        ink = (rng.rand(n, h, w) > 0.55)
+        packed = np.asarray(pack_classes_device(jnp.asarray(pred)))
+
+        got = native.vote_finish_packed(packed, ink.astype(np.uint8), palette, 3)
+        assert got is not None
+
+        unpacked = unpack_classes(packed)[:, :h, :w]
+        voted = np.stack([
+            vote_connected_component_class(
+                unpacked[i].astype(np.int64), SingleData(binary=ink[i].astype(np.uint8))
+            )
+            for i in range(n)
+        ]).astype(np.uint8)
+        want = finish_mask_trio(voted, ink, palette)
+        for g, w_ in zip(got, want):
+            np.testing.assert_array_equal(g, w_)

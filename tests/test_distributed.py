@@ -16,23 +16,45 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_workers():
+def _run_workers(timeout=560):
+    import time
+
     worker = os.path.join(os.path.dirname(__file__), "_dcn_worker.py")
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    procs = [
-        subprocess.Popen(
+
+    def spawn(pid):
+        return subprocess.Popen(
             [sys.executable, worker, coordinator, "2", str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
-        for pid in range(2)
-    ]
+
+    # process 0 hosts the coordination service: give it a head start so
+    # process 1's first connect doesn't race the service bind on a loaded
+    # host (initialize retries connects, but each failed round costs
+    # seconds of the 1-core budget)
+    procs = [spawn(0)]
+    time.sleep(2.0)
+    procs.append(spawn(1))
     outputs = []
+    failure = None
     for p in procs:
-        out, err = p.communicate(timeout=560)
+        if failure:
+            # a peer already failed; the survivor would block at a barrier
+            # until its own timeout — reap it now
+            p.kill()
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            failure = failure or f"worker timed out after {timeout}s:\n{err[-3000:]}"
+            continue
         if p.returncode != 0:
-            raise RuntimeError(f"worker failed:\n{err[-3000:]}")
+            failure = failure or f"worker failed:\n{err[-3000:]}"
         outputs.append(out)
+    if failure:
+        raise RuntimeError(failure)
     return outputs
 
 
@@ -45,16 +67,20 @@ def test_two_process_train_step():
 
     _TRANSIENT = ("DEADLINE_EXCEEDED", "Deadline Exceeded", "timed out",
                   "Coordination service", "UNAVAILABLE", "failed to connect")
-    for attempt in range(3):
+    # 2 attempts x <=560 s + one 15 s cooldown bounds the worst case near
+    # 19 min (the old 3 x 560 + sleeps could burn ~29); with the in-worker
+    # compile-then-barrier rendezvous the first attempt should hold even
+    # under load, so the retry is a safety net, not the mechanism
+    for attempt in range(2):
         try:
             outputs = _run_workers()
             break
         except RuntimeError as e:
-            if attempt == 2 or not any(s in str(e) for s in _TRANSIENT):
+            if attempt == 1 or not any(s in str(e) for s in _TRANSIENT):
                 raise
-            print(f"retry {attempt + 1}/2 after transient coordination failure: "
+            print(f"retry after transient coordination failure: "
                   f"{str(e)[-300:]}", file=sys.stderr)
-            time.sleep(30)
+            time.sleep(15)
 
     losses = {}
     for out in outputs:

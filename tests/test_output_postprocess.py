@@ -56,6 +56,91 @@ def test_masks_on_device_matches_host(cmap):
     np.testing.assert_array_equal(np.asarray(inverted_d), host.inverted_overlay)
 
 
+def test_all_mask_products_host_equals_device_property(cmap):
+    """Single gate over every mask product in every mode: the host trio
+    (generate_output_masks — the reference bit-parity surface,
+    output.py:44-60), the fused device products (masks_on_device), the
+    production finish path (finish_mask_trio, native + numpy fallback),
+    the 2-bit packed wire format, and the high-res path must all agree on
+    random inputs.  fg_color_mask equals inverted_overlay for 0/1
+    binaries (semantics pinned in test_generate_output_masks_semantics),
+    so inverted equality covers the fourth product."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.inference.output import (
+        finish_mask_trio,
+        pack_classes_device,
+        unpack_classes,
+    )
+    from page_segmentation_tpu.ops.resize import resize_nearest
+
+    rng = np.random.RandomState(7)
+    for h, w in [(6, 8), (13, 16), (21, 24)]:  # w % 4 == 0 for the packed mode
+        n = 3
+        logits = rng.randn(n, h, w, 3).astype(np.float32)
+        binary = (rng.rand(n, h, w) > 0.5).astype(np.uint8)
+        pred = logits.argmax(-1)
+        host = [
+            generate_output_masks(SingleData(binary=binary[i]), pred[i], cmap)
+            for i in range(n)
+        ]
+
+        # fused device products
+        pred_d, color_d, overlay_d, inverted_d = masks_on_device(
+            logits, binary, cmap.palette
+        )
+        for i in range(n):
+            np.testing.assert_array_equal(np.asarray(pred_d)[i], pred[i])
+            np.testing.assert_array_equal(np.asarray(color_d)[i], host[i].color)
+            np.testing.assert_array_equal(np.asarray(overlay_d)[i], host[i].overlay)
+            np.testing.assert_array_equal(
+                np.asarray(inverted_d)[i], host[i].inverted_overlay
+            )
+            np.testing.assert_array_equal(
+                host[i].fg_color_mask, host[i].inverted_overlay
+            )
+
+        # production finish path (native kernel or numpy fallback)
+        color, overlay, inverted = finish_mask_trio(
+            pred.astype(np.uint8), binary.astype(bool), cmap.palette
+        )
+        for i in range(n):
+            np.testing.assert_array_equal(color[i], host[i].color)
+            np.testing.assert_array_equal(overlay[i], host[i].overlay)
+            np.testing.assert_array_equal(inverted[i], host[i].inverted_overlay)
+
+        # 2-bit packed wire format roundtrips into the same trio
+        unpacked = unpack_classes(np.asarray(pack_classes_device(jnp.asarray(pred))))
+        np.testing.assert_array_equal(unpacked, pred.astype(np.uint8))
+        color_p, overlay_p, inverted_p = finish_mask_trio(
+            unpacked, binary.astype(bool), cmap.palette
+        )
+        for i in range(n):
+            np.testing.assert_array_equal(color_p[i], host[i].color)
+            np.testing.assert_array_equal(overlay_p[i], host[i].overlay)
+            np.testing.assert_array_equal(inverted_p[i], host[i].inverted_overlay)
+
+        # high-res mode: order-0 upscale + orig binary through both paths
+        orig_shape = (h * 2 + 1, w * 2)
+        for i in range(n):
+            data = SingleData(
+                image=np.zeros((h, w), np.uint8),
+                binary=binary[i],
+                orig_binary=(rng.rand(*orig_shape) > 0.5).astype(np.uint8),
+                original_shape=orig_shape,
+            )
+            hi_data, hi_pred = scale_to_original_shape(data, pred[i])
+            hi_host = generate_output_masks(hi_data, hi_pred, cmap)
+            hi_trio = finish_mask_trio(
+                resize_nearest(pred[i], orig_shape).astype(np.uint8)[None],
+                np.asarray(hi_data.binary, bool)[None],
+                cmap.palette,
+            )
+            np.testing.assert_array_equal(hi_trio[0][0], hi_host.color)
+            np.testing.assert_array_equal(hi_trio[1][0], hi_host.overlay)
+            np.testing.assert_array_equal(hi_trio[2][0], hi_host.inverted_overlay)
+
+
 def test_scale_to_original_shape():
     data = SingleData(
         image=np.zeros((4, 4), np.uint8),
