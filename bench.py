@@ -73,24 +73,31 @@ def _start_watchdog(seconds: float):
 def _synth_range(pages, binaries, rng, h, w, line_height, start, stop):
     """Per-page synthesis (page-local writes — cache-friendly on the
     1-core host; a cross-page vectorized variant measured 10x slower from
-    strided scatter writes).  Binary thresholds in the same pass so each
-    page's memory is touched once while hot."""
+    strided scatter writes).  The binary is written directly alongside the
+    page (every ink write mirrors a 0-write; everything else is paper) —
+    a thresholding pass would re-read the whole page and allocate a
+    page-sized temp, which doubles memory traffic during the host's
+    starvation phases."""
     row_starts = np.arange(h // 8, h - h // 8 - line_height, int(line_height * 1.6))
     col_starts = np.arange(w // 10, w - w // 10 - 25, 35)
     for i in range(start, stop):
         page = pages[i]
-        page[...] = 235
+        binary = binaries[i]
+        page[...] = 235  # paper (>=128 -> binary 255)
+        binary[...] = 255
         present = rng.rand(len(row_starts), len(col_starts)) < 0.85
         shades = rng.randint(10, 60, size=present.shape).astype(np.uint8)
         for ri, row in enumerate(row_starts):
             cols = col_starts[present[ri]]
             if len(cols):
                 block = page[row : row + line_height]
+                bin_block = binary[row : row + line_height]
                 for c, shade in zip(cols, shades[ri][present[ri]]):
-                    block[:, c : c + 25] = shade
+                    block[:, c : c + 25] = shade  # ink shades 10-60 (<128)
+                    bin_block[:, c : c + 25] = 0
         if i % 3 == 0:
             page[int(h * 0.7) : int(h * 0.85), int(w * 0.2) : int(w * 0.8)] = 120
-        np.multiply(page >= 128, np.uint8(255), out=binaries[i], casting="unsafe")
+            binary[int(h * 0.7) : int(h * 0.85), int(w * 0.2) : int(w * 0.8)] = 0
 
 
 def synthesize_pages(n, h, w, seed=0):
