@@ -59,7 +59,10 @@ def _start_watchdog(seconds: float):
         # train) are already in the shared result dict: ship them
         done_sections = _partial.get("sections")
         if done_sections:
-            for key, val in done_sections.items():
+            # snapshot: the main thread mutates this dict concurrently, and
+            # a RuntimeError here would kill the timer thread before the
+            # partial JSON + exit — the one job this watchdog has
+            for key, val in list(done_sections.items()):
                 result.setdefault(key, val)
         print(json.dumps(result), flush=True)
         os._exit(0)
@@ -156,32 +159,55 @@ def phase_stats(intervals, batch_pages: int) -> dict:
     whole-run number under-describes a run.  Every derived figure here is
     recomputable from the shipped ``batch_s`` list:
 
-    * ``pages_per_sec_steady``   = batch / median(intervals[1:])
-      (first batch = pipeline spin-up);
-    * ``pages_per_sec_second_half`` = batch / median(second half of
-      intervals[1:]) — the run warmed up;
+    * ``pages_per_sec_steady``   = median per-batch rate over
+      intervals[1:] (first batch = pipeline spin-up; equals
+      batch/median(intervals[1:]) when all batches are full);
+    * ``pages_per_sec_second_half`` = the same over the second half of
+      intervals[1:] — the run warmed up;
     * ``pages_per_sec_top_phase``   = best contiguous quarter-length
-      window (the healthy-phase capability).
+      window by pages/time (the healthy-phase capability).
+
+    ``batch_pages`` is the uniform batch size, or a per-interval page
+    count sequence when the final batch is ragged (shipped as
+    ``batch_pages`` in the stats so every rate stays recomputable).
     """
     if not intervals:
         return {}
     arr = np.asarray(intervals, dtype=np.float64)
-    steady = arr[1:] if len(arr) > 2 else arr
+    # per-interval page counts: a scalar means uniform batches; a sequence
+    # handles the ragged final batch (corpus % batch != 0), which would
+    # otherwise be counted as a full batch and skew every derived rate
+    pages = np.asarray(
+        batch_pages if np.ndim(batch_pages) else [batch_pages] * len(arr),
+        dtype=np.float64,
+    )
+    rates = pages / np.maximum(arr, 1e-12)
+    # drop the spin-up batch whenever there is more than one interval (the
+    # shipped policy string promises [1:], so the code must match even for
+    # 2-interval runs)
+    steady = rates[1:] if len(rates) > 1 else rates
     half = len(steady) // 2
     second = steady[half:] if half else steady
     win = max(1, len(arr) // 4)
-    csum = np.concatenate([[0.0], np.cumsum(arr)])
-    window_s = csum[win:] - csum[:-win]
-    top = batch_pages * win / float(window_s.min()) if len(window_s) else 0.0
-    return {
+    t_csum = np.concatenate([[0.0], np.cumsum(arr)])
+    p_csum = np.concatenate([[0.0], np.cumsum(pages)])
+    window_t = t_csum[win:] - t_csum[:-win]
+    window_p = p_csum[win:] - p_csum[:-win]
+    top = float((window_p / np.maximum(window_t, 1e-12)).max()) if len(window_t) else 0.0
+    out = {
         "batch_s": [round(float(t), 3) for t in arr],
-        "pages_per_sec_steady": round(batch_pages / float(np.median(steady)), 2),
-        "pages_per_sec_second_half": round(batch_pages / float(np.median(second)), 2),
+        "pages_per_sec_steady": round(float(np.median(steady)), 2),
+        "pages_per_sec_second_half": round(float(np.median(second)), 2),
         "pages_per_sec_top_phase": round(top, 2),
-        "phase_policy": "steady=batch/median(batch_s[1:]); second_half=batch/"
-                        "median(second half of batch_s[1:]); top_phase=best "
-                        "contiguous quarter-length window of batch_s",
+        "phase_policy": "steady=median per-batch pages/s over batch_s[1:] "
+                        "(== batch/median(batch_s[1:]) for uniform batches); "
+                        "second_half=same over the second half of batch_s[1:]; "
+                        "top_phase=best contiguous quarter-length window "
+                        "(sum pages / sum s)",
     }
+    if np.ndim(batch_pages) and len(pages) and not np.all(pages == pages[0]):
+        out["batch_pages"] = [int(p) for p in pages]
+    return out
 
 
 def fcn_skip_flops_per_page(h: int, w: int) -> float:
@@ -505,6 +531,7 @@ def main():
                 download=args.download,
                 cc_vote="host",
                 reuse_output_buffers=True,
+                int8=args.int8,
             )
             # spin-up outside the timed pass (jit-cache hit: same program)
             warm_pages, warm_bins, _ = synthesize_pages(
@@ -515,6 +542,11 @@ def main():
             result["sustained_vote"] = bench_sustained_pipelined(
                 args, vote_predictor, s_pages, s_binaries, flops_page
             )
+            # same truncated corpus as the plain line: mark it here too so
+            # the vote artifact is self-describing
+            result["sustained_vote"]["pages_requested"] = args.sustained
+            if n_gen < args.sustained:
+                result["sustained_vote"]["gen_truncated"] = True
     if args.attribution:
         # unpipelined stage-attribution pass: block_until_ready boundaries
         # decompose each batch into gen/prep/upload/device/download/finish,
@@ -552,6 +584,7 @@ def bench_sustained_pipelined(args, predictor, pages, binaries, flops_page):
     interval list (phase evidence lives in the artifact)."""
     corpus = pages.shape[0]
     intervals = []
+    batch_counts = []
     done = 0
     truncated = False
     t0 = time.perf_counter()
@@ -560,6 +593,7 @@ def bench_sustained_pipelined(args, predictor, pages, binaries, flops_page):
     for color, _overlay, _inverted in stream:
         now = time.perf_counter()
         intervals.append(now - last)
+        batch_counts.append(int(color.shape[0]))
         last = now
         done += color.shape[0]
         _partial["corpus_pages_done"] = done
@@ -576,7 +610,9 @@ def bench_sustained_pipelined(args, predictor, pages, binaries, flops_page):
         "vs_baseline": round(value / 50.0, 3),
         "mfu_e2e": round(value * flops_page / PEAK_FLOPS, 5),
     }
-    out.update(phase_stats(intervals, args.batch))
+    # per-batch counts, not the nominal size: the final batch can be ragged
+    # (corpus % batch != 0) and must not count as a full batch in the rates
+    out.update(phase_stats(intervals, batch_counts))
     if truncated:
         out["truncated"] = True
         out["note"] = f"TRUNCATED at --sustained-budget {args.sustained_budget:.0f}s"

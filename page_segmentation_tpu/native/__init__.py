@@ -199,6 +199,10 @@ def finish_masks(pred: np.ndarray, ink: np.ndarray, palette: np.ndarray, out=Non
     palette = np.ascontiguousarray(palette, np.uint8)
     n, ph, pw = pred.shape
     oh, ow = ink.shape[1:]
+    if ph < oh or pw < ow:
+        raise ValueError(f"pred {(ph, pw)} smaller than ink page {(oh, ow)}")
+    if ink.shape[0] < n:
+        raise ValueError(f"ink has {ink.shape[0]} pages < pred {n}")
     color, overlay, inverted = _finish_out(n, oh, ow, out)
     lib.ps_finish(pred, ink, palette, palette.shape[0], n, ph, pw, oh, ow,
                   color, overlay, inverted)
@@ -222,6 +226,12 @@ def vote_finish_packed(packed: np.ndarray, ink: np.ndarray, palette: np.ndarray,
     oh, ow = ink.shape[1:]
     if pw * 4 < ow:
         raise ValueError(f"packed width {pw} covers {pw * 4} pixels < ow {ow}")
+    # the C kernel reads oh rows per page and n pages of ink: bound-check
+    # here so a mismatched caller gets a ValueError, not a heap OOB read
+    if ph < oh:
+        raise ValueError(f"packed height {ph} < ink height {oh}")
+    if ink.shape[0] < n:
+        raise ValueError(f"ink has {ink.shape[0]} pages < packed {n}")
     color, overlay, inverted = _finish_out(n, oh, ow, out)
     lib.ps_vote_finish_packed(packed, ink, palette, palette.shape[0],
                               int(n_classes), n, ph, pw, oh, ow,
@@ -243,6 +253,10 @@ def finish_masks_packed(packed: np.ndarray, ink: np.ndarray, palette: np.ndarray
     oh, ow = ink.shape[1:]
     if pw * 4 < ow:
         raise ValueError(f"packed width {pw} covers {pw * 4} pixels < ow {ow}")
+    if ph < oh:
+        raise ValueError(f"packed height {ph} < ink height {oh}")
+    if ink.shape[0] < n:
+        raise ValueError(f"ink has {ink.shape[0]} pages < packed {n}")
     color, overlay, inverted = _finish_out(n, oh, ow, out)
     lib.ps_finish_packed(packed, ink, palette, palette.shape[0], n, ph, pw, oh, ow,
                          color, overlay, inverted)

@@ -40,9 +40,19 @@ def initialize(
     thread then gets the whole job torn down as "dead" mid-compile.  Ten
     minutes of heartbeat grace costs nothing when healthy (failures still
     surface via the coordination barrier / collective errors)."""
+    import inspect
+
+    # pass the timeout overrides only where this jax build accepts them
+    # (the dependency is unpinned; older releases predate these kwargs,
+    # and a TypeError here would break even the no-argument autodetect)
+    accepted = inspect.signature(jax.distributed.initialize).parameters
     kwargs = {
-        "initialization_timeout": initialization_timeout,
-        "heartbeat_timeout_seconds": heartbeat_timeout_seconds,
+        key: val
+        for key, val in (
+            ("initialization_timeout", initialization_timeout),
+            ("heartbeat_timeout_seconds", heartbeat_timeout_seconds),
+        )
+        if key in accepted
     }
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         kwargs["coordinator_address"] = coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"]

@@ -85,7 +85,11 @@ def find_segments(
     ``orig_height`` is the pre-prediction page height, which is why the
     rescale factor keys on it and not on ``image.shape``.
     """
-    canonical_w = int(image.shape[1] * resize_height / image.shape[0])
+    # scale factor computed FIRST, then applied — int(w * (rh/h)) and
+    # int(w*rh/h) disagree on hundreds of (h, w) shapes (e.g. 700x700 at
+    # rh=300: 299 vs 300), and the reference's rounding is the contract
+    canonical_scale = resize_height / image.shape[0]
+    canonical_w = int(image.shape[1] * canonical_scale)
     canonical = dilate(resize_nearest(image, (resize_height, canonical_w)))
 
     to_canonical = resize_height / orig_height

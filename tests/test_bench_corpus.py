@@ -183,3 +183,22 @@ def test_sustained_pipelined_smoke(tmp_path):
     assert sus["pages_per_sec_top_phase"] > 0
     assert "phase_policy" in sus
     assert sus["mode"].startswith("pipelined")
+
+
+def test_phase_stats_ragged_final_batch(bench_module):
+    """A ragged final batch (corpus % batch != 0) must be weighted by its
+    true page count: 48,48,4 pages in 1,1,1/12 s is a flat 48 pages/s run,
+    not a run with a fictitious 12x-fast batch."""
+    stats = bench_module.phase_stats([1.0, 1.0, 1.0 / 12.0], [48, 48, 4])
+    assert stats["pages_per_sec_steady"] == 48.0
+    assert stats["pages_per_sec_top_phase"] == 48.0
+    assert stats["batch_pages"] == [48, 48, 4]
+    # uniform batches ship no redundant batch_pages list
+    assert "batch_pages" not in bench_module.phase_stats([1.0, 1.0], [48, 48])
+
+
+def test_phase_stats_two_intervals_drop_spinup(bench_module):
+    """steady follows the shipped policy (batch_s[1:]) even for 2-interval
+    runs: the spin-up batch never leaks into the steady median."""
+    stats = bench_module.phase_stats([10.0, 1.0], 48)
+    assert stats["pages_per_sec_steady"] == 48.0

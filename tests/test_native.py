@@ -238,3 +238,28 @@ def test_finish_mask_trio_fallback_honors_out(monkeypatch):
     assert got[0] is bufs[0]
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_finish_bounds_guards():
+    """Mismatched packed/pred vs ink shapes raise ValueError at the binding
+    instead of reading out of bounds in the C kernels (which take the page
+    count from the class-map argument and row count from ink)."""
+    from page_segmentation_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    palette = np.asarray([[255, 255, 255], [255, 0, 0], [0, 255, 0]], np.uint8)
+    packed = np.zeros((2, 10, 16), np.uint8)
+    with pytest.raises(ValueError, match="height"):
+        native.vote_finish_packed(packed, np.zeros((2, 20, 32), np.uint8), palette, 3)
+    with pytest.raises(ValueError, match="pages"):
+        native.vote_finish_packed(packed, np.zeros((1, 10, 32), np.uint8), palette, 3)
+    with pytest.raises(ValueError, match="height"):
+        native.finish_masks_packed(packed, np.zeros((2, 20, 32), np.uint8), palette)
+    with pytest.raises(ValueError, match="pages"):
+        native.finish_masks_packed(packed, np.zeros((1, 10, 32), np.uint8), palette)
+    pred = np.zeros((2, 10, 16), np.uint8)
+    with pytest.raises(ValueError, match="smaller"):
+        native.finish_masks(pred, np.zeros((2, 20, 16), np.uint8), palette)
+    with pytest.raises(ValueError, match="pages"):
+        native.finish_masks(pred, np.zeros((1, 10, 16), np.uint8), palette)
