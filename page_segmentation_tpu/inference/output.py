@@ -33,21 +33,27 @@ class Masks:
 
 
 def generate_output_masks(data: SingleData, pred: np.ndarray, color_map: ColorMap) -> Masks:
-    color_mask = color_map.to_rgb_array(pred)
+    """The four mask products, keyed on the PREPARED binary's exact values
+    (prepare_images inverts, so ink == 1 and paper == 0):
+
+    * ``overlay``          drops pixels where binary == 1 (ink removed);
+    * ``inverted_overlay`` drops pixels where binary == 0 (ink only);
+    * ``fg_color_mask``    keeps pixels where binary == 1 only.
+
+    For 0/1 binaries fg_color_mask == inverted_overlay; the ==1 / ==0
+    distinction (not truthiness) is the reference contract for any other
+    values (reference output.py:44-60 masks through ``1 - binary``).  The
+    same ``where`` formulation runs on-device in :func:`masks_on_device`.
+    """
+    color = color_map.to_rgb_array(pred)
     binary = np.asarray(data.binary)
-    foreground = np.stack([(1 - binary)] * 3, axis=-1)
-    binary3d = np.stack([binary] * 3, axis=-1)
-    overlay_mask = color_mask.copy()
-    overlay_mask[foreground == 0] = 0
-    inverted_overlay_mask = color_mask.copy()
-    inverted_overlay_mask[binary3d == 0] = 0
-    fg_color_mask = color_mask.copy()
-    fg_color_mask[foreground != 0] = 0
+    is_ink = (binary == 1)[..., None]
+    is_paper = (binary == 0)[..., None]
     return Masks(
-        color=color_mask,
-        overlay=overlay_mask,
-        inverted_overlay=inverted_overlay_mask,
-        fg_color_mask=fg_color_mask,
+        color=color,
+        overlay=np.where(is_ink, np.uint8(0), color),
+        inverted_overlay=np.where(is_paper, np.uint8(0), color),
+        fg_color_mask=np.where(is_ink, color, np.uint8(0)),
     )
 
 
@@ -81,9 +87,11 @@ def output_data(output_dir, pred: np.ndarray, data: SingleData, color_map: Color
         filename = os.path.basename(data.image_path)
 
     masks = generate_output_masks(data, pred, color_map)
-    imsave(os.path.join(output_dir, "color", filename), masks.color)
-    imsave(os.path.join(output_dir, "overlay", filename), masks.overlay)
-    imsave(os.path.join(output_dir, "inverted", filename), masks.inverted_overlay)
+    for category, mask in zip(
+        ("color", "overlay", "inverted"),
+        (masks.color, masks.overlay, masks.inverted_overlay),
+    ):
+        imsave(os.path.join(output_dir, category, filename), mask)
 
 
 def scale_to_original_shape(data: SingleData, pred: np.ndarray):
