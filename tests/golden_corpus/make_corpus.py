@@ -1,5 +1,5 @@
-"""Deterministic generator of the golden corpus: six historical-style
-page scans with matching binarizations and PAGE-XML 2019 ground truth.
+"""Deterministic generator of the golden corpus: nine historical-style
+page scans with matching binarizations and PAGE-XML ground truth.
 
 Pages 0-2 (v1, byte-stable since round 2): textured paper, text blocks,
 a figure, marginalia.  Pages 3-5 (v2) add the degradations real scans
@@ -11,6 +11,19 @@ carry (VERDICT round-1 item 5):
          ink blot that binarizes as foreground
   page5  table + maths regions (deeper PageXMLTypes color coverage),
          marginalia, pepper noise
+
+Pages 6-8 (v3) cover capture-side degradations (the remaining classes
+real page *photography* carries, VERDICT round-2 missing item 2):
+
+  page6  true two-axis rotation (not just shear), optical vignetting,
+         JPEG 8x8 blocking artifacts; footer region type
+  page7  bound-volume gutter shadow with curvature wobble, uneven
+         illumination gradient, a drop cap opening the paragraph
+  page8  halftone-printed figure (ordered-dither dots that binarize as
+         foreground speckle — the classic cc-vote hazard), a dog-eared
+         corner exposing the dark scanner bed, a GraphicRegion ornament
+         and caption; ground truth in the 2017 PAGE namespace
+         (exercises PCGTSVersion autodetect end-to-end)
 
 Run once to (re)create the checked-in corpus:
     python tests/golden_corpus/make_corpus.py
@@ -247,14 +260,171 @@ def make_page_v2(index: int):
     return image, binary, xml
 
 
-N_PAGES = 6
+# ------------------------------------------------------------- v3 pages
+NS_2017 = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2017-07-15"
+
+
+def _vignette(img, strength=60.0, floor=150.0):
+    """Radial corner darkening (camera optics / flatbed edge falloff).
+    Paper stays above the 128 binarization threshold (``floor``) so the
+    darkening pollutes the grayscale without fabricating ink."""
+    yy, xx = np.mgrid[0:H, 0:W]
+    r2 = ((yy - H / 2) / (H / 2)) ** 2 + ((xx - W / 2) / (W / 2)) ** 2
+    dark = strength * np.clip(r2 - 0.35, 0, None)
+    np.maximum(img - dark, np.minimum(img, floor), out=img)
+
+
+def _jpeg_blocking(img, q=12.0):
+    """8x8 block quantization artifacts: each block's deviation from its
+    mean snaps to ``q``-sized steps — the hard block edges lossy scans
+    carry."""
+    hh, ww = (H // 8) * 8, (W // 8) * 8
+    blocks = img[:hh, :ww].reshape(hh // 8, 8, ww // 8, 8)
+    mean = blocks.mean(axis=(1, 3), keepdims=True)
+    img[:hh, :ww] = (mean + np.round((blocks - mean) / q) * q).reshape(hh, ww)
+
+
+def _rotated_text_block(img, rng, top, left, bottom, right, sy, sx, char_h=12):
+    """Glyph rows along baselines sheared in BOTH axes (a small true
+    rotation): row drops by ``sy`` px per column px AND drifts right by
+    ``sx`` px per row px.  Returns the matching quadrilateral."""
+    for row in range(top, bottom - char_h - int(sy * (right - left)) - 3,
+                     int(char_h * 1.7)):
+        col = left
+        while col < right - 6:
+            glyph_w = rng.randint(4, 11)
+            dy = int(sy * (col - left))
+            dx = int(sx * (row - top))
+            if rng.rand() < 0.82:
+                img[row + dy : row + dy + char_h,
+                    col + dx : col + dx + glyph_w] = rng.randint(15, 70)
+            col += glyph_w + rng.randint(2, 5)
+    dy = int(sy * (right - left))
+    dx = int(sx * (bottom - top))
+    return [(left, top), (right, top + dy),
+            (right + dx, bottom + dy), (left + dx, bottom)]
+
+
+def _gutter_shadow(img, width=46, depth=70.0, floor=140.0):
+    """Spine-side shadow: exponential darkening toward the left edge with
+    a curvature wobble — the book-photography gutter."""
+    xx = np.arange(W, dtype=np.float64)
+    yy = np.arange(H, dtype=np.float64)
+    wobble = 1.0 + 0.18 * np.sin(yy / 61.0)[:, None]
+    dark = depth * np.exp(-xx[None, :] / (width * wobble))
+    np.maximum(img - dark, np.minimum(img, floor), out=img)
+
+
+def _drop_cap(img, top, left, size=34):
+    """A large dark initial: filled box with a carved-out counter."""
+    img[top : top + size, left : left + int(size * 0.78)] = 25
+    img[top + 8 : top + size - 8,
+        left + 8 : left + int(size * 0.78) - 8] = 200
+
+
+def _halftone_photo(img, rng, top, left, bottom, right, cell=4):
+    """Ordered-dither halftone print: dot size follows a smooth tone, so
+    the dark dots genuinely binarize as foreground speckle — the failure
+    mode real halftone figures feed into CC-based post-processing."""
+    yy, xx = np.mgrid[top:bottom, left:right]
+    tone = 0.5 + 0.3 * np.sin(yy / 23.0) * np.cos(xx / 17.0) \
+        + 0.12 * np.sin(xx / 7.0)
+    img[top:bottom, left:right] = 230
+    for cy in range(top, bottom - cell, cell):
+        for cx in range(left, right - cell, cell):
+            darkness = 1.0 - float(tone[cy - top, cx - left])
+            radius = int(round(np.clip(darkness, 0, 1) * (cell - 1)))
+            if radius:
+                img[cy : cy + radius, cx : cx + radius] = 35
+
+
+def _dog_ear(img, size=28):
+    """Folded/torn top-right corner: the scanner bed shows through as a
+    dark triangle that binarizes as a large foreground blob touching the
+    page edge (a classic cc-vote / xycut hazard)."""
+    for d in range(size):
+        img[d, W - size + d : W] = 22
+
+
+def make_page_v3(index: int):
+    rng = np.random.RandomState(100 + index)
+    img = _paper(rng)
+    regions = []
+    ns = NS
+
+    if index == 6:
+        # camera capture: true (two-axis) rotation, vignetting, JPEG
+        # blocking
+        sy, sx = 0.020, -0.012
+        body = _rotated_text_block(img, rng, 48, 35, 300, 255, sy, sx)
+        regions.append(_region("r6_body", "paragraph", body))
+        head = _rotated_text_block(img, rng, 14, 70, 40, 230, sy, sx, char_h=10)
+        regions.append(_region("r6_head", "heading", head))
+        foot = _rotated_text_block(img, rng, 330, 60, 372, 240, sy, sx, char_h=9)
+        regions.append(_region("r6_foot", "footer", foot))
+        _vignette(img)
+        _jpeg_blocking(img)
+    elif index == 7:
+        # bound-volume photography: gutter shadow, uneven illumination,
+        # a drop cap opening the paragraph
+        grad = np.linspace(0.0, 26.0, W)[None, :]  # lit from the left
+        img -= grad
+        _drop_cap(img, 64, 48)
+        body = _text_block(img, rng, 60, 92, 200, 262, char_h=12)
+        regions.append(_region(
+            "r7_body", "paragraph",
+            [(48, 60)] + body[1:3] + [(48, 200)]))
+        second = _text_block(img, rng, 215, 48, 330, 262, char_h=12)
+        regions.append(_region("r7_second", "paragraph", second))
+        head = _text_block(img, rng, 20, 90, 46, 220, char_h=10)
+        regions.append(_region("r7_head", "heading", head))
+        _gutter_shadow(img)
+    else:
+        # halftone-printed figure + dog-eared corner; 2017-namespace
+        # ground truth with a GraphicRegion (ornament) beside the figure
+        ns = NS_2017
+        head = _text_block(img, rng, 16, 70, 42, 230, char_h=10)
+        regions.append(_region("r8_head", "heading", head))
+        body = _text_block(img, rng, 56, 35, 170, 265, char_h=12)
+        regions.append(_region("r8_body", "paragraph", body))
+        fig = [(60, 190), (240, 190), (240, 310), (60, 310)]
+        _halftone_photo(img, rng, 190, 60, 310, 240)
+        regions.append(_region("r8_fig", None, fig, tag="ImageRegion"))
+        _text_block(img, rng, 318, 80, 340, 220, char_h=8)  # caption
+        regions.append(_region(
+            "r8_caption", "caption",
+            [(80, 318), (220, 318), (220, 340), (80, 340)]))
+        orn = [(252, 210), (290, 210), (290, 290), (252, 290)]
+        yy, xx = np.mgrid[210:290, 252:290]
+        img[210:290, 252:290] = np.where(
+            ((yy + xx) % 14) < 4, 45, img[210:290, 252:290])
+        regions.append(_region("r8_orn", None, orn, tag="GraphicRegion"))
+        _dog_ear(img)
+
+    image = np.clip(img, 0, 255).astype(np.uint8)
+    binary = np.where(image < 128, 0, 255).astype(np.uint8)
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<PcGts xmlns="{ns}">\n'
+        f'  <Page imageFilename="page{index}.png" imageHeight="{H}" imageWidth="{W}">\n'
+        + "".join(regions)
+        + "  </Page>\n</PcGts>\n"
+    )
+    return image, binary, xml
+
+
+N_PAGES = 9
 
 
 def main():
     for sub in ("images", "binary", "xml"):
         os.makedirs(os.path.join(HERE, sub), exist_ok=True)
     for i in range(N_PAGES):
-        image, binary, xml = make_page(i) if i < 3 else make_page_v2(i)
+        image, binary, xml = (
+            make_page(i) if i < 3
+            else make_page_v2(i) if i < 6
+            else make_page_v3(i)
+        )
         imsave(os.path.join(HERE, "images", f"page{i}.png"), image)
         imsave(os.path.join(HERE, "binary", f"page{i}.png"), binary)
         with open(os.path.join(HERE, "xml", f"page{i}.xml"), "w") as f:
