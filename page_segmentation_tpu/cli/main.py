@@ -443,6 +443,7 @@ def cmd_serve(args) -> int:
         max_wait_ms=args.max_wait_ms,
         max_width=args.max_width,
         max_queue=args.max_queue,
+        resize_backend=args.resize_backend,
     )
     server = PredictionServer(service, host=args.host, port=args.port)
     logger.info("model %s ready; POST /predict on %s:%d",
@@ -786,6 +787,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="backpressure: reject (HTTP 503 + Retry-After) new "
                         "pages beyond this many pending; 0 = unbounded")
     v.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    v.add_argument("--resize_backend", default="pil", choices=["pil", "scipy"],
+                   help="prepare backend: pil = C-speed bicubic (default for "
+                        "serving), scipy = the bit-parity spline path")
     v.add_argument("--s2d_stem", action="store_true")
     v.add_argument("--int8", action="store_true",
                    help="serve the int8-quantized model (fcn/fcn_skip; "

@@ -243,8 +243,15 @@ class Predictor:
                 n = len(chunk)
                 # ragged tail chunks pad to the full batch size (zero
                 # pages, results cropped per page below) so every chunk of
-                # a bucket reuses one compiled program
-                n_padded = batch_size if len(members) > batch_size else n
+                # a bucket reuses one compiled program; sub-batch-size
+                # groups pad the batch dim to a power of two — serving
+                # feeds dynamic batch sizes through here, and an exact-n
+                # trace per size is a recompile per size (measured as
+                # multi-second p90 stalls on the batching service)
+                n_padded = (
+                    batch_size if len(members) > batch_size
+                    else min(batch_size, 1 << max(0, n - 1).bit_length())
+                )
                 images = np.zeros((n_padded,) + shape, dtype=np.uint8)
                 binaries = np.zeros((n_padded,) + shape, dtype=np.uint8)
                 for i, d in enumerate(chunk):

@@ -83,7 +83,9 @@ class ServeStats:
             "rejected_total": self.rejected_total,
             "mean_batch_size": round(float(np.mean(sizes)), 2) if sizes else None,
             "latency_ms_p50": pct(0.50),
+            "latency_ms_p90": pct(0.90),
             "latency_ms_p95": pct(0.95),
+            "latency_ms_p99": pct(0.99),
         }
 
 
@@ -107,6 +109,7 @@ class BatchingService:
         max_wait_ms: float = 25.0,
         max_width: Optional[int] = None,
         max_queue: int = 0,
+        resize_backend: str = "pil",
     ):
         self.predictor = predictor
         self.color_map = color_map
@@ -117,8 +120,12 @@ class BatchingService:
         # (0 = unbounded); rejected requests fail fast with
         # ServiceOverloaded / HTTP 503 instead of stacking latency
         self.max_queue = max_queue
+        # serving is the throughput surface, so the C-speed PIL bicubic is
+        # the default prepare backend here (~10x the spline path at full
+        # resolution); pass "scipy" for the bit-parity prepare
         self.loader = DatasetLoader(
-            target_line_height, color_map, prediction=True, max_width=max_width
+            target_line_height, color_map, prediction=True, max_width=max_width,
+            resize_backend=resize_backend,
         )
         self.stats = ServeStats()
         self._queue: "queue.Queue" = queue.Queue()
