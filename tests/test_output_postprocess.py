@@ -364,3 +364,48 @@ def test_fast_path_high_res_output_matches_slow_path():
     for s, (fd, fp, fc, fo, fi) in zip(slow, fast):
         assert fp.shape == (80, 64)
         np.testing.assert_array_equal(np.asarray(fp), np.asarray(s.labels))
+
+
+def test_fast_path_pow2_batch_bucketing(cmap):
+    """Dynamic sub-batch sizes share pow2-padded programs: a long-lived
+    service feeding sizes 1..batch_size must compile at most the pow2
+    ladder, never one program per size (the recompile storm that stalled
+    serving)."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.data.dataset import Dataset, SingleData
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.inference.predictor import Predictor, PredictSettings
+    from page_segmentation_tpu.models.registry import Architecture
+
+    classifier = PixelClassifier(
+        n_classes=3, architecture=Architecture.FCN_SKIP, compute_dtype=jnp.float32
+    )
+    predictor = Predictor(
+        PredictSettings(n_classes=3, color_map=DEFAULT_IMAGE_MAP,
+                        device_post_process=False),
+        network=classifier,
+    )
+    rng = np.random.RandomState(3)
+
+    def run(n):
+        entries = [
+            SingleData(
+                image=rng.randint(0, 256, (64, 48), np.uint8),
+                binary=(rng.rand(64, 48) < 0.5).astype(np.uint8),
+                line_height_px=6,
+            )
+            for _ in range(n)
+        ]
+        out = list(predictor.predict_dataset_fast(
+            Dataset(entries, DEFAULT_IMAGE_MAP), batch_size=8))
+        assert len(out) == n
+
+    for n in (1, 2, 3, 5, 6, 7, 8):
+        run(n)
+    # sizes 1..8 may hit only the pow2 ladder {1, 2, 4, 8} of one bucket
+    # (cache key = ("masks", images.shape, ...))
+    batch_dims = {key[1][0] for key in classifier._masks_cache}
+    assert batch_dims <= {1, 2, 4, 8}, batch_dims
+    assert len(classifier._masks_cache) <= 4
