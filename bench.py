@@ -160,8 +160,9 @@ def phase_stats(intervals, batch_pages: int) -> dict:
     recomputable from the shipped ``batch_s`` list:
 
     * ``pages_per_sec_steady``   = median per-batch rate over
-      intervals[1:] (first batch = pipeline spin-up; equals
-      batch/median(intervals[1:]) when all batches are full);
+      intervals[1:] (first batch = pipeline spin-up; rates first, THEN
+      median — an even-length window's median averages two rates, so
+      this is not interchangeable with batch/median(intervals));
     * ``pages_per_sec_second_half`` = the same over the second half of
       intervals[1:] — the run warmed up;
     * ``pages_per_sec_top_phase``   = best contiguous quarter-length
@@ -199,8 +200,9 @@ def phase_stats(intervals, batch_pages: int) -> dict:
         "pages_per_sec_steady": round(float(np.median(steady)), 2),
         "pages_per_sec_second_half": round(float(np.median(second)), 2),
         "pages_per_sec_top_phase": round(top, 2),
-        "phase_policy": "steady=median per-batch pages/s over batch_s[1:] "
-                        "(== batch/median(batch_s[1:]) for uniform batches); "
+        "phase_policy": "steady=median of per-batch pages/s over batch_s[1:] "
+                        "(rates first, then median — for even-length windows "
+                        "this differs from batch/median(batch_s[1:])); "
                         "second_half=same over the second half of batch_s[1:]; "
                         "top_phase=best contiguous quarter-length window "
                         "(sum pages / sum s)",

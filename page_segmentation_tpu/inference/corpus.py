@@ -93,8 +93,6 @@ class RawCorpusPredictor:
             compute_dtype = jnp.bfloat16
         self.compute_dtype = compute_dtype
         self._predictors = {}
-        self._buf_ring = {}  # (h, w) -> two reusable window buffer pairs
-        self._buf_turn = 0
 
     # ------------------------------------------------------------- grouping
     @staticmethod
@@ -134,28 +132,33 @@ class RawCorpusPredictor:
         return self._predictors[key]
 
     # -------------------------------------------------------------- running
-    def _slice_bufs(self, h: int, w: int, n: int):
-        """Two reusable (images, binaries) window buffers per page shape —
-        one being predicted, one being decoded into by the prefetch
-        thread.  Fresh window-sized arrays every slice first-touch
-        ~2 x window x H x W of new memory each time, which on this class
-        of host runs at cold-page-fault speed and measured 3.5x the
-        actual decode cost (197 vs 57 ms/page); steady-state reuse pays
-        the fault once."""
-        ring = self._buf_ring.get((h, w))
-        if ring is None:
-            size = max(self.window, n)
-            ring = [
-                (np.empty((size, h, w), np.uint8), np.empty((size, h, w), np.uint8))
-                for _ in range(2)
-            ]
-            self._buf_ring[(h, w)] = ring
-        images, binaries = ring[self._buf_turn % 2]
-        self._buf_turn += 1
-        return images[:n], binaries[:n]
+    class _SliceRing:
+        """Two reusable (images, binaries) window buffer pairs — one being
+        predicted, one being decoded into by the prefetch thread.  Fresh
+        window-sized arrays every slice first-touch ~2 x window x H x W of
+        new memory each time, which on this class of host runs at
+        cold-page-fault speed and measured 3.5x the actual decode cost
+        (197 vs 57 ms/page); steady-state reuse pays the fault once.
 
-    def _load_slice(self, members: List[RawPage], h: int, w: int):
-        images, binaries = self._slice_bufs(h, w, len(members))
+        Owned by a single run() generator (not the predictor instance):
+        buffers size to the slices actually seen, are freed when the
+        generator is collected, and two overlapping run() calls can never
+        hand each other's in-flight pixels out (each has its own ring)."""
+
+        def __init__(self):
+            self._pairs = [None, None]
+            self._turn = 0
+
+        def take(self, h: int, w: int, n: int):
+            pair = self._pairs[self._turn % 2]
+            if pair is None or pair[0].shape[1:] != (h, w) or pair[0].shape[0] < n:
+                pair = (np.empty((n, h, w), np.uint8), np.empty((n, h, w), np.uint8))
+                self._pairs[self._turn % 2] = pair
+            self._turn += 1
+            return pair[0][:n], pair[1][:n]
+
+    def _load_slice(self, ring, members: List[RawPage], h: int, w: int):
+        images, binaries = ring.take(h, w, len(members))
 
         def load(i_page):
             i, page = i_page
@@ -187,6 +190,7 @@ class RawCorpusPredictor:
         if output_dir:
             for sub in ("color", "overlay", "inverted"):
                 os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
+        ring = self._SliceRing()  # per-run(): see _SliceRing docstring
         for (h, w, line_height), members in self.group(pages):
             predictor = self._predictor_for((h, w, line_height))
             slices = [
@@ -198,12 +202,12 @@ class RawCorpusPredictor:
             # the decode rides a spare core; host residency becomes two
             # windows of full-resolution pages instead of one)
             with ThreadPoolExecutor(1) as loader:
-                pending = loader.submit(self._load_slice, slices[0], h, w)
+                pending = loader.submit(self._load_slice, ring, slices[0], h, w)
                 for index, chunk in enumerate(slices):
                     images, binaries = pending.result()
                     if index + 1 < len(slices):
                         pending = loader.submit(
-                            self._load_slice, slices[index + 1], h, w
+                            self._load_slice, ring, slices[index + 1], h, w
                         )
                     yield from self._run_slice(
                         predictor, chunk, images, binaries, output_dir

@@ -109,7 +109,7 @@ class BatchingService:
         max_wait_ms: float = 25.0,
         max_width: Optional[int] = None,
         max_queue: int = 0,
-        resize_backend: str = "pil",
+        resize_backend: str = "scipy",
     ):
         self.predictor = predictor
         self.color_map = color_map
@@ -120,9 +120,10 @@ class BatchingService:
         # (0 = unbounded); rejected requests fail fast with
         # ServiceOverloaded / HTTP 503 instead of stacking latency
         self.max_queue = max_queue
-        # serving is the throughput surface, so the C-speed PIL bicubic is
-        # the default prepare backend here (~10x the spline path at full
-        # resolution); pass "scipy" for the bit-parity prepare
+        # default is the bit-parity spline prepare; "pil" swaps in the
+        # C-speed uint8 bicubic (~10x at full resolution, but it prepares
+        # ~94% of pixels a few gray levels differently — an explicit
+        # throughput-over-parity opt-in, gated in test_prepare.py)
         self.loader = DatasetLoader(
             target_line_height, color_map, prediction=True, max_width=max_width,
             resize_backend=resize_backend,

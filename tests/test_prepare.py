@@ -90,3 +90,31 @@ def test_prepare_overshoot_wraps_like_reference():
     assert over.any() or under.any(), "test page produced no overshoot"
     expected = (raw * 255).astype(np.uint8)  # wrapping cast
     np.testing.assert_array_equal(img, expected)
+
+
+def test_pil_backend_divergence_bounded():
+    """The pil prepare backend is the declared throughput-over-parity
+    opt-in (serve --resize_backend pil); this pins HOW far it strays from
+    the spline parity path so a backend regression (wrong kernel, wrong
+    coordinate convention, broken anti-aliasing) cannot hide behind the
+    'not bit-parity' label.  Measured on production-like text pages:
+    ~94% of pixels differ, mean |diff| ~5 gray levels, max ~31, no
+    wraparound disagreements, binaries identical."""
+    rng = np.random.RandomState(7)
+    image = np.full((701, 493), 225, np.uint8)
+    for row in range(60, 640, 22):
+        cols = rng.randint(30, 460, size=14)
+        for c in cols:
+            image[row : row + 13, c : c + 7] = rng.randint(15, 70)
+    binary = np.where(image < 128, 0, 255).astype(np.uint8)
+
+    a_img, a_bin = prepare_images(image, binary, 6, 13, resize_backend="scipy")
+    b_img, b_bin = prepare_images(image, binary, 6, 13, resize_backend="pil")
+    assert a_img.shape == b_img.shape
+    # the binary chain is backend-independent (nearest gather)
+    np.testing.assert_array_equal(a_bin, b_bin)
+    diff = a_img.astype(np.int16) - b_img.astype(np.int16)
+    wrap = np.abs(diff) > 200  # uint8-wraparound disagreements
+    assert wrap.mean() < 0.001, wrap.mean()
+    assert np.abs(diff[~wrap]).max() <= 60, np.abs(diff[~wrap]).max()
+    assert np.abs(diff[~wrap]).mean() <= 12, np.abs(diff[~wrap]).mean()

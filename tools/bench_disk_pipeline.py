@@ -52,9 +52,12 @@ def main():
     from page_segmentation_tpu.inference.classifier import PixelClassifier
     from page_segmentation_tpu.models.registry import Architecture
 
-    os.makedirs(args.dir, exist_ok=True)
-    img_dir = os.path.join(args.dir, "images")
-    bin_dir = os.path.join(args.dir, "binary")
+    # corpus dir keyed by page dims so a rerun with different --height/
+    # --width can never silently measure a prior run's stale pages while
+    # recording the new dims in the artifact
+    corpus_dir = os.path.join(args.dir, f"{args.height}x{args.width}")
+    img_dir = os.path.join(corpus_dir, "images")
+    bin_dir = os.path.join(corpus_dir, "binary")
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(bin_dir, exist_ok=True)
 
@@ -72,9 +75,12 @@ def main():
         for i in range(n):
             ip = os.path.join(img_dir, f"p{done + i:05d}.png")
             bp = os.path.join(bin_dir, f"p{done + i:05d}.png")
+            # binary first: the reuse check keys on the image, so an
+            # interrupted prior run can never leave an image whose binary
+            # is missing (which would crash imread_bin mid-measurement)
             if not os.path.exists(ip):
-                Image.fromarray(pages[i]).save(ip, compress_level=1)
                 Image.fromarray(binaries[i]).save(bp, compress_level=1)
+                Image.fromarray(pages[i]).save(ip, compress_level=1)
             raw_pages.append(RawPage(ip, bp, line_height))
         done += n
         print(f"corpus: {done}/{args.pages} on disk "

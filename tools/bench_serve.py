@@ -35,6 +35,11 @@ def main():
     parser.add_argument("--max-wait-ms", type=float, default=25.0)
     parser.add_argument("--http-smoke", type=int, default=3,
                         help="requests through the real HTTP server (0=skip)")
+    parser.add_argument("--resize-backend", default="pil",
+                        choices=["pil", "scipy"],
+                        help="prepare backend under test (pil = the "
+                             "throughput opt-in, scipy = the serve default "
+                             "parity path); recorded in the artifact")
     parser.add_argument("--record", action="store_true")
     args = parser.parse_args()
 
@@ -61,6 +66,7 @@ def main():
     service = BatchingService(
         predictor, DEFAULT_IMAGE_MAP, default_char_height=50,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        resize_backend=args.resize_backend,
     )
 
     pages, binaries, _ = bench.synthesize_pages(
@@ -79,7 +85,11 @@ def main():
         for f in futures:
             f.result()
         k *= 2
-    service.stats.latency_ms.clear()
+    # fresh stats for the measured run: warmup batches must not leak into
+    # the recorded latency percentiles or mean_batch_size
+    from page_segmentation_tpu.inference.server import ServeStats
+
+    service.stats = ServeStats()
 
     t0 = time.perf_counter()
 
@@ -106,6 +116,7 @@ def main():
         "page_hw": [args.height, args.width],
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
+        "resize_backend": args.resize_backend,
         "latency_ms": {
             k.removeprefix("latency_ms_"): snap[k]
             for k in ("latency_ms_p50", "latency_ms_p90", "latency_ms_p99")
@@ -126,6 +137,7 @@ def main():
         server = PredictionServer(service2 := BatchingService(
             predictor, DEFAULT_IMAGE_MAP, default_char_height=50,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            resize_backend=args.resize_backend,
         ))
         threading.Thread(target=server.serve_forever, daemon=True).start()
         from PIL import Image
