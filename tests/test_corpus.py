@@ -193,3 +193,27 @@ def test_corpus_cc_vote_runs(tmp_path):
     for _, color, overlay, inverted in out:
         assert color.shape == overlay.shape == inverted.shape
         assert color.shape[-1] == 3
+
+
+def test_heterogeneous_shapes_share_one_run_ring(tmp_path):
+    """One run() over pages of two different shapes: the per-run decode
+    ring reallocates on the shape change (and on a larger later slice)
+    without mixing pixels across groups — every page's color mask must
+    equal the single-shape reference run."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 3), (120, 88, 4)])
+    cls = _classifier()
+    runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
+    )
+    got = {p.name: color for p, color, *_ in runner.run(pages)}
+    assert len(got) == 7
+
+    # reference: each shape streamed alone through a fresh run()
+    for shape_pages in (pages[:3], pages[3:]):
+        solo = RawCorpusPredictor(
+            cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
+        )
+        for p, color, *_ in solo.run(shape_pages):
+            np.testing.assert_array_equal(got[p.name], color)
