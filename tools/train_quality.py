@@ -1,0 +1,151 @@
+"""End-to-end training-quality artifact on the golden corpus.
+
+The test suite proves the loss decreases and every path agrees with
+every other path; THIS tool records what the trained model is actually
+worth: the full reference workflow (gen-masks -> create-dataset-file ->
+train -> predict -> evaluate) over the 9-page golden corpus with a
+seeded train/test split, reporting held-out pixel accuracy, per-label
+F1, and FgPA (foreground pixel accuracy, the reference's headline
+quality metric) from the `evaluate` CLI.
+
+Writes bench_runs/r3_train_quality.json with --record.
+"""
+import argparse
+import contextlib
+import io
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ps_tpu_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CORPUS = os.path.join(HERE, "..", "tests", "golden_corpus")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-epoch", type=int, default=100)
+    parser.add_argument("--l-rate", type=float, default=1e-3)
+    parser.add_argument("--target-line-height", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--augment", action="store_true", default=True)
+    parser.add_argument("--no-augment", dest="augment", action="store_false")
+    parser.add_argument("--record", action="store_true")
+    args = parser.parse_args()
+
+    from page_segmentation_tpu.cli.main import main as cli
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = os.path.join(tmp, "ds")
+        for sub in ("binary_images", "images", "masks", "normalizations"):
+            os.makedirs(os.path.join(ds, sub), exist_ok=True)
+        rc = cli(["gen-masks", "--input_dir", os.path.join(CORPUS, "xml"),
+                  "--output_dir", os.path.join(ds, "masks"),
+                  "--setting", "text_nontext"])
+        assert rc == 0
+        frozen = json.load(open(os.path.join(CORPUS, "frozen.json")))
+        n_pages = len(frozen["char_height"])
+        for i in range(n_pages):
+            for sub, src in (("images", "images"), ("binary_images", "binary")):
+                shutil.copy(os.path.join(CORPUS, src, f"page{i}.png"),
+                            os.path.join(ds, sub, f"page{i}.png"))
+            with open(os.path.join(ds, "normalizations", f"page{i}.json"), "w") as f:
+                json.dump({"char_height": frozen["char_height"][f"page{i}"]}, f)
+        image_map = os.path.join(tmp, "image_map.json")
+        shutil.move(os.path.join(ds, "masks", "image_map.json"), image_map)
+
+        dataset_json = os.path.join(tmp, "dataset.json")
+        random.seed(args.seed)
+        rc = cli(["create-dataset-file", "--dataset_path", ds,
+                  "--output_file", dataset_json,
+                  "--n_train", str(n_pages - 2), "--n_test", "2", "--n_eval", "0"])
+        assert rc == 0
+        split = json.load(open(dataset_json))
+        test_pages = sorted(
+            os.path.splitext(os.path.basename(e["image_path"]))[0]
+            for e in split["test"]
+        )
+
+        out = os.path.join(tmp, "train_out")
+        rc = cli(["train", "--split_file", dataset_json, "--output", out,
+                  "--n_epoch", str(args.n_epoch), "--l_rate", str(args.l_rate),
+                  "--color_map", image_map,
+                  "--target_line_height", str(args.target_line_height),
+                  "--seed", "0"]
+                 + (["--data_augmentation"] if args.augment else []))
+        assert rc == 0
+        scalars = [json.loads(line) for line in open(os.path.join(out, "scalars.jsonl"))]
+
+        # predict + evaluate the HELD-OUT pages only
+        held = os.path.join(tmp, "held")
+        for sub in ("images", "binary", "norm", "gt_masks"):
+            os.makedirs(os.path.join(held, sub), exist_ok=True)
+        for page in test_pages:
+            shutil.copy(os.path.join(CORPUS, "images", f"{page}.png"),
+                        os.path.join(held, "images", f"{page}.png"))
+            shutil.copy(os.path.join(CORPUS, "binary", f"{page}.png"),
+                        os.path.join(held, "binary", f"{page}.png"))
+            shutil.copy(os.path.join(ds, "normalizations", f"{page}.json"),
+                        os.path.join(held, "norm", f"{page}.json"))
+            # GT masks save as pageN.mask.png; evaluate pairs by identical
+            # filename, so stage them under the prediction's name
+            shutil.copy(os.path.join(ds, "masks", f"{page}.mask.png"),
+                        os.path.join(held, "gt_masks", f"{page}.png"))
+        pred = os.path.join(tmp, "pred")
+        rc = cli(["predict", "--load", os.path.join(out, "model"),
+                  "--output", pred, "--fast",
+                  "--images", os.path.join(held, "images"),
+                  "--binary", os.path.join(held, "binary"),
+                  "--norm", os.path.join(held, "norm"),
+                  "--color_map", image_map,
+                  "--target_line_height", str(args.target_line_height),
+                  "--high_res_output"])
+        assert rc == 0
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli(["evaluate", "--masks", os.path.join(held, "gt_masks"),
+                      "--predictions", os.path.join(pred, "color"),
+                      "--binary", os.path.join(held, "binary"),
+                      "--color_map", image_map])
+        assert rc == 0
+        report = json.loads(buf.getvalue())
+
+    result = {
+        "metric": "held_out_fgpa",
+        "value": round(report.get("fgpa", 0.0), 4),
+        "unit": "fraction",
+        "accuracy": round(report["accuracy"], 4),
+        "per_label": {k: {m: round(v, 4) for m, v in d.items()}
+                      for k, d in report.items() if k.startswith("label_")},
+        "test_pages": test_pages,
+        "train_pages": n_pages - 2,
+        "n_epoch": args.n_epoch,
+        "augmented": bool(args.augment),
+        "loss_first": round(scalars[0]["loss"], 4),
+        "loss_last": round(scalars[-1]["loss"], 4),
+        "mode": "full reference workflow (gen-masks -> create-dataset-file "
+                "-> train -> predict --fast --high_res_output -> evaluate) "
+                "on the 9-page golden corpus, seeded 7/2 train/test split; "
+                "metrics on the held-out pages only",
+    }
+    print(json.dumps(result))
+    if args.record:
+        path = os.path.join(HERE, "..", "bench_runs", "r3_train_quality.json")
+        with open(path, "w") as f:
+            json.dump(result, f)
+            f.write("\n")
+        print(f"recorded {os.path.normpath(path)}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
