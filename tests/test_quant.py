@@ -170,3 +170,46 @@ def test_classifier_int8_agrees_with_float():
     assert q_pred.shape == ref_pred.shape
     assert (q_pred == ref_pred).mean() >= 0.95
     assert q_masks.shape == ref_masks.shape
+
+def test_pipeline_int8_composes_with_host_vote():
+    """int8 composes with the cc-majority host vote in the throughput
+    pipeline (the bench's sustained_vote --int8 config): the voted int8
+    color mask must equal the vote applied to the int8 no-vote class map
+    — i.e. quantization and the vote commute through the pipeline wiring
+    (pixel equality vs the FLOAT vote is not the invariant: the vote
+    amplifies any argmax flip across its whole component)."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.data.dataset import SingleData
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+    from page_segmentation_tpu.inference.postprocess import (
+        vote_connected_component_class,
+    )
+
+    H, W = 192, 160
+    pages = np.stack([_synthetic_page(H, W, s) for s in range(2)])
+    binaries = ((pages >= 128) * 255).astype(np.uint8)
+    m = FCNSkip(n_classes=3)
+    params = _params(m)
+    palette = DEFAULT_IMAGE_MAP.palette
+    kw = dict(page_shape=(H, W), scale=0.5, host_decimate=2)
+
+    plain = ThroughputPredictor(m, params, palette, int8=True,
+                                download="pred", **kw)
+    voted = ThroughputPredictor(m, params, palette, int8=True,
+                                download="packed", cc_vote="host", **kw)
+    # same calibration batch -> identical quantized programs
+    base = np.concatenate(
+        [c for c, _, _ in plain.run(pages, binaries, batch_size=2)])
+    got = np.concatenate(
+        [c for c, _, _ in voted.run(pages, binaries, batch_size=2)])
+
+    oh, ow = base.shape[1:3]
+    ink = np.zeros((2, oh, ow), np.uint8)  # reconstruct the pipeline's ink
+    for i in range(2):
+        ink[i] = (binaries[i][plain.row_idx][:, plain.col_idx] < 128)
+    # invert the color mask back to class indices (palette rows are unique)
+    pred = (base[..., None, :] == palette[None, None, None]).all(-1).argmax(-1)
+    for i in range(2):
+        want = vote_connected_component_class(
+            pred[i].astype(np.int64), SingleData(binary=ink[i]))
+        np.testing.assert_array_equal(got[i], palette[want])
