@@ -196,24 +196,31 @@ def test_corpus_cc_vote_runs(tmp_path):
 
 
 def test_heterogeneous_shapes_share_one_run_ring(tmp_path):
-    """One run() over pages of two different shapes: the per-run decode
-    ring reallocates on the shape change (and on a larger later slice)
-    without mixing pixels across groups — every page's color mask must
-    equal the single-shape reference run."""
+    """One run() over three groups: two page shapes (the ring reallocates
+    on the shape change) plus a same-shape group whose first slice is
+    LARGER than the buffer a 1-page group left behind (the shape[0] < n
+    growth branch of _SliceRing.take) — no pixels may mix across groups,
+    so every page's color mask must equal a single-group reference run."""
     from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
 
-    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 3), (120, 88, 4)])
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 3), (120, 88, 1)])
+    # same (120, 88) shape, different line height -> its own group, whose
+    # 2-page slices must GROW the 1-page buffer the group above allocated
+    more, _, _ = _write_corpus(str(tmp_path / "b"), [(120, 88, 4)], line_height=32)
+    for j, p in enumerate(more):  # distinct names vs the first corpus
+        p.output_name = f"b{j:03d}.png"
+    pages = pages + more
     cls = _classifier()
     runner = RawCorpusPredictor(
         cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
     )
     got = {p.name: color for p, color, *_ in runner.run(pages)}
-    assert len(got) == 7
+    assert len(got) == 8
 
-    # reference: each shape streamed alone through a fresh run()
-    for shape_pages in (pages[:3], pages[3:]):
+    # reference: each group streamed alone through a fresh run()
+    for group_pages in (pages[:3], pages[3:4], pages[4:]):
         solo = RawCorpusPredictor(
             cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
         )
-        for p, color, *_ in solo.run(shape_pages):
+        for p, color, *_ in solo.run(group_pages):
             np.testing.assert_array_equal(got[p.name], color)

@@ -63,16 +63,20 @@ def main():
         image_map = os.path.join(tmp, "image_map.json")
         shutil.move(os.path.join(ds, "masks", "image_map.json"), image_map)
 
+        # three-way split: the "test" page is the validation set (the train
+        # CLI selects the best checkpoint on it, mirroring the reference's
+        # trainer semantics), so the pages this tool evaluates live in the
+        # UNTOUCHED "eval" split — no model selection ever sees them
         dataset_json = os.path.join(tmp, "dataset.json")
         random.seed(args.seed)
         rc = cli(["create-dataset-file", "--dataset_path", ds,
                   "--output_file", dataset_json,
-                  "--n_train", str(n_pages - 2), "--n_test", "2", "--n_eval", "0"])
+                  "--n_train", str(n_pages - 3), "--n_test", "1", "--n_eval", "2"])
         assert rc == 0
         split = json.load(open(dataset_json))
         test_pages = sorted(
             os.path.splitext(os.path.basename(e["image_path"]))[0]
-            for e in split["test"]
+            for e in split["eval"]
         )
 
         out = os.path.join(tmp, "train_out")
@@ -119,24 +123,50 @@ def main():
                       "--color_map", image_map])
         assert rc == 0
         report = json.loads(buf.getvalue())
+        # every held-out page must have been predicted AND paired by the
+        # evaluator — a naming drift would otherwise record a silently
+        # partial (or zero) metric with exit code 0
+        predicted = sorted(
+            os.path.splitext(n)[0] for n in os.listdir(os.path.join(pred, "color")))
+        assert predicted == test_pages, (predicted, test_pages)
+        assert "fgpa" in report, report
+
+        # annotate classes the eval ground truth never contains: their
+        # F1 is vacuously 0 (tp = fn = 0), not a model failure
+        import numpy as np
+
+        from page_segmentation_tpu.core.colors import ColorMap
+
+        cmap = ColorMap.load(image_map)
+        gt_classes = set()
+        for page in test_pages:
+            labels = cmap.imread_labels(
+                os.path.join(held, "gt_masks", f"{page}.png"))
+            gt_classes.update(np.unique(labels).tolist())
+        for label in range(cmap.n_classes):
+            if label not in gt_classes:
+                report[f"label_{label}"]["absent_in_eval_gt"] = True
 
     result = {
         "metric": "held_out_fgpa",
-        "value": round(report.get("fgpa", 0.0), 4),
+        "value": round(report["fgpa"], 4),
         "unit": "fraction",
         "accuracy": round(report["accuracy"], 4),
-        "per_label": {k: {m: round(v, 4) for m, v in d.items()}
+        "per_label": {k: {m: round(v, 4) if isinstance(v, float) else v
+                          for m, v in d.items()}
                       for k, d in report.items() if k.startswith("label_")},
         "test_pages": test_pages,
-        "train_pages": n_pages - 2,
-        "n_epoch": args.n_epoch,
+        "train_pages": n_pages - 3,
+        "n_epoch_requested": args.n_epoch,
+        "epochs_ran": len(scalars),
         "augmented": bool(args.augment),
         "loss_first": round(scalars[0]["loss"], 4),
         "loss_last": round(scalars[-1]["loss"], 4),
         "mode": "full reference workflow (gen-masks -> create-dataset-file "
                 "-> train -> predict --fast --high_res_output -> evaluate) "
-                "on the 9-page golden corpus, seeded 7/2 train/test split; "
-                "metrics on the held-out pages only",
+                "on the 9-page golden corpus, seeded 6/1/2 train/val/eval "
+                "split; best checkpoint selected on the VAL page, metrics "
+                "on the 2 untouched eval pages (no model selection leak)",
     }
     print(json.dumps(result))
     if args.record:
