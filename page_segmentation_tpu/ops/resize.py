@@ -53,6 +53,34 @@ def rescale_nearest(image: np.ndarray, scale: float) -> np.ndarray:
     return resize_nearest(image, output_shape_for_scale(image.shape[:2], scale))
 
 
+def resize_nearest_cv(image: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
+    """Nearest resize with OpenCV's pixel-selection rule (INTER_NEAREST).
+
+    The reference's ``find_segments`` resizes the prediction to its
+    canonical working height with ``cv2.resize(..., INTER_NEAREST)``
+    (reference pc_segmentation.py:31), whose mapping differs from the
+    skimage convention of :func:`resize_nearest`: per axis,
+
+        ``src = min(floor(dst * (1.0 / (out / in))), in - 1)``
+
+    where ``out / in`` and its reciprocal are both rounded to float64 —
+    cv2 computes ``inv_scale = dsize/ssize`` first and divides 1 by it, so
+    when ``dst * in/out`` is mathematically integral the double rounding
+    can select the *previous* source pixel.  That double rounding is the
+    behavioral contract: this formula was validated exact against real
+    cv2 5.0 on 1200 randomized gray+RGB cases (see
+    tests/test_cv2_parity_live.py) and is frozen in tests/oracles/.
+    """
+    image = np.asarray(image)
+    out_shape = tuple(int(s) for s in out_shape)
+    idx = []
+    for out_dim, in_dim in zip(out_shape, image.shape):
+        inv = np.float64(1.0) / np.float64(out_dim / in_dim)
+        coords = np.floor(np.arange(out_dim, dtype=np.float64) * inv)
+        idx.append(np.minimum(coords.astype(np.int64), in_dim - 1))
+    return image[np.ix_(idx[0], idx[1])]
+
+
 def resize_cubic(
     image: np.ndarray,
     out_shape: Sequence[int],

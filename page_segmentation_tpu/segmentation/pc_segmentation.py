@@ -6,8 +6,11 @@ thresholds, XY cut per label, scale back), ``dilate`` (:63-67), and
 ``get_text_contours`` (:70-116 — char_height-sized morphological
 close/open/dilate + contour extraction for polygonal text regions).
 
-cv2 is absent; morphology and contours are the re-owned ops
-(ops/morphology.py, ops/contours.py).
+Morphology, contours and the canonical-height nearest resize are the
+re-owned ops (ops/morphology.py, ops/contours.py, ops/resize.py
+``resize_nearest_cv``) — each gated bit-exact against real cv2 where it
+is installed (tests/test_cv2_parity_live.py) and against frozen cv2
+outputs everywhere (tests/oracles/).
 """
 from __future__ import annotations
 
@@ -19,7 +22,7 @@ import numpy as np
 from ..core.colors import ColorMap
 from ..ops import morphology
 from ..ops.contours import fill_contour, find_external_contours
-from ..ops.resize import resize_nearest
+from ..ops.resize import resize_nearest_cv
 from .xycut import CVContour, RectSegment, do_xy_cut
 
 ColorMapping = Dict[str, np.ndarray]
@@ -87,10 +90,13 @@ def find_segments(
     """
     # scale factor computed FIRST, then applied — int(w * (rh/h)) and
     # int(w*rh/h) disagree on hundreds of (h, w) shapes (e.g. 700x700 at
-    # rh=300: 299 vs 300), and the reference's rounding is the contract
+    # rh=300: 299 vs 300), and the reference's rounding is the contract.
+    # resize_nearest_cv reproduces cv2's INTER_NEAREST pixel selection
+    # (reference pc_segmentation.py:31), not the skimage convention the
+    # dataset path uses — the two pick different source pixels.
     canonical_scale = resize_height / image.shape[0]
     canonical_w = int(image.shape[1] * canonical_scale)
-    canonical = dilate(resize_nearest(image, (resize_height, canonical_w)))
+    canonical = dilate(resize_nearest_cv(image, (resize_height, canonical_w)))
 
     to_canonical = resize_height / orig_height
     thresholds = CutThresholds.at_scale(char_height, to_canonical)

@@ -1,15 +1,20 @@
 """Third-party-oracle gates for the re-owned preprocessing chain.
 
-The build image ships neither scikit-image nor OpenCV, so the
-reimplementations in ops/resize.py, ops/morphology.py, ops/contours.py,
-data/prepare.py and evaluation/image_ops.py were derived from the
-reference's formulas (reference dataset.py:114-150, pc_segmentation.py:
-63-116, image_ops.py:58-82) rather than diffed against the real libraries.
-``tools/gen_preprocessing_oracles.py`` — run once on any machine where
-skimage/cv2 install — freezes real-library inputs/outputs into
-``tests/oracles/``; this module consumes them and turns the formula-parity
-claim into a third-party-gated one.  Skips (with a pointer) until the
-oracle files exist.
+The reimplementations in ops/resize.py, ops/morphology.py,
+ops/contours.py, ops/threshold.py, ops/cc.py, data/prepare.py and
+evaluation/image_ops.py were originally derived from the reference's
+formulas (reference dataset.py:114-150, pc_segmentation.py:63-116,
+image_ops.py:58-82) because the build image shipped neither skimage nor
+cv2.  ``tools/gen_preprocessing_oracles.py`` freezes real-library
+inputs/outputs into ``tests/oracles/``; this module consumes them so the
+parity gates run everywhere, without the libraries.
+
+Status: the cv2-backed families (morphology, contours, otsu, cc4,
+resize_nearest_cv, char_height) were generated against REAL cv2 5.0 on
+the round-3 build host (see also tests/test_cv2_parity_live.py for the
+randomized live gates).  The skimage-backed families (rescale/resize
+order-0/3, prepare_images) skip with a pointer until skimage is
+installable — partial generations merge.
 """
 import hashlib
 import json
@@ -43,7 +48,16 @@ def oracles():
 
 
 def _cases(cases, prefix):
-    return sorted(name for name in cases if name.startswith(prefix))
+    """Case names under a family prefix; skip (don't vacuously pass) when
+    the family's backing library wasn't available at generation time."""
+    found = sorted(name for name in cases if name.startswith(prefix))
+    if not found:
+        pytest.skip(
+            f"no '{prefix}' oracle cases generated yet — re-run "
+            "tools/gen_preprocessing_oracles.py where the backing library "
+            "is installed (partial generations merge)"
+        )
+    return found
 
 
 def test_rescale_nearest(oracles):
@@ -74,9 +88,44 @@ def test_resize_nearest_labels(oracles):
     from page_segmentation_tpu.ops.resize import resize_nearest
 
     data, cases = oracles
-    name = "resize_nearest/labels"
+    [name] = _cases(cases, "resize_nearest/")
     got = resize_nearest(data[f"{name}/x"], tuple(data[f"{name}/target"]))
     np.testing.assert_array_equal(got.astype(np.uint8), data[f"{name}/y"])
+
+
+def test_resize_nearest_cv(oracles):
+    # cv2 INTER_NEAREST convention (reference pc_segmentation.py:31)
+    from page_segmentation_tpu.ops.resize import resize_nearest_cv
+
+    data, cases = oracles
+    for name in _cases(cases, "resize_nearest_cv/"):
+        got = resize_nearest_cv(data[f"{name}/x"], tuple(data[f"{name}/target"]))
+        np.testing.assert_array_equal(got, data[f"{name}/y"], err_msg=name)
+
+
+def test_otsu(oracles):
+    from page_segmentation_tpu.ops.threshold import otsu_binarize, otsu_threshold
+
+    data, cases = oracles
+    for name in _cases(cases, "otsu/"):
+        x = data[f"{name}/x"]
+        assert otsu_threshold(x) == int(data[f"{name}/t"]), name
+        # invert=True == plain cv2 THRESH_BINARY output (no 255-subtract)
+        np.testing.assert_array_equal(
+            otsu_binarize(x, invert=True), data[f"{name}/y"], err_msg=name
+        )
+
+
+def test_cc4_with_stats(oracles):
+    from page_segmentation_tpu.ops.cc import connected_components_with_stats
+
+    data, cases = oracles
+    for name in _cases(cases, "cc4/"):
+        got = connected_components_with_stats(data[f"{name}/x"], 4)
+        assert got.num_labels == int(data[f"{name}/n"]), name
+        np.testing.assert_array_equal(got.labels, data[f"{name}/labels"])
+        np.testing.assert_array_equal(got.stats, data[f"{name}/stats"])
+        np.testing.assert_allclose(got.centroids, data[f"{name}/centroids"])
 
 
 def test_prepare_images(oracles):
