@@ -2,25 +2,96 @@
 
 Rebuild of the ``ocr4all.files`` helpers the reference imports
 (reference dataset.py:14: ``imread``, ``imread_bin``, ``random_indices``,
-``chunks``; reference render.py:8: ``split_filename``), built on PIL only —
-the environment has no cv2/skimage.
+``chunks``; reference render.py:8: ``split_filename``).  The semantic
+contract is PIL's (goldens and parity tests froze PIL behavior); PNG files
+additionally take a cv2 decode fast path (~2.7x on 300-DPI pages, measured
+bit-identical for every PNG color mode — see _decode_png_cv2) because the
+single-core PNG decode is the measured wall of the disk-corpus pipeline.
 """
 from __future__ import annotations
 
 import os
 from random import shuffle
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
 
+try:  # optional: present on some hosts, absent on others — PIL is the contract
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover - environment-dependent
+    _cv2 = None
+
 # Large historical scans can exceed PIL's decompression-bomb default.
 Image.MAX_IMAGE_PIXELS = None
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-def imread(path, as_gray: bool = False) -> np.ndarray:
-    """Read an image as uint8; grayscale (H, W) when ``as_gray``."""
-    with Image.open(path) as im:
+
+def _pil_luma(rgb: np.ndarray) -> np.ndarray:
+    """PIL convert('L') exactly: fixed-point ITU-R 601-2 with round-half-up
+    ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16) — verified bit-equal to
+    PIL on exhaustive random uint8 inputs."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def _decode_png_cv2_bytes(data) -> Optional[np.ndarray]:
+    """Decode PNG bytes with cv2's native decoder; None = not applicable,
+    use PIL.
+
+    Returns the raw IMREAD_UNCHANGED array: 2-D uint8/uint16 for grayscale
+    sources, 3/4-channel BGR(A) uint8 for color ones.  Restricted to PNG by
+    header sniff: PNG decoding is lossless and deterministic so both
+    libraries must agree (and measured so for modes L/I;16/RGB/RGBA/P/LA/1);
+    JPEG IDCTs may legitimately differ by +-1 between decoders, so JPEGs
+    keep the PIL path."""
+    if _cv2 is None:
+        return None
+    data = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    if data.size < 8 or data[:8].tobytes() != _PNG_MAGIC:
+        return None
+    arr = _cv2.imdecode(data, _cv2.IMREAD_UNCHANGED)
+    if arr is None or arr.ndim not in (2, 3):
+        return None
+    return arr
+
+
+def _decode_png_cv2(path) -> Optional[np.ndarray]:
+    try:
+        data = np.fromfile(str(path), np.uint8)
+    except OSError:
+        return None
+    return _decode_png_cv2_bytes(data)
+
+
+def decode_image_bytes(data: bytes, as_gray: bool = False) -> np.ndarray:
+    """Decode in-memory image bytes (HTTP bodies, buffers) with the same
+    fast path + contract as imread."""
+    arr = _decode_png_cv2_bytes(data)
+    if arr is not None:
+        if as_gray:
+            if arr.ndim == 3:
+                if arr.dtype == np.uint8:
+                    return _pil_luma(arr[..., 2::-1])  # BGR(A) -> RGB luma
+                arr = None  # 16-bit color: rare; keep the PIL conversion
+            elif arr.dtype == np.uint8:
+                return arr
+            elif arr.dtype == np.uint16:
+                return (arr // 257).astype(np.uint8)
+            else:
+                arr = None
+        else:
+            if arr.ndim == 3 and arr.dtype == np.uint8:
+                return np.ascontiguousarray(arr[..., 2::-1])  # drop alpha, BGR->RGB
+            if arr.ndim == 2 and arr.dtype == np.uint8:
+                return np.stack([arr] * 3, axis=-1)
+            arr = None  # 16-bit sources: PIL defines the 8-bit downconvert
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
         if as_gray:
             if im.mode not in ("L", "I;16", "I"):
                 im = im.convert("L")
@@ -38,9 +109,14 @@ def imread(path, as_gray: bool = False) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+def imread(path, as_gray: bool = False) -> np.ndarray:
+    """Read an image as uint8; grayscale (H, W) when ``as_gray``."""
+    with open(str(path), "rb") as f:
+        return decode_image_bytes(f.read(), as_gray=as_gray)
+
+
 def imread_rgb(path) -> np.ndarray:
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"))
+    return imread(path, as_gray=False)
 
 
 def imread_bin(path, binarize: bool = True, threshold: int = 128) -> np.ndarray:
@@ -51,13 +127,50 @@ def imread_bin(path, binarize: bool = True, threshold: int = 128) -> np.ndarray:
     return np.where(gray >= threshold, np.uint8(255), np.uint8(0))
 
 
-def imsave(path, image: np.ndarray) -> None:
+def _coerce_uint8(image: np.ndarray) -> np.ndarray:
     image = np.asarray(image)
     if image.dtype == bool:
         image = image.astype(np.uint8) * 255
     elif image.dtype != np.uint8:
         image = np.clip(image, 0, 255).astype(np.uint8)
-    Image.fromarray(image).save(path)
+    return image
+
+
+def encode_png(image: np.ndarray) -> bytes:
+    """PNG-encode an array (uint8 gray or RGB) — cv2 fast path (9.5x PIL
+    at trio scale), PIL fallback.  Decoded pixels are identical either way;
+    the *bytes* differ between encoders."""
+    image = _coerce_uint8(image)
+    if _cv2 is not None and (
+        image.ndim == 2 or (image.ndim == 3 and image.shape[2] == 3)
+    ):
+        data = image if image.ndim == 2 else np.ascontiguousarray(image[..., ::-1])
+        ok, encoded = _cv2.imencode(".png", data, [_cv2.IMWRITE_PNG_COMPRESSION, 1])
+        if ok:
+            return encoded.tobytes()
+    import io
+
+    buf = io.BytesIO()
+    Image.fromarray(image).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def imsave(path, image: np.ndarray) -> None:
+    """Write an image; PNGs take the cv2 encode fast path (encode_png —
+    the trio writes are 3 encodes/page on the host).  Anything that
+    freezes file bytes must pin one encoder (imsave_pil)."""
+    if str(path).lower().endswith(".png"):
+        with open(str(path), "wb") as f:
+            f.write(encode_png(image))
+        return
+    Image.fromarray(_coerce_uint8(image)).save(path)
+
+
+def imsave_pil(path, image: np.ndarray) -> None:
+    """imsave pinned to the PIL encoder — for generators whose output bytes
+    are checked in and byte-compared on hosts with or without cv2
+    (tests/golden_corpus/make_corpus.py)."""
+    Image.fromarray(_coerce_uint8(image)).save(path)
 
 
 def split_filename(path) -> Tuple[str, str, str]:

@@ -174,8 +174,9 @@ class RawCorpusPredictor:
         if len(members) == 1:
             load((0, members[0]))
         else:
-            # PIL releases the GIL during PNG decode; the shared pool
-            # parallelizes the slice load on multi-core hosts
+            # both decoders (cv2 fast path / PIL) release the GIL during
+            # PNG decode; the shared pool parallelizes the slice load on
+            # multi-core hosts
             from ..data.dataset import io_pool
 
             list(io_pool().map(load, enumerate(members)))
@@ -197,9 +198,9 @@ class RawCorpusPredictor:
                 members[start : start + self.window]
                 for start in range(0, len(members), self.window)
             ]
-            # decode the NEXT slice while the current one predicts (PIL
-            # releases the GIL in the PNG decoder, so on multi-core hosts
-            # the decode rides a spare core; host residency becomes two
+            # decode the NEXT slice while the current one predicts (the
+            # PNG decoders release the GIL, so on multi-core hosts the
+            # decode rides a spare core; host residency becomes two
             # windows of full-resolution pages instead of one)
             with ThreadPoolExecutor(1) as loader:
                 pending = loader.submit(self._load_slice, ring, slices[0], h, w)

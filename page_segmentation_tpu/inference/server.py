@@ -234,11 +234,9 @@ class BatchingService:
 
 
 def _png_bytes(arr: np.ndarray) -> bytes:
-    from PIL import Image
+    from ..core.image_io import encode_png
 
-    buf = io.BytesIO()
-    Image.fromarray(np.ascontiguousarray(arr)).save(buf, format="PNG")
-    return buf.getvalue()
+    return encode_png(np.ascontiguousarray(arr))
 
 
 def make_handler(service: BatchingService, request_timeout_s: float = 120.0):
@@ -290,9 +288,9 @@ def make_handler(service: BatchingService, request_timeout_s: float = 120.0):
                 return
             body = self.rfile.read(length)
             try:
-                from PIL import Image
+                from ..core.image_io import decode_image_bytes
 
-                image = np.asarray(Image.open(io.BytesIO(body)).convert("L"))
+                image = decode_image_bytes(body, as_gray=True)
             except Exception:
                 self._json(400, {"error": "body is not a decodable image"})
                 return

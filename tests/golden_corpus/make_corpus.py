@@ -41,7 +41,9 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(HERE, "..", ".."))
 
-from page_segmentation_tpu.core.image_io import imsave  # noqa: E402
+# pinned PIL encoder: these bytes are checked in and byte-compared on
+# hosts with or without cv2 (test_corpus_is_reproducible)
+from page_segmentation_tpu.core.image_io import imsave_pil as imsave  # noqa: E402
 
 H, W = 400, 300
 NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"

@@ -187,3 +187,147 @@ def test_find_segments_canonical_image_vs_reference_formula():
             resize_nearest_cv(rgb, (resize_height, width))
         )
         np.testing.assert_array_equal(got, ref)
+
+
+def test_png_decode_fast_path_bit_equal_to_pil(tmp_path):
+    # core/image_io.imread routes PNGs through cv2.imdecode when cv2 is
+    # importable; the PIL decode remains the semantic contract.  Gate the
+    # fast path bit-equal against a forced-PIL decode for every PNG color
+    # mode PIL can write, for both as_gray and RGB reads.
+    from PIL import Image
+
+    from page_segmentation_tpu.core import image_io
+
+    rng = np.random.RandomState(108)
+
+    def modes():
+        g = rng.randint(0, 256, (37, 53), dtype=np.uint8)
+        yield "L", Image.fromarray(g, "L")
+        yield "I16", Image.fromarray(
+            rng.randint(0, 65536, (37, 53)).astype("<u2")
+        )
+        yield "RGB", Image.fromarray(
+            rng.randint(0, 256, (37, 53, 3), dtype=np.uint8), "RGB"
+        )
+        yield "RGBA", Image.fromarray(
+            rng.randint(0, 256, (37, 53, 4), dtype=np.uint8), "RGBA"
+        )
+        yield "P", Image.fromarray(g, "L").convert("P", palette=Image.ADAPTIVE)
+        yield "LA", Image.merge("LA", [Image.fromarray(g, "L")] * 2)
+        yield "1", Image.fromarray((g > 127).astype(np.uint8) * 255, "L").convert("1")
+
+    for name, im in modes():
+        path = tmp_path / f"{name}.png"
+        im.save(path)
+        for as_gray in (True, False):
+            fast = image_io.imread(path, as_gray=as_gray)
+            saved = image_io._cv2
+            image_io._cv2 = None  # force the PIL branch
+            try:
+                ref = image_io.imread(path, as_gray=as_gray)
+            finally:
+                image_io._cv2 = saved
+            np.testing.assert_array_equal(
+                fast, ref, err_msg=f"mode={name} as_gray={as_gray}"
+            )
+            assert fast.dtype == ref.dtype and fast.shape == ref.shape
+
+
+def test_png_decode_fast_path_imread_bin(tmp_path):
+    # imread_bin inherits the fast path through imread(as_gray=True)
+    from PIL import Image
+
+    from page_segmentation_tpu.core import image_io
+
+    rng = np.random.RandomState(109)
+    g = rng.randint(0, 256, (64, 48), dtype=np.uint8)
+    path = tmp_path / "bin.png"
+    Image.fromarray(g, "L").save(path)
+    got = image_io.imread_bin(path)
+    np.testing.assert_array_equal(got, np.where(g >= 128, 255, 0).astype(np.uint8))
+
+
+def test_non_png_files_keep_the_pil_path(tmp_path):
+    # a JPEG must not enter the cv2 branch (decoders may differ by +-1);
+    # _decode_png_cv2 must return None on the magic sniff
+    from PIL import Image
+
+    from page_segmentation_tpu.core import image_io
+
+    rng = np.random.RandomState(110)
+    g = rng.randint(0, 256, (32, 32), dtype=np.uint8)
+    path = tmp_path / "page.jpg"
+    Image.fromarray(g, "L").save(path, quality=90)
+    assert image_io._decode_png_cv2(path) is None
+    assert image_io.imread(path, as_gray=True).shape == (32, 32)
+    # missing / truncated files: fast path degrades to None, not an error
+    assert image_io._decode_png_cv2(tmp_path / "absent.png") is None
+    short = tmp_path / "short.png"
+    short.write_bytes(b"\x89PN")
+    assert image_io._decode_png_cv2(short) is None
+
+
+def test_png_encode_fast_path_roundtrips_exactly(tmp_path):
+    # imsave's cv2 PNG encode must round-trip pixels exactly for the
+    # layouts the framework writes: gray (binary masks) and RGB (trio)
+    from PIL import Image
+
+    from page_segmentation_tpu.core import image_io
+
+    rng = np.random.RandomState(111)
+    for arr in (
+        rng.randint(0, 256, (45, 61), dtype=np.uint8),
+        rng.randint(0, 256, (45, 61, 3), dtype=np.uint8),
+        rng.rand(45, 61) > 0.5,  # bool -> 0/255
+    ):
+        path = tmp_path / "x.png"
+        image_io.imsave(path, arr)
+        got = np.asarray(Image.open(path))
+        want = image_io._coerce_uint8(arr)
+        np.testing.assert_array_equal(got, want)
+        # and our own reader agrees through the decode fast path
+        if want.ndim == 2:
+            np.testing.assert_array_equal(image_io.imread(path, as_gray=True), want)
+        else:
+            np.testing.assert_array_equal(image_io.imread(path), want)
+
+
+def test_imsave_pil_pinned_encoder(tmp_path):
+    # imsave_pil must produce PIL bytes regardless of cv2 presence: the
+    # golden corpus generator byte-compares against checked-in files
+    import io
+
+    from PIL import Image
+
+    from page_segmentation_tpu.core import image_io
+
+    rng = np.random.RandomState(112)
+    arr = rng.randint(0, 256, (33, 29, 3), dtype=np.uint8)
+    path = tmp_path / "pinned.png"
+    image_io.imsave_pil(path, arr)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    assert path.read_bytes() == buf.getvalue()
+
+
+def test_decode_image_bytes_matches_imread(tmp_path):
+    # the bytes-level entry point (HTTP bodies) must agree with imread on
+    # the same content, for PNG (fast path) and JPEG (PIL path)
+    import io as _io
+
+    from PIL import Image
+
+    from page_segmentation_tpu.core import image_io
+
+    rng = np.random.RandomState(113)
+    arr = rng.randint(0, 256, (52, 41, 3), dtype=np.uint8)
+    for fmt, ext in (("PNG", "png"), ("JPEG", "jpg")):
+        path = tmp_path / f"x.{ext}"
+        Image.fromarray(arr).save(path, format=fmt)
+        data = path.read_bytes()
+        for as_gray in (True, False):
+            np.testing.assert_array_equal(
+                image_io.decode_image_bytes(data, as_gray=as_gray),
+                image_io.imread(path, as_gray=as_gray),
+                err_msg=f"{fmt} as_gray={as_gray}",
+            )
