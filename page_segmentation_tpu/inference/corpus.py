@@ -93,6 +93,8 @@ class RawCorpusPredictor:
             compute_dtype = jnp.bfloat16
         self.compute_dtype = compute_dtype
         self._predictors = {}
+        self._spare_ring: Optional[RawCorpusPredictor._SliceRing] = None
+        self._ring_lock = None  # created lazily (threading import)
 
     # ------------------------------------------------------------- grouping
     @staticmethod
@@ -140,10 +142,12 @@ class RawCorpusPredictor:
         cold-page-fault speed and measured 3.5x the actual decode cost
         (197 vs 57 ms/page); steady-state reuse pays the fault once.
 
-        Owned by a single run() generator (not the predictor instance):
-        buffers size to the slices actually seen, are freed when the
-        generator is collected, and two overlapping run() calls can never
-        hand each other's in-flight pixels out (each has its own ring)."""
+        Each active run() generator holds an EXCLUSIVE ring (two
+        overlapping run() calls can never hand each other's in-flight
+        pixels out); when a run finishes, its ring parks on the predictor
+        so the next sequential run() reuses the already-faulted buffers —
+        re-faulting a fresh ring costs ~20 s per window pair of 300-DPI
+        A4 pages on this host class, measured 5x the warm decode itself."""
 
         def __init__(self):
             self._pairs = [None, None]
@@ -156,6 +160,24 @@ class RawCorpusPredictor:
                 self._pairs[self._turn % 2] = pair
             self._turn += 1
             return pair[0][:n], pair[1][:n]
+
+    def _take_ring(self) -> "RawCorpusPredictor._SliceRing":
+        """Pop the parked ring (warm buffers) or make a fresh one; the
+        caller owns it exclusively until _return_ring."""
+        import threading
+
+        if self._ring_lock is None:
+            self._ring_lock = threading.Lock()
+        with self._ring_lock:
+            ring, self._spare_ring = self._spare_ring, None
+        return ring or self._SliceRing()
+
+    def _return_ring(self, ring) -> None:
+        """Park one ring for the next run(); extras from concurrent runs
+        are dropped (bounded memory: at most one idle ring is retained)."""
+        with self._ring_lock:
+            if self._spare_ring is None:
+                self._spare_ring = ring
 
     def _load_slice(self, ring, members: List[RawPage], h: int, w: int):
         images, binaries = ring.take(h, w, len(members))
@@ -191,28 +213,32 @@ class RawCorpusPredictor:
         if output_dir:
             for sub in ("color", "overlay", "inverted"):
                 os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
-        ring = self._SliceRing()  # per-run(): see _SliceRing docstring
-        for (h, w, line_height), members in self.group(pages):
-            predictor = self._predictor_for((h, w, line_height))
-            slices = [
-                members[start : start + self.window]
-                for start in range(0, len(members), self.window)
-            ]
-            # decode the NEXT slice while the current one predicts (the
-            # PNG decoders release the GIL, so on multi-core hosts the
-            # decode rides a spare core; host residency becomes two
-            # windows of full-resolution pages instead of one)
-            with ThreadPoolExecutor(1) as loader:
-                pending = loader.submit(self._load_slice, ring, slices[0], h, w)
-                for index, chunk in enumerate(slices):
-                    images, binaries = pending.result()
-                    if index + 1 < len(slices):
-                        pending = loader.submit(
-                            self._load_slice, ring, slices[index + 1], h, w
+        ring = self._take_ring()  # exclusive: see _SliceRing docstring
+        try:
+            for (h, w, line_height), members in self.group(pages):
+                predictor = self._predictor_for((h, w, line_height))
+                slices = [
+                    members[start : start + self.window]
+                    for start in range(0, len(members), self.window)
+                ]
+                # decode the NEXT slice while the current one predicts (the
+                # PNG decoders release the GIL, so on multi-core hosts the
+                # decode rides a spare core; host residency becomes two
+                # windows of full-resolution pages instead of one)
+                with ThreadPoolExecutor(1) as loader:
+                    pending = loader.submit(self._load_slice, ring, slices[0], h, w)
+                    for index, chunk in enumerate(slices):
+                        images, binaries = pending.result()
+                        if index + 1 < len(slices):
+                            pending = loader.submit(
+                                self._load_slice, ring, slices[index + 1], h, w
+                            )
+                        yield from self._run_slice(
+                            predictor, chunk, images, binaries, output_dir
                         )
-                    yield from self._run_slice(
-                        predictor, chunk, images, binaries, output_dir
-                    )
+        finally:
+            # runs when the generator is exhausted, closed, or collected
+            self._return_ring(ring)
 
     def _run_slice(self, predictor, chunk, images, binaries, output_dir):
         done = 0

@@ -224,3 +224,39 @@ def test_heterogeneous_shapes_share_one_run_ring(tmp_path):
         )
         for p, color, *_ in solo.run(group_pages):
             np.testing.assert_array_equal(got[p.name], color)
+
+
+def test_ring_pool_reuse_and_exclusivity(tmp_path):
+    """Sequential run() calls reuse one parked slice ring (the warm-buffer
+    fast path); overlapping run() generators hold distinct rings; an
+    abandoned (closed) generator parks its ring back; and pixel outputs
+    through the reused ring stay exact."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 4)])
+    runner = RawCorpusPredictor(
+        _classifier(), DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
+    )
+    assert runner._spare_ring is None
+    first = {p.name: c for p, c, *_ in runner.run(pages)}
+    ring_a = runner._spare_ring
+    assert ring_a is not None  # parked after the run
+
+    # overlapping generators: the second must NOT get the first's ring
+    gen1 = runner.run(pages)
+    next(gen1)  # gen1 now owns the parked ring
+    assert runner._spare_ring is None
+    gen2 = runner.run(pages)
+    next(gen2)  # fresh ring; both active at once
+    gen1.close()  # abandon mid-run -> its ring parks back
+    assert runner._spare_ring is ring_a
+    rest = list(gen2)  # gen2 keeps streaming on its own buffers
+    assert len(rest) == len(pages) - 1
+    gen2.close()
+    assert runner._spare_ring is ring_a  # extra ring dropped, not stacked
+
+    # reuse is exact: a second full pass equals the first
+    second = {p.name: c for p, c, *_ in runner.run(pages)}
+    assert runner._spare_ring is ring_a
+    for name, color in first.items():
+        np.testing.assert_array_equal(color, second[name])

@@ -40,6 +40,11 @@ def main():
                         help="also write the trio PNGs (3 encodes/page on "
                              "the host; off by default so the line measures "
                              "the decode-inclusive predict path)")
+    parser.add_argument("--reps", type=int, default=3,
+                        help="measured passes over the corpus; the 1-core "
+                             "host swings several-x between runs "
+                             "(docs/PERFORMANCE.md §5), so the artifact "
+                             "records every pass and reports the median")
     parser.add_argument("--record", action="store_true",
                         help="write bench_runs/r3_disk_pipeline.json")
     args = parser.parse_args()
@@ -102,24 +107,35 @@ def main():
     )
     out_dir = os.path.join(args.dir, "out") if args.write_outputs else None
 
-    # warm the compile outside the clock (same program as the run)
-    for _ in runner.run(raw_pages[: args.batch]):
+    # warm the compile AND the slice-ring buffers outside the clock (same
+    # program as the run): 2 windows faults both ring buffer pairs at full
+    # window size — first-touch of ~2x window full-res pages costs ~20 s
+    # per pair on this host class, a startup transient, not the pipeline
+    for _ in runner.run(raw_pages[: 2 * args.window]):
         pass
 
-    t0 = time.perf_counter()
-    last = t0
-    count = 0
-    intervals = []
-    batch_counts = []
-    for _page, _color, _overlay, _inverted in runner.run(raw_pages, out_dir):
-        count += 1
-        if count % args.batch == 0 or count == len(raw_pages):
-            now = time.perf_counter()
-            intervals.append(now - last)
-            batch_counts.append(args.batch if count % args.batch == 0
-                                else count % args.batch)
-            last = now
-    wall = time.perf_counter() - t0
+    runs = []
+    best = None  # (wall, intervals, batch_counts, count) of the median run
+    for rep in range(max(1, args.reps)):
+        t0 = time.perf_counter()
+        last = t0
+        count = 0
+        intervals = []
+        batch_counts = []
+        for _page, _color, _overlay, _inverted in runner.run(raw_pages, out_dir):
+            count += 1
+            if count % args.batch == 0 or count == len(raw_pages):
+                now = time.perf_counter()
+                intervals.append(now - last)
+                batch_counts.append(args.batch if count % args.batch == 0
+                                    else count % args.batch)
+                last = now
+        wall = time.perf_counter() - t0
+        runs.append((wall, intervals, batch_counts, count))
+        print(f"rep {rep}: {count} pages in {wall:.1f}s = "
+              f"{count / wall:.1f} pages/s", file=sys.stderr)
+    runs.sort(key=lambda r: r[0])
+    wall, intervals, batch_counts, count = runs[len(runs) // 2]  # median wall
     value = count / wall if wall > 0 else 0.0
 
     result = {
@@ -129,6 +145,10 @@ def main():
         "vs_baseline": round(value / 50.0, 3),
         "pages": count,
         "wall_s": round(wall, 2),
+        "rep_pages_per_sec": [round(c / w, 2) for w, _, _, c in
+                              sorted(runs, key=lambda r: -r[0])],
+        "rep_policy": "value = median-wall rep of --reps full passes; "
+                      "batch_s/phase stats below describe that same rep",
         "page_hw": [args.height, args.width],
         "host_cpus": os.cpu_count(),
         "outputs_written": bool(out_dir),
