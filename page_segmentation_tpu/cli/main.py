@@ -119,9 +119,9 @@ def cmd_predict(args) -> int:
         from ..inference.classifier import PixelClassifier
         from ..inference.corpus import RawCorpusPredictor, RawPage
 
-        if any(e.binary_path is None for e in entries):
-            raise SystemExit("--pipeline needs --binary (the overlay trio is "
-                             "reconstructed from the binarized pages)")
+        # pages without --binary are binarized from the image itself
+        # (--binarize mode), like the per-page path and the reference
+        # (dataset.py:172) — and one fewer PNG decode per page
         post_keys = [p.lower().replace("_", "").replace("-", "")
                      for p in (args.post_process or [])]
         if post_keys and post_keys != ["ccmajority"]:
@@ -148,6 +148,7 @@ def cmd_predict(args) -> int:
             cc_vote=bool(post_keys),
             int8=getattr(args, "int8", False),
             compute_dtype=dtype,
+            binarize=args.binarize,
         )
         raw_pages = [
             RawPage(e.image_path, e.binary_path, e.line_height_px)
@@ -159,7 +160,7 @@ def cmd_predict(args) -> int:
 
     loader = DatasetLoader(
         args.target_line_height, color_map, prediction=True, max_width=args.max_width,
-        resize_backend=args.resize_backend,
+        resize_backend=args.resize_backend, binarize=args.binarize,
     )
     dataset = loader.load_data(entries, lazy=getattr(args, "streaming", False))
 
@@ -583,6 +584,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True)
     p.add_argument("--images", required=True)
     p.add_argument("--binary", default=None)
+    p.add_argument("--binarize", default="threshold", choices=["threshold", "otsu"],
+                   help="how pages WITHOUT --binary are binarized from the "
+                        "image itself: global threshold 128 (the reference "
+                        "fallback, dataset.py:172) or per-page Otsu")
     p.add_argument("--norm", default=None, help="directory of char_height JSON files")
     p.add_argument("--auto_norm", action="store_true",
                    help="estimate char_height per page (Otsu + letter-CC "

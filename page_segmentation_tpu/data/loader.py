@@ -25,6 +25,7 @@ class DatasetLoader:
         max_width: Optional[int] = None,
         resize_backend: str = "scipy",
         num_workers: int = 12,
+        binarize: str = "threshold",
     ):
         self.target_line_height = target_line_height
         self.prediction = prediction
@@ -32,6 +33,12 @@ class DatasetLoader:
         self.max_width = max_width
         self.resize_backend = resize_backend
         self.num_workers = num_workers
+        if binarize not in ("threshold", "otsu"):
+            raise ValueError(f"binarize must be 'threshold' or 'otsu', got {binarize!r}")
+        # how pages WITHOUT a separate binarized file are binarized:
+        # 'threshold' = global 128 (imread_bin; reference dataset.py:172),
+        # 'otsu' = per-page Otsu (cv2 convention)
+        self.binarize = binarize
 
     def load_images(self, entry: SingleData) -> SingleData:
         img = entry.image if entry.image is not None else imread(entry.image_path, as_gray=True)
@@ -40,6 +47,10 @@ class DatasetLoader:
             binary = entry.binary
         elif entry.binary_path is not None:
             binary = imread_bin(entry.binary_path, True)
+        elif self.binarize == "otsu":
+            from ..ops.threshold import otsu_binarize
+
+            binary = otsu_binarize(img, invert=True)
         else:
             # like the reference (dataset.py:172), fall back to the image itself
             binary = imread_bin(entry.image_path, True)

@@ -22,14 +22,22 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..core.image_io import imread, imread_bin, imsave
+from ..ops.threshold import binarize_into, otsu_threshold
 
 
 @dataclass
 class RawPage:
-    """One corpus entry: raw image file + binarized file + line height."""
+    """One corpus entry: raw image file + binarized file + line height.
+
+    ``binary_path=None`` streams the page binary-free: the predictor
+    binarizes the decoded image itself (its ``binarize`` mode), the same
+    fallback the per-page path and the reference use when no separate
+    binarized file exists (reference dataset.py:172) — and one fewer PNG
+    decode per page on the host.
+    """
 
     image_path: str
-    binary_path: str
+    binary_path: Optional[str]
     line_height_px: int
     output_name: Optional[str] = None
 
@@ -69,6 +77,7 @@ class RawCorpusPredictor:
         cc_vote: bool = False,
         int8: bool = False,
         compute_dtype=None,
+        binarize: str = "threshold",
     ):
         if classifier.rgb:
             raise ValueError(
@@ -87,6 +96,14 @@ class RawCorpusPredictor:
         self.download = download
         self.cc_vote = cc_vote
         self.int8 = int8
+        if binarize not in ("threshold", "otsu"):
+            raise ValueError(
+                f"binarize must be 'threshold' or 'otsu', got {binarize!r}"
+            )
+        # applied to pages with binary_path=None: 'threshold' = global 128
+        # (byte-equal to the per-page loader fallback / imread_bin),
+        # 'otsu' = per-page Otsu (cv2 convention: strictly-above-t -> 255)
+        self.binarize = binarize
         if compute_dtype is None:
             import jax.numpy as jnp
 
@@ -191,7 +208,13 @@ class RawCorpusPredictor:
                     f"header probe and decode (expected {(h, w)})"
                 )
             images[i] = img
-            binaries[i] = imread_bin(page.binary_path)
+            if page.binary_path is not None:
+                binaries[i] = imread_bin(page.binary_path)
+            elif self.binarize == "otsu":
+                # cv2 Otsu keeps strictly-above-t pixels -> >= t+1
+                binarize_into(images[i], binaries[i], otsu_threshold(images[i]) + 1)
+            else:
+                binarize_into(images[i], binaries[i])
 
         if len(members) == 1:
             load((0, members[0]))

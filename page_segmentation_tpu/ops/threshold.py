@@ -42,3 +42,24 @@ def otsu_binarize(gray: np.ndarray, invert: bool = False) -> np.ndarray:
     if not invert:
         binary = (255 - binary).astype(np.uint8)
     return binary
+
+
+def binarize_into(gray: np.ndarray, out: np.ndarray, threshold: int = 128) -> np.ndarray:
+    """Write ``gray >= threshold -> 255 else 0`` into ``out`` (uint8), no
+    temporaries — the streaming pipeline binarizes decoded pages straight
+    into its reusable ring buffers (image_io.imread_bin semantics; the
+    reference falls back to binarizing the image itself when no separate
+    binary exists, dataset.py:172).
+
+    ``>= threshold`` with ``threshold = otsu_threshold(gray) + 1`` is the
+    cv2 Otsu convention (strictly-above-t pixels become 255).
+    """
+    if out.dtype != np.uint8 or out.shape != gray.shape:
+        raise ValueError(f"out must be uint8 of shape {gray.shape}")
+    view = out.view(np.bool_) if out.flags.c_contiguous else None
+    if view is not None:
+        np.greater_equal(gray, threshold, out=view)
+        np.multiply(out, 255, out=out)
+    else:
+        out[...] = np.where(gray >= threshold, np.uint8(255), np.uint8(0))
+    return out

@@ -161,18 +161,108 @@ def test_cli_pipeline_end_to_end(tmp_path):
         assert files == [p.name for p in pages], (sub, files)
 
 
-def test_cli_pipeline_requires_binary(tmp_path):
-    pages, img_dir, _ = _write_corpus(str(tmp_path), [(96, 80, 1)])
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    proc = subprocess.run(
-        [sys.executable, "-m", "page_segmentation_tpu.cli", "predict",
-         "--load", "nonexistent", "--output", str(tmp_path / "o"),
-         "--images", img_dir, "--char_height", "24", "--pipeline"],
-        capture_output=True, text=True, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+def test_binary_free_threshold_matches_binary_files(tmp_path):
+    """binary_path=None + the default 'threshold' mode is byte-equal to
+    streaming with binary files written as (img >= 128) * 255 — the
+    per-page loader fallback contract (reference dataset.py:172)."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    pages, _, _ = _write_corpus(str(tmp_path), [(96, 80, 3)])
+    cls = _classifier()
+    with_files = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, compute_dtype=jnp.float32,
+        # no parked-ring sharing between the two runners: each buffers its own
     )
-    assert proc.returncode != 0
-    assert "--binary" in proc.stderr
+    ref = {p.name: [np.copy(m) for m in trio]
+           for p, *trio in with_files.run(pages)}
+
+    free = [RawPage(p.image_path, None, p.line_height_px) for p in pages]
+    runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, compute_dtype=jnp.float32,
+    )
+    for p, *trio in runner.run(free):
+        for got, want in zip(trio, ref[p.name]):
+            np.testing.assert_array_equal(got, want)
+
+
+def test_binary_free_otsu_matches_precomputed_otsu_files(tmp_path):
+    """binarize='otsu' == streaming with binary files precomputed by the
+    cv2-convention Otsu (strictly-above-t -> 255)."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.ops.threshold import otsu_threshold
+
+    pages, img_dir, _ = _write_corpus(str(tmp_path), [(96, 80, 3)])
+    otsu_dir = os.path.join(str(tmp_path), "otsu")
+    os.makedirs(otsu_dir)
+    with_files = []
+    for p in pages:
+        img = imread(p.image_path, as_gray=True)
+        t = otsu_threshold(img)
+        path = os.path.join(otsu_dir, p.name)
+        imsave(path, ((img > t) * 255).astype(np.uint8))
+        with_files.append(RawPage(p.image_path, path, p.line_height_px))
+
+    cls = _classifier()
+    ref_runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, compute_dtype=jnp.float32,
+    )
+    ref = {p.name: [np.copy(m) for m in trio]
+           for p, *trio in ref_runner.run(with_files)}
+
+    free = [RawPage(p.image_path, None, p.line_height_px) for p in pages]
+    runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, batch_size=2, compute_dtype=jnp.float32,
+        binarize="otsu",
+    )
+    seen = 0
+    for p, *trio in runner.run(free):
+        for got, want in zip(trio, ref[p.name]):
+            np.testing.assert_array_equal(got, want)
+        seen += 1
+    assert seen == 3
+
+
+def test_binarize_rejects_unknown_mode():
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+
+    with pytest.raises(ValueError, match="binarize"):
+        RawCorpusPredictor(_classifier(), DEFAULT_IMAGE_MAP.palette,
+                           binarize="sauvola")
+
+
+def test_cli_pipeline_binary_free(tmp_path):
+    """`predict --pipeline` without --binary streams binary-free and its
+    trio matches the --binary run (the corpus binaries ARE threshold-128)."""
+    from page_segmentation_tpu.train.checkpoint import save_checkpoint
+
+    pages, img_dir, bin_dir = _write_corpus(str(tmp_path), [(96, 80, 2)])
+    cls = _classifier()
+    ckpt = os.path.join(str(tmp_path), "model")
+    save_checkpoint(ckpt, cls.variables, {"architecture": "fcn_skip",
+                                          "n_classes": 3})
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = {}
+    for label, extra in (("with", ["--binary", bin_dir]), ("free", [])):
+        out = os.path.join(str(tmp_path), "out_" + label)
+        proc = subprocess.run(
+            [sys.executable, "-m", "page_segmentation_tpu.cli", "predict",
+             "--load", ckpt, "--output", out, "--images", img_dir,
+             "--char_height", "24", "--pipeline", "--batch_size", "2",
+             "--dtype", "float32"] + extra,
+            capture_output=True, text=True, env=env, cwd=cwd,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        outs[label] = out
+    for sub in ("color", "overlay", "inverted"):
+        for p in pages:
+            a = imread(os.path.join(outs["with"], sub, p.name))
+            b = imread(os.path.join(outs["free"], sub, p.name))
+            np.testing.assert_array_equal(a, b)
 
 def test_corpus_cc_vote_runs(tmp_path):
     """cc_vote=True (predict --pipeline --post_process cc_majority) fuses

@@ -123,6 +123,28 @@ def test_otsu_binarize_default_inverts():
     assert binary[0, 0] == 255  # dark ink becomes foreground
 
 
+def test_binarize_into_matches_imread_bin_and_otsu():
+    from page_segmentation_tpu.ops.threshold import binarize_into
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (33, 47), np.uint8)
+    # default threshold 128: imread_bin semantics (gray >= 128 -> 255)
+    out = np.empty_like(img)
+    binarize_into(img, out)
+    np.testing.assert_array_equal(out, np.where(img >= 128, 255, 0))
+    # otsu convention: strictly above t -> 255, via threshold = t + 1
+    t = otsu_threshold(img)
+    binarize_into(img, out, t + 1)
+    np.testing.assert_array_equal(out, otsu_binarize(img, invert=True))
+    # non-contiguous out still works (fallback branch)
+    wide = np.zeros((33, 94), np.uint8)
+    view = wide[:, ::2]
+    binarize_into(img, view)
+    np.testing.assert_array_equal(view, np.where(img >= 128, 255, 0))
+    with pytest.raises(ValueError):
+        binarize_into(img, np.empty((1, 1), np.uint8))
+
+
 # --------------------------------------------------------------- morphology
 def test_dilate_erode():
     img = np.zeros((5, 5), np.uint8)
