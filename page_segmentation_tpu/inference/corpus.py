@@ -59,8 +59,12 @@ class RawCorpusPredictor:
     """Group raw pages by (shape, line height) and stream each group
     through a ThroughputPredictor.
 
-    ``classifier``: a PixelClassifier holding the model (grayscale FCN
-    families; the pretrained RGB encoders go through the per-page path).
+    ``classifier``: a PixelClassifier holding the model — any family: the
+    grayscale FCNs stream with the invert+/255 device normalize; the
+    pretrained RGB encoder families (mobilenet/resnet/effnet) replicate
+    the inverted page to 3 channels and apply their Keras preprocess
+    twin on device (registry.preprocess_mode), so the link still carries
+    ONE uint8 plane per page.  int8 serving remains grayscale-only.
     ``window`` bounds host memory: at most two ``window``-sized slices of
     full-resolution pages are resident at once (the slice being predicted
     plus the next one decoding on the prefetch thread).
@@ -79,11 +83,8 @@ class RawCorpusPredictor:
         compute_dtype=None,
         binarize: str = "threshold",
     ):
-        if classifier.rgb:
-            raise ValueError(
-                "--pipeline streams the grayscale FCN families; use the "
-                "per-page path (no --pipeline) for the RGB encoder models"
-            )
+        if classifier.rgb and int8:
+            raise ValueError("int8 supports the grayscale FCN families only")
         self.classifier = classifier
         self.palette = np.ascontiguousarray(palette, np.uint8)
         self.target_line_height = target_line_height
@@ -136,6 +137,7 @@ class RawCorpusPredictor:
 
             h, w, line_height = key
             scale = self.target_line_height / line_height
+            arch = self.classifier.architecture
             self._predictors[key] = ThroughputPredictor(
                 self.classifier.module,
                 self.classifier.variables,
@@ -143,10 +145,12 @@ class RawCorpusPredictor:
                 (h, w),
                 scale,
                 host_decimate=pick_host_decimate(scale),
+                stride_factor=arch.stride_factor,
                 compute_dtype=self.compute_dtype,
                 download=self.download,
                 cc_vote=self.cc_vote,
                 int8=self.int8,
+                preprocess_mode=arch.preprocess_mode,
             )
         return self._predictors[key]
 

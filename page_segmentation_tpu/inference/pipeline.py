@@ -38,18 +38,45 @@ def nearest_index_array(out_dim: int, in_dim: int) -> np.ndarray:
     return np.clip(np.floor(coords + 0.5).astype(np.int64), 0, in_dim - 1)
 
 
-def _device_normalize(out_h: int, out_w: int, pad_h: int, pad_w: int):
+def _device_normalize(out_h: int, out_w: int, pad_h: int, pad_w: int,
+                      preprocess_mode: str = "gray"):
     """The fused pipeline's device preprocessing: cubic resample to the
-    normalized shape, invert + /255 (dataset.py:137 fused), zero-pad to
-    the bucket.  Shared by the predict program and int8 calibration so
-    the calibrated activation ranges see exactly the inference inputs."""
+    normalized shape, invert + family normalization, zero-pad to the
+    bucket.  Returns NHWC (channel dim included).  Shared by the predict
+    program and int8 calibration so the calibrated activation ranges see
+    exactly the inference inputs.
+
+    ``preprocess_mode='gray'`` is invert + /255 fused (dataset.py:137).
+    The RGB encoder modes replicate the inverted page to 3 channels (the
+    per-page path's GrayToRgb placement, classifier._prepare_input) and
+    apply the family's Keras preprocess_input twin (registry.py modes:
+    'caffe' ResNet50, 'tf' MobileNetV2, 'torch' EfficientNet); zero-pad
+    comes AFTER preprocess, matching the per-page path's pad_to."""
+
+    if preprocess_mode == "gray":
+
+        def normalize(pages_u8):
+            n = pages_u8.shape[0]
+            img = pages_u8.astype(jnp.float32)
+            img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
+            img = 1.0 - img / 255.0
+            img = jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+            return img[..., None]
+
+        return normalize
+
+    from ..models.registry import _make_preprocess
+
+    pre = _make_preprocess(preprocess_mode, jnp)
 
     def normalize(pages_u8):
         n = pages_u8.shape[0]
         img = pages_u8.astype(jnp.float32)
         img = jax.image.resize(img, (n, out_h, out_w), method="cubic")
-        img = 1.0 - img / 255.0
-        return jnp.pad(img, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w)))
+        # prepared-page convention: ink bright (prepare.py:76)
+        inv = 255.0 - img
+        x = pre(jnp.repeat(inv[..., None], 3, axis=-1))
+        return jnp.pad(x, ((0, 0), (0, pad_h - out_h), (0, pad_w - out_w), (0, 0)))
 
     return normalize
 
@@ -72,7 +99,7 @@ def make_fused_calibrate(
     def calibrate(params, pages_u8):
         img = normalize(pages_u8)
         _, mutated = calibrate_module.apply(
-            {"params": params}, img[..., None], mutable=["amax"]
+            {"params": params}, img, mutable=["amax"]
         )
         return mutated["amax"]
 
@@ -89,6 +116,7 @@ def make_fused_predict(
     cc_vote: bool = False,
     mesh=None,
     data_axis: str = "data",
+    preprocess_mode: str = "gray",
 ):
     """Jitted fn(variables, pages_u8 (N, hd, wd), palette[, ink_packed]):
     device cubic resample to ``normalized_shape``, invert/normalize, pad to
@@ -117,11 +145,11 @@ def make_fused_predict(
     pad_h = round_up(out_h, stride_factor * bucket_granularity)
     pad_w = round_up(out_w, stride_factor * bucket_granularity)
     cc_vote = "xla" if cc_vote is True else cc_vote
-    normalize = _device_normalize(out_h, out_w, pad_h, pad_w)
+    normalize = _device_normalize(out_h, out_w, pad_h, pad_w, preprocess_mode)
 
     def core(variables, pages_u8, palette, ink_packed=None):
         img = normalize(pages_u8)
-        logits = module.apply(variables, img[..., None].astype(compute_dtype))
+        logits = module.apply(variables, img.astype(compute_dtype))
         pred = jnp.argmax(logits, axis=-1)
         if cc_vote:
             from ..ops.pallas_cc import cc_vote_batch, cc_vote_batch_xla
@@ -203,6 +231,7 @@ class ThroughputPredictor:
         data_axis: str = "data",
         int8: bool = False,
         reuse_output_buffers: bool = False,
+        preprocess_mode: str = "gray",
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
@@ -234,6 +263,9 @@ class ThroughputPredictor:
         dec_h, dec_w = in_h // host_decimate, in_w // host_decimate
         self.decimated_shape = (dec_h, dec_w)
         self.int8 = bool(int8)
+        self.preprocess_mode = preprocess_mode
+        if int8 and preprocess_mode != "gray":
+            raise ValueError("int8 supports the grayscale FCN families only")
         # opt-in trio-buffer reuse: each batch's color/overlay/inverted are
         # then views into per-instance buffers, valid only until the next
         # batch's _finish — fresh 54 MB/batch allocations page-fault for
@@ -260,7 +292,8 @@ class ThroughputPredictor:
         self.fused = make_fused_predict(
             module, (out_h, out_w),
             stride_factor=stride_factor, compute_dtype=compute_dtype,
-            download=self.download, cc_vote=device_vote, mesh=mesh, data_axis=data_axis,
+            download=self.download, cc_vote=device_vote, mesh=mesh,
+            data_axis=data_axis, preprocess_mode=preprocess_mode,
         )
         self.palette_np = np.asarray(palette, np.uint8)
         if not isinstance(variables, dict) or "params" not in variables:

@@ -124,14 +124,17 @@ def test_window_bounds_and_order(tmp_path):
     assert names == [p.name for p in pages]
 
 
-def test_rejects_rgb_families():
+def test_rejects_rgb_with_int8():
+    """RGB encoder families stream (see the parity test below), but int8
+    serving stays grayscale-only: the calibration path is built around
+    the single-plane invert+/255 normalize."""
     from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
     from page_segmentation_tpu.inference.classifier import PixelClassifier
     from page_segmentation_tpu.models.registry import Architecture
 
     cls = PixelClassifier(n_classes=3, architecture=Architecture.MOBILE_NET, seed=0)
     with pytest.raises(ValueError, match="grayscale"):
-        RawCorpusPredictor(cls, DEFAULT_IMAGE_MAP.palette)
+        RawCorpusPredictor(cls, DEFAULT_IMAGE_MAP.palette, int8=True)
 
 
 def test_cli_pipeline_end_to_end(tmp_path):
@@ -224,6 +227,80 @@ def test_binary_free_otsu_matches_precomputed_otsu_files(tmp_path):
             np.testing.assert_array_equal(got, want)
         seen += 1
     assert seen == 3
+
+
+@pytest.mark.parametrize("arch_name", ["mobile_net", "image_res_net", "effb0"])
+def test_rgb_family_pipeline_matches_per_page_fused(tmp_path, arch_name):
+    """The pretrained RGB encoder families stream through --pipeline: at
+    scale 1 / decimate 1 / no padding, the streamed trio equals the
+    per-page fused batch path (predict_batch_masks), whose host
+    preprocessing is the reference's stack-to-RGB + Keras
+    preprocess_input chain (reference model.py:97,322,371)."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.models.registry import Architecture
+
+    h = w = 64  # multiple of every stride factor: no padding anywhere
+    pages, _, _ = _write_corpus(str(tmp_path), [(h, w, 2)], line_height=6)
+    cls = PixelClassifier(n_classes=3, architecture=Architecture(arch_name),
+                          seed=0, compute_dtype=jnp.float32)
+    assert cls.rgb
+
+    images = np.stack([imread(p.image_path, as_gray=True) for p in pages])
+    raw_bin = np.stack([imread(p.binary_path, as_gray=True) for p in pages])
+    ink = (raw_bin < 128).astype(np.uint8)
+    prepared = (255 - images).astype(np.uint8)  # prepare.py inversion
+    _, masks = cls.predict_batch_masks(prepared, ink, DEFAULT_IMAGE_MAP.palette)
+
+    runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, target_line_height=6, batch_size=2,
+        compute_dtype=jnp.float32,
+    )
+    seen = 0
+    by_name = {p.name: i for i, p in enumerate(pages)}
+    for page, *trio in runner.run(pages):
+        i = by_name[page.name]
+        for got, want in zip(trio, masks[:, i]):
+            np.testing.assert_array_equal(got, want)
+        seen += 1
+    assert seen == 2
+
+
+def test_unet_stride16_pipeline_pads_correctly(tmp_path):
+    """A stride-16 family (unet) through the corpus path: the predictor
+    must pad to the model's own stride factor, and (gray preprocess:
+    pad-zero commutes with invert+/255) equal the per-page batch path
+    cropped from its bucket."""
+    import jax.numpy as jnp
+
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.inference.classifier import PixelClassifier
+    from page_segmentation_tpu.models.registry import Architecture
+
+    h, w = 100, 88  # forces stride-16 padding (112, 96)
+    pages, _, _ = _write_corpus(str(tmp_path), [(h, w, 2)], line_height=6)
+    cls = PixelClassifier(n_classes=3, architecture=Architecture.UNET,
+                          seed=0, compute_dtype=jnp.float32)
+
+    images = np.stack([imread(p.image_path, as_gray=True) for p in pages])
+    raw_bin = np.stack([imread(p.binary_path, as_gray=True) for p in pages])
+    pad = ((0, 0), (0, 112 - h), (0, 96 - w))
+    prepared = np.pad((255 - images).astype(np.uint8), pad)
+    ink = np.pad((raw_bin < 128).astype(np.uint8), pad)
+    _, masks = cls.predict_batch_masks(prepared, ink, DEFAULT_IMAGE_MAP.palette)
+
+    runner = RawCorpusPredictor(
+        cls, DEFAULT_IMAGE_MAP.palette, target_line_height=6, batch_size=2,
+        compute_dtype=jnp.float32,
+    )
+    by_name = {p.name: i for i, p in enumerate(pages)}
+    for page, *trio in runner.run(pages):
+        i = by_name[page.name]
+        for got, want in zip(trio, masks[:, i]):
+            assert got.shape == (h, w, 3)
+            np.testing.assert_array_equal(got, want[:h, :w])
 
 
 def test_binarize_rejects_unknown_mode():

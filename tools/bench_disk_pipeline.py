@@ -46,7 +46,14 @@ def main():
                              "(docs/PERFORMANCE.md §5), so the artifact "
                              "records every pass and reports the median")
     parser.add_argument("--record", action="store_true",
-                        help="write bench_runs/r3_disk_pipeline.json")
+                        help="write bench_runs/r3_disk_pipeline.json "
+                             "(_binfree suffix with --binary-free)")
+    parser.add_argument("--binary-free", action="store_true",
+                        help="stream without binary files: pages binarize "
+                             "from the decoded image (threshold-128, "
+                             "byte-equal to these synth binaries) — ONE "
+                             "PNG decode per page instead of two, the "
+                             "dominant cost on a decode-bound host")
     args = parser.parse_args()
 
     import bench  # repo-root synth (distinct pages, bench.py contract)
@@ -90,6 +97,10 @@ def main():
         done += n
         print(f"corpus: {done}/{args.pages} on disk "
               f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+
+    if args.binary_free:
+        raw_pages = [RawPage(p.image_path, None, p.line_height_px)
+                     for p in raw_pages]
 
     import jax.numpy as jnp
 
@@ -152,9 +163,12 @@ def main():
         "page_hw": [args.height, args.width],
         "host_cpus": os.cpu_count(),
         "outputs_written": bool(out_dir),
+        "binary_free": bool(args.binary_free),
         "mode": "RawCorpusPredictor (cli predict --pipeline): header probe "
                 "+ PNG decode (prefetch thread) + decimate + device forward "
-                "+ packed download + trio finish; decode INSIDE the clock",
+                "+ packed download + trio finish; decode INSIDE the clock"
+                + ("; --binary-free: binarized from the decoded image "
+                   "(one PNG decode/page)" if args.binary_free else ""),
     }
     # phase evidence: the 1-core host swings several-x between runs
     # (docs/PERFORMANCE.md §5); the per-batch list makes each capture
@@ -162,8 +176,10 @@ def main():
     result.update(bench.phase_stats(intervals, batch_counts))
     print(json.dumps(result))
     if args.record:
+        name = ("r3_disk_pipeline_binfree.json" if args.binary_free
+                else "r3_disk_pipeline.json")
         path = os.path.join(os.path.dirname(__file__), "..", "bench_runs",
-                            "r3_disk_pipeline.json")
+                            name)
         with open(path, "w") as f:
             json.dump(result, f)
             f.write("\n")
