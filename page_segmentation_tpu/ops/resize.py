@@ -3,12 +3,19 @@
 The reference delegates resizing to skimage (reference dataset.py:114-128:
 ``rescale(order=0)`` for binaries, ``resize(order=3, anti_aliasing=
 len(unique)>2)`` for images; util.py:21-29 ``preserving_resize`` order=0).
-Neither cv2 nor skimage exist in this environment, so we re-own the math:
+skimage does not exist in this environment, so we re-own the wrapper math
+(cv2 does, and the cv2-convention paths are live-gated —
+tests/test_cv2_parity_live.py):
 
 * host path: numpy nearest + scipy.ndimage cubic-spline resize reproducing
   skimage's coordinate convention (center-aligned: src = (dst+0.5)*f-0.5,
   spline prefilter, mirror boundary, optional gaussian anti-aliasing with
-  sigma=(f-1)/2) — the parity path for dataset preparation.
+  sigma=(f-1)/2) — the parity path for dataset preparation.  skimage>=0.19
+  ``resize`` is itself a thin wrapper over ``ndi.zoom(order=3,
+  mode='mirror', grid_mode=True)`` after the same gaussian prefilter, and
+  scipy IS installed: ``resize_cubic`` is gated bit-exact against that
+  call chain (tests/test_ops.py::test_resize_cubic_equals_ndi_zoom_grid_mode),
+  so only the thin wrapper — not the interpolation — is re-derived.
 * device path: jax nearest gather + jax.image cubic for fused on-TPU
   pipelines where static shapes are available.
 """
