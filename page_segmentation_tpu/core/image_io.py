@@ -5,8 +5,8 @@ Rebuild of the ``ocr4all.files`` helpers the reference imports
 ``chunks``; reference render.py:8: ``split_filename``).  The semantic
 contract is PIL's (goldens and parity tests froze PIL behavior); PNG files
 additionally take a cv2 decode fast path (~2.7x on 300-DPI pages, measured
-bit-identical for every PNG color mode — see _decode_png_cv2) because the
-single-core PNG decode is the measured wall of the disk-corpus pipeline.
+bit-identical for every PNG color mode — see _decode_png_cv2_bytes) because
+the single-core PNG decode is the measured wall of the disk-corpus pipeline.
 """
 from __future__ import annotations
 
@@ -57,14 +57,6 @@ def _decode_png_cv2_bytes(data) -> Optional[np.ndarray]:
     if arr is None or arr.ndim not in (2, 3):
         return None
     return arr
-
-
-def _decode_png_cv2(path) -> Optional[np.ndarray]:
-    try:
-        data = np.fromfile(str(path), np.uint8)
-    except OSError:
-        return None
-    return _decode_png_cv2_bytes(data)
 
 
 def decode_image_bytes(data: bytes, as_gray: bool = False) -> np.ndarray:

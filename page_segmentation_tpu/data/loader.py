@@ -52,8 +52,13 @@ class DatasetLoader:
 
             binary = otsu_binarize(img, invert=True)
         else:
-            # like the reference (dataset.py:172), fall back to the image itself
-            binary = imread_bin(entry.image_path, True)
+            # like the reference (dataset.py:172), fall back to the image
+            # itself — thresholded in memory (byte-equal to
+            # imread_bin(image_path), without a second PNG decode of the
+            # file just decoded into ``img``)
+            import numpy as np
+
+            binary = np.where(img >= 128, np.uint8(255), np.uint8(0))
 
         img, binary, orig_bin = prepare_images(
             img,

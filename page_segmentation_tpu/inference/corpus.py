@@ -16,6 +16,7 @@ reference's default too (high_res_output is the per-page path's flag).
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -112,7 +113,9 @@ class RawCorpusPredictor:
         self.compute_dtype = compute_dtype
         self._predictors = {}
         self._spare_ring: Optional[RawCorpusPredictor._SliceRing] = None
-        self._ring_lock = None  # created lazily (threading import)
+        # created eagerly: a lazily-created lock is itself a race (two
+        # threads can each install a different Lock and both pop the ring)
+        self._ring_lock = threading.Lock()
 
     # ------------------------------------------------------------- grouping
     @staticmethod
@@ -185,10 +188,6 @@ class RawCorpusPredictor:
     def _take_ring(self) -> "RawCorpusPredictor._SliceRing":
         """Pop the parked ring (warm buffers) or make a fresh one; the
         caller owns it exclusively until _return_ring."""
-        import threading
-
-        if self._ring_lock is None:
-            self._ring_lock = threading.Lock()
         with self._ring_lock:
             ring, self._spare_ring = self._spare_ring, None
         return ring or self._SliceRing()

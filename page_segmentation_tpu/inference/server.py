@@ -24,7 +24,6 @@ images and wait on futures, so the service needs no device locking.
 """
 from __future__ import annotations
 
-import io
 import json
 import logging
 import queue

@@ -405,6 +405,10 @@ def test_ring_pool_reuse_and_exclusivity(tmp_path):
         _classifier(), DEFAULT_IMAGE_MAP.palette, batch_size=2, window=2,
     )
     assert runner._spare_ring is None
+    # the pool lock must exist from construction: a lazily-created lock is
+    # itself a race (two threads could each install a different Lock and
+    # both pop the same parked ring)
+    assert runner._ring_lock is not None
     first = {p.name: c for p, c, *_ in runner.run(pages)}
     ring_a = runner._spare_ring
     assert ring_a is not None  # parked after the run

@@ -249,7 +249,7 @@ def test_png_decode_fast_path_imread_bin(tmp_path):
 
 def test_non_png_files_keep_the_pil_path(tmp_path):
     # a JPEG must not enter the cv2 branch (decoders may differ by +-1);
-    # _decode_png_cv2 must return None on the magic sniff
+    # _decode_png_cv2_bytes must return None on the magic sniff
     from PIL import Image
 
     from page_segmentation_tpu.core import image_io
@@ -258,13 +258,15 @@ def test_non_png_files_keep_the_pil_path(tmp_path):
     g = rng.randint(0, 256, (32, 32), dtype=np.uint8)
     path = tmp_path / "page.jpg"
     Image.fromarray(g, "L").save(path, quality=90)
-    assert image_io._decode_png_cv2(path) is None
+    assert image_io._decode_png_cv2_bytes(
+        np.fromfile(str(path), np.uint8)) is None
     assert image_io.imread(path, as_gray=True).shape == (32, 32)
-    # missing / truncated files: fast path degrades to None, not an error
-    assert image_io._decode_png_cv2(tmp_path / "absent.png") is None
-    short = tmp_path / "short.png"
-    short.write_bytes(b"\x89PN")
-    assert image_io._decode_png_cv2(short) is None
+    # truncated bytes: fast path degrades to None, not an error
+    assert image_io._decode_png_cv2_bytes(
+        np.frombuffer(b"\x89PN", np.uint8)) is None
+    # missing files surface as the normal open() error, not a cv2 crash
+    with pytest.raises(FileNotFoundError):
+        image_io.imread(tmp_path / "absent.png")
 
 
 def test_png_encode_fast_path_roundtrips_exactly(tmp_path):

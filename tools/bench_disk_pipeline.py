@@ -126,7 +126,6 @@ def main():
         pass
 
     runs = []
-    best = None  # (wall, intervals, batch_counts, count) of the median run
     for rep in range(max(1, args.reps)):
         t0 = time.perf_counter()
         last = t0

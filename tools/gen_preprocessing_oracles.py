@@ -103,7 +103,11 @@ def main():
         with open(manifest_path) as f:
             old_manifest = json.load(f)
         cases.update(old_manifest["cases"])
-        versions.update(old_manifest.get("versions", {}))
+        # keep recorded versions for libraries NOT regenerated this run,
+        # but never let the stale manifest overwrite the live numpy (and
+        # below, skimage/cv2) versions of the arrays written now
+        for lib, ver in old_manifest.get("versions", {}).items():
+            versions.setdefault(lib, ver)
 
     def record(name, inputs, outputs, tolerance=0):
         for key, arr in {**inputs, **outputs}.items():
