@@ -31,7 +31,10 @@ def _rand_blobs(rng, h, w, density):
     return (rng.rand(h, w) < density).astype(np.uint8) * 255
 
 
-def test_morphology_exact_vs_cv2():
+def test_morphology_exact_vs_cv2(monkeypatch):
+    # gate the scipy FALLBACK (the semantic contract) against live cv2 —
+    # with cv2 present the dispatcher would otherwise compare cv2 to itself
+    monkeypatch.setattr(morphology, "_cv2", None)
     rng = np.random.RandomState(100)
     for _ in range(60):
         h, w = rng.randint(8, 150), rng.randint(8, 150)
@@ -54,9 +57,10 @@ def test_morphology_exact_vs_cv2():
         )
 
 
-def test_dilate_rgb_per_channel_vs_cv2():
+def test_dilate_rgb_per_channel_vs_cv2(monkeypatch):
     # find_segments dilates the RGB prediction image (reference
     # pc_segmentation.py:32,63-67); cv2 dilates channels independently
+    monkeypatch.setattr(morphology, "_cv2", None)
     rng = np.random.RandomState(101)
     for _ in range(10):
         x = rng.randint(0, 255, (rng.randint(10, 60), rng.randint(10, 60), 3),
@@ -65,6 +69,27 @@ def test_dilate_rgb_per_channel_vs_cv2():
         np.testing.assert_array_equal(
             morphology.dilate(x, (3, 3)), cv2.dilate(x, kernel)
         )
+
+
+def test_morphology_cv2_dispatch_equals_fallback(monkeypatch):
+    # the cv2 fast path and the scipy fallback must agree bit-exactly on
+    # every shape/kernel/iteration combination the segmentation stage uses
+    # (incl. even kernels, (H, W, 1), and multi-iteration dilation)
+    rng = np.random.RandomState(113)
+    assert morphology._cv2 is not None  # this test needs the live fast path
+    for shape in [(37, 53), (40, 40), (37, 53, 3), (37, 53, 1), (37, 53, 4)]:
+        for k in [(3, 3), (4, 4), (12, 12), (5, 2), (2, 5), (1, 1)]:
+            for iterations in (1, 2):
+                x = (rng.rand(*shape) * 255).astype(np.uint8)
+                fast_d = morphology.dilate(x, k, iterations)
+                fast_e = morphology.erode(x, k, iterations)
+                with monkeypatch.context() as mp:
+                    mp.setattr(morphology, "_cv2", None)
+                    slow_d = morphology.dilate(x, k, iterations)
+                    slow_e = morphology.erode(x, k, iterations)
+                assert fast_d.shape == slow_d.shape == x.shape
+                np.testing.assert_array_equal(fast_d, slow_d)
+                np.testing.assert_array_equal(fast_e, slow_e)
 
 
 def test_otsu_exact_vs_cv2():
