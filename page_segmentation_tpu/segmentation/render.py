@@ -5,6 +5,14 @@ rasterization for the segmentation CLI) on a numpy canvas: rectangles are
 inclusive slice fills, polygons go through the re-owned ``fill_contour``
 (no cv2), and PIL only wraps the finished array for saving.
 
+Region masks are flat-color canvases with a handful of distinct colors,
+so the CLI path paints single-byte *palette-index* canvases and saves
+paletted PNGs: one third the bytes through memory and zlib measured the
+A4 encode 147 -> 44 ms on this host, and any standards-conforming PNG
+decoder (cv2.imread, PIL ``convert('RGB')``) recovers pixel-identical
+RGB.  ``render_rect_segments``/``render_contours`` keep their RGB-array
+semantics for reference-API familiarity (ref render.py:51-58,61-65).
+
 Coordinate quirks preserved from the reference: ``render_xycut`` reverses
 ``orig_shape`` into a (width, height) canvas size while
 ``render_morphological`` passes it through unreversed (ref render.py:37,47),
@@ -33,22 +41,40 @@ def _canvas(pil_size: Tuple[int, int], color: RGBColor) -> np.ndarray:
     return np.broadcast_to(np.asarray(color, np.uint8), (height, width, 3)).copy()
 
 
-def _paint_rects(canvas: np.ndarray, rects: Sequence[RectSegment], color: RGBColor) -> None:
+def _index_canvas(pil_size: Tuple[int, int]) -> np.ndarray:
+    """H×W uint8 palette-index canvas (index 0 = base color)."""
+    width, height = pil_size
+    return np.zeros((height, width), np.uint8)
+
+
+def _palette_image(indices: np.ndarray, palette: Sequence[RGBColor]) -> ImageType:
+    """Wrap an index canvas as a paletted PIL image."""
+    image = Image.fromarray(indices, "P")
+    flat = bytearray(768)  # PNG palettes are 256 RGB triples
+    for i, color in enumerate(palette):
+        flat[3 * i : 3 * i + 3] = bytes(color)
+    image.putpalette(bytes(flat))
+    return image
+
+
+def _paint_rects(canvas: np.ndarray, rects: Sequence[RectSegment], fill) -> None:
     """Fill rectangles in place; endpoints inclusive, as PIL draws them.
 
     Per the RectSegment convention x indexes rows and y indexes columns.
     Rectangles fully outside the canvas paint nothing (a raw negative end
     index would wrap into a from-the-end slice and flood the canvas).
+    ``fill`` is an RGB triple for H×W×3 canvases or a palette index for
+    H×W index canvases.
     """
-    fill = np.asarray(color, np.uint8)
+    fill = np.asarray(fill, canvas.dtype)
     for r in rects:
         if r.x_end < 0 or r.y_end < 0:
             continue
         canvas[max(r.x_start, 0) : r.x_end + 1, max(r.y_start, 0) : r.y_end + 1] = fill
 
 
-def _paint_contours(canvas: np.ndarray, contours: Sequence[CVContour], color: RGBColor) -> None:
-    fill = np.asarray(color, canvas.dtype)
+def _paint_contours(canvas: np.ndarray, contours: Sequence[CVContour], fill) -> None:
+    fill = np.asarray(fill, canvas.dtype)
     for contour in contours:
         fill_contour(canvas, np.atleast_2d(contour.contour), fill)
 
@@ -78,11 +104,15 @@ def render_xycut(
     segments_text: List[RectSegment],
     segments_image: List[RectSegment],
 ) -> ImageType:
-    groups = [
-        (label_colors.color_for_label("text"), segments_text),
-        (label_colors.color_for_label("image"), segments_image),
+    indices = _index_canvas(tuple(reversed(orig_shape)))
+    palette = [
+        WHITE,
+        label_colors.color_for_label("text"),
+        label_colors.color_for_label("image"),
     ]
-    return render_rect_segments(tuple(reversed(orig_shape)), groups)
+    _paint_rects(indices, segments_text, 1)
+    _paint_rects(indices, segments_image, 2)
+    return _palette_image(indices, palette)
 
 
 def render_morphological(
@@ -91,10 +121,15 @@ def render_morphological(
     segments_text: List[CVContour],
     segments_image: List[RectSegment],
 ) -> ImageType:
-    base = render_rect_segments(
-        orig_shape, [(label_colors.color_for_label("image"), segments_image)]
-    )
-    return render_contours(base, segments_text, label_colors.color_for_label("text"))
+    indices = _index_canvas(orig_shape)
+    palette = [
+        WHITE,
+        label_colors.color_for_label("image"),
+        label_colors.color_for_label("text"),
+    ]
+    _paint_rects(indices, segments_image, 1)
+    _paint_contours(indices, segments_text, 2)
+    return _palette_image(indices, palette)
 
 
 def render_regions(
@@ -112,10 +147,6 @@ def render_regions(
     os.makedirs(output_dir, exist_ok=True)
     page_name = split_filename(prediction_path)[1]
     outfile = os.path.join(output_dir, f"{page_name}.{extension}")
-    # PIL encode, deliberately: region masks are flat-color canvases where
-    # PIL's default zlib level measured FASTER than the cv2 fast path
-    # (~150 vs ~250 ms/A4 page at a quarter the bytes) — the cv2 encode
-    # only wins on photographic content like the predict trio
     method(orig_shape, label_colors, segments_text, segments_image).save(outfile)
     return outfile
 

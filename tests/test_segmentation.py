@@ -121,8 +121,51 @@ def test_render_xycut(cmap, tmp_path):
     )
     from PIL import Image
 
-    img = np.asarray(Image.open(out))
-    assert img.shape[2] == 3
+    # the saved artifact is a paletted PNG; the contract is the decoded RGB
+    img = np.asarray(Image.open(out).convert("RGB"))
+    assert img.shape == (50, 40, 3)
+    np.testing.assert_array_equal(img[10, 10], (0, 0, 255))   # text rect
+    np.testing.assert_array_equal(img[30, 25], (0, 255, 0))   # image rect
+    np.testing.assert_array_equal(img[0, 0], (255, 255, 255))  # base
+
+
+def test_render_palette_matches_rgb_painting(cmap, tmp_path):
+    # the palette-index fast path must decode to the exact RGB canvas the
+    # reference-semantics RGB painting produces (both region render modes)
+    from PIL import Image
+
+    from page_segmentation_tpu.ops.contours import find_external_contours
+    from page_segmentation_tpu.segmentation.render import (
+        render_contours,
+        render_morphological,
+        render_rect_segments,
+        render_xycut,
+    )
+    from page_segmentation_tpu.segmentation.xycut import CVContour
+
+    texts = [RectSegment(5, 5, 15, 15), RectSegment(-3, 2, 8, 9)]
+    images = [RectSegment(20, 20, 35, 30), RectSegment(12, 12, 22, 22)]
+    fast = np.asarray(render_xycut((50, 40), cmap, texts, images).convert("RGB"))
+    slow = np.asarray(
+        render_rect_segments(
+            (40, 50),
+            [
+                (cmap.color_for_label("text"), texts),
+                (cmap.color_for_label("image"), images),
+            ],
+        )
+    )
+    np.testing.assert_array_equal(fast, slow)
+
+    blob = np.zeros((50, 40), np.uint8)
+    blob[6:18, 8:30] = 255
+    contours = [CVContour(c) for c in find_external_contours(blob)]
+    fast_m = np.asarray(
+        render_morphological((50, 40), cmap, contours, images).convert("RGB")
+    )
+    base = render_rect_segments((50, 40), [(cmap.color_for_label("image"), images)])
+    slow_m = np.asarray(render_contours(base, contours, cmap.color_for_label("text")))
+    np.testing.assert_array_equal(fast_m, slow_m)
 
 
 def test_contours_roundtrip():
