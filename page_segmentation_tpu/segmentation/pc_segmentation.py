@@ -19,7 +19,7 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..core.colors import ColorMap
+from ..core.colors import ColorMap, exact_color_mask
 from ..ops import morphology
 from ..ops.contours import fill_contour, find_external_contours
 from ..ops.resize import resize_nearest_cv
@@ -118,10 +118,8 @@ def dilate(bin_image: np.ndarray) -> np.ndarray:
 def get_text_contours(image: np.ndarray, char_height: int, color_map: ColorMap) -> List[CVContour]:
     """Polygonal text regions via char_height-scaled morphology
     (reference pc_segmentation.py:70-116 behavior)."""
-    color = np.array(color_map.color_for_label("text"))
-
-    # select text-colored pixels (cv2.inRange equivalent)
-    mask = (np.asarray(image)[..., :3] == color).all(axis=-1).astype(np.uint8) * 255
+    # select text-colored pixels (one SIMD pass; see exact_color_mask)
+    mask = exact_color_mask(image, color_map.color_for_label("text"))
 
     # noise removal: close to fill holes, open to drop specks < char/3
     k = max(int(char_height), 1)

@@ -92,6 +92,29 @@ def test_morphology_cv2_dispatch_equals_fallback(monkeypatch):
                 np.testing.assert_array_equal(fast_e, slow_e)
 
 
+def test_exact_color_mask_inrange_equals_numpy():
+    # the cv2.inRange fast path and the numpy compare fallback must agree
+    # bit-exactly, including RGBA inputs (extra channel ignored) and
+    # non-contiguous views
+    from unittest import mock
+
+    from page_segmentation_tpu.core import colors as colors_mod
+
+    rng = np.random.RandomState(117)
+    for shape in [(37, 53, 3), (40, 40, 4), (64, 48, 3)]:
+        x = rng.randint(0, 4, shape).astype(np.uint8) * 85  # few colors -> hits
+        for color in [(0, 0, 0), (85, 85, 170), (255, 255, 255), (1, 2, 3)]:
+            fast = colors_mod.exact_color_mask(x, color)
+            fast_view = colors_mod.exact_color_mask(x[::2, ::2], color)
+            with mock.patch.dict("sys.modules", {"cv2": None}):
+                # `import cv2` raises ImportError -> the numpy fallback runs
+                slow = colors_mod.exact_color_mask(x, color)
+                slow_view = colors_mod.exact_color_mask(x[::2, ::2], color)
+            np.testing.assert_array_equal(fast, slow)
+            np.testing.assert_array_equal(fast_view, slow_view)
+            assert fast.dtype == np.uint8 and set(np.unique(fast)) <= {0, 255}
+
+
 def test_otsu_exact_vs_cv2():
     rng = np.random.RandomState(102)
     for _ in range(100):
