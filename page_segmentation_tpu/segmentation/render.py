@@ -147,7 +147,11 @@ def render_regions(
     os.makedirs(output_dir, exist_ok=True)
     page_name = split_filename(prediction_path)[1]
     outfile = os.path.join(output_dir, f"{page_name}.{extension}")
-    method(orig_shape, label_colors, segments_text, segments_image).save(outfile)
+    image = method(orig_shape, label_colors, segments_text, segments_image)
+    if image.mode == "P" and extension.lower() not in ("png",):
+        # JPEG and friends cannot encode palette images
+        image = image.convert("RGB")
+    image.save(outfile)
     return outfile
 
 

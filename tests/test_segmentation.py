@@ -168,6 +168,21 @@ def test_render_palette_matches_rgb_painting(cmap, tmp_path):
     np.testing.assert_array_equal(fast_m, slow_m)
 
 
+def test_render_non_png_extension(cmap, tmp_path):
+    # palette canvases must transparently convert for encoders that cannot
+    # take mode-P input (e.g. JPEG)
+    from PIL import Image
+
+    from page_segmentation_tpu.segmentation.render import render_regions, render_xycut
+
+    out = render_regions(
+        str(tmp_path), "jpg", (50, 40), "pred/page.png", cmap,
+        render_xycut, [RectSegment(5, 5, 15, 15)], [],
+    )
+    assert out.endswith(".jpg")
+    assert np.asarray(Image.open(out).convert("RGB")).shape == (50, 40, 3)
+
+
 def test_contours_roundtrip():
     from page_segmentation_tpu.ops.contours import fill_contour, find_external_contours
 
