@@ -286,10 +286,16 @@ class Predictor:
                             inverted_h[i, :h, :w],
                         )
                     if write_output and self.settings.output:
-                        from ..core.image_io import imsave
+                        from ..core.image_io import imsave, imsave_indexed
 
                         filename = d.output_path or os.path.basename(d.image_path or "page.png")
-                        imsave(os.path.join(self.settings.output, "color", filename), result[2])
+                        # the color product is the palette applied to the
+                        # final labels — write it as an indexed PNG (same
+                        # decoded RGB, ~3x faster/smaller flat-color encode)
+                        imsave_indexed(
+                            os.path.join(self.settings.output, "color", filename),
+                            pred_i, palette,
+                        )
                         imsave(os.path.join(self.settings.output, "overlay", filename), result[3])
                         imsave(os.path.join(self.settings.output, "inverted", filename), result[4])
                     yield result

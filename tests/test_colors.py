@@ -69,3 +69,30 @@ def test_imread_labels(tmp_path, cmap):
 
 def test_default_map():
     assert DEFAULT_IMAGE_MAP.color_for_label("text") == (255, 0, 0)
+
+
+def test_imsave_indexed_decodes_identically(tmp_path, cmap):
+    # the indexed color-mask writer must decode to the exact RGB the
+    # palette gather produces, through both our decoder and raw PIL
+    from PIL import Image
+
+    from page_segmentation_tpu.core.image_io import imread_rgb, imsave, imsave_indexed
+
+    rng = np.random.RandomState(7)
+    labels = rng.randint(0, 3, (40, 30)).astype(np.uint8)
+    imsave_indexed(tmp_path / "idx.png", labels, cmap.palette)
+    imsave(tmp_path / "rgb.png", cmap.to_rgb_array(labels))
+    np.testing.assert_array_equal(
+        imread_rgb(tmp_path / "idx.png"), imread_rgb(tmp_path / "rgb.png")
+    )
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(tmp_path / "idx.png").convert("RGB")),
+        cmap.to_rgb_array(labels),
+    )
+    # labels round-trip through the ColorMap reader too
+    np.testing.assert_array_equal(cmap.imread_labels(tmp_path / "idx.png"), labels)
+    # non-PNG extensions fall back to an RGB encode
+    imsave_indexed(tmp_path / "idx.bmp", labels, cmap.palette)
+    np.testing.assert_array_equal(
+        imread_rgb(tmp_path / "idx.bmp"), cmap.to_rgb_array(labels)
+    )
