@@ -114,16 +114,41 @@ def find_external_contours(binary: np.ndarray) -> List[np.ndarray]:
     return contours
 
 
+try:  # optional fast path; the PIL rasterizer is the semantic contract
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover - depends on host
+    _cv2 = None
+
+
 def fill_contour(canvas: np.ndarray, contour: np.ndarray, value) -> None:
     """Fill the polygon given by (x, y) points into ``canvas`` in place
-    (cv2.drawContours(..., FILLED) equivalent via PIL rasterization)."""
-    from PIL import Image, ImageDraw
-
+    (cv2.drawContours(..., FILLED) equivalent via PIL rasterization;
+    pixel-equal cv2 fast path when it is importable — gated by
+    tests/test_cv2_parity_live.py on boundary-traced polygons, the only
+    family callers pass)."""
     if contour.ndim != 2 or contour.shape[0] < 3:
         if contour.ndim == 2:
             for x, y in contour:
                 canvas[int(y), int(x)] = value
         return
+    if (
+        _cv2 is not None
+        and canvas.dtype == np.uint8
+        and canvas.ndim in (2, 3)
+        and canvas.flags.c_contiguous
+    ):
+        color = (
+            tuple(int(v) for v in np.ravel(value))
+            if np.ndim(value) or isinstance(value, (tuple, list))
+            else int(value)
+        )
+        _cv2.drawContours(
+            canvas, [contour.astype(np.int32).reshape(-1, 1, 2)], 0, color,
+            _cv2.FILLED,
+        )
+        return
+    from PIL import Image, ImageDraw
+
     mask = Image.new("1", (canvas.shape[1], canvas.shape[0]), 0)
     ImageDraw.Draw(mask).polygon([(int(x), int(y)) for x, y in contour], outline=1, fill=1)
     canvas[np.asarray(mask, bool)] = value

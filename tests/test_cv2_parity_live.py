@@ -180,7 +180,11 @@ def test_cc_with_stats_8conn_permutation_equivalent_vs_cv2():
             np.testing.assert_array_equal(st_cv[a], ours.stats[b])
 
 
-def test_filled_external_contours_vs_cv2():
+def test_filled_external_contours_vs_cv2(monkeypatch):
+    # gate the PIL FALLBACK (the semantic contract) against live cv2 —
+    # with cv2 present fill_contour would dispatch to cv2 and the gate
+    # would compare cv2 with itself
+    monkeypatch.setattr(contours, "_cv2", None)
     rng = np.random.RandomState(105)
     for _ in range(40):
         h, w = rng.randint(12, 120), rng.randint(12, 120)
@@ -194,6 +198,28 @@ def test_filled_external_contours_vs_cv2():
         for c in contours.find_external_contours(x):
             contours.fill_contour(got, c, 255)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_fill_contour_cv2_dispatch_equals_fallback(monkeypatch):
+    # the cv2 fast path and the PIL fallback must agree bit-exactly on the
+    # polygon family callers pass (boundary-traced external contours),
+    # on both gray and RGB canvases
+    assert contours._cv2 is not None  # this test needs the live fast path
+    rng = np.random.RandomState(107)
+    for _ in range(25):
+        h, w = rng.randint(12, 120), rng.randint(12, 120)
+        x = _rand_blobs(rng, h, w, rng.uniform(0.1, 0.5))
+        x = cv2.dilate(x, np.ones((2, 2), np.uint8))
+        cs = contours.find_external_contours(x)
+        for canvas_shape, value in (((h, w), 255), ((h, w, 3), (10, 200, 31))):
+            fast = np.zeros(canvas_shape, np.uint8)
+            slow = np.zeros(canvas_shape, np.uint8)
+            for c in cs:
+                contours.fill_contour(fast, c, value)
+                with monkeypatch.context() as mp:
+                    mp.setattr(contours, "_cv2", None)
+                    contours.fill_contour(slow, c, value)
+            np.testing.assert_array_equal(fast, slow)
 
 
 def test_resize_nearest_cv_exact_vs_cv2():
