@@ -134,11 +134,34 @@ def get_text_contours(image: np.ndarray, char_height: int, color_map: ColorMap) 
 
     # fill region polygons so enclosed holes vanish, then extract the final
     # contours (the reference's draw-then-refind dance, without the
-    # border-pixel workaround cv2 needs)
-    filled = np.zeros(region_text.shape, np.uint8)
-    for contour in find_external_contours(region_text):
-        fill_contour(filled, contour, 255)
-
-    contours = find_external_contours(filled)
+    # border-pixel workaround cv2 needs).  The refind can only differ from
+    # the first find by swallowing components nested inside another
+    # component's hole; nesting requires bbox containment, so when no
+    # contour's bbox lies inside another's the second full-image labeling
+    # pass is skipped — the dominant cost of this stage on large pages
+    # (equality gated in tests/test_segmentation.py).
+    contours = find_external_contours(region_text)
+    if _any_bbox_nested(contours):
+        filled = np.zeros(region_text.shape, np.uint8)
+        for contour in contours:
+            fill_contour(filled, contour, 255)
+        contours = find_external_contours(filled)
     # reverse to preserve the reference's region ordering
     return [CVContour(c) for c in contours[::-1]]
+
+
+def _any_bbox_nested(contours: List[np.ndarray]) -> bool:
+    """Conservative nesting pretest: True iff some contour's bbox is
+    contained (inclusive) in another's.  Polygon nesting implies bbox
+    containment, so False proves the fill-then-refind dance is an
+    identity."""
+    boxes = [
+        (int(c[:, 0].min()), int(c[:, 1].min()),
+         int(c[:, 0].max()), int(c[:, 1].max()))
+        for c in contours
+    ]
+    for i, a in enumerate(boxes):
+        for j, b in enumerate(boxes):
+            if i != j and a[0] >= b[0] and a[1] >= b[1] and a[2] <= b[2] and a[3] <= b[3]:
+                return True
+    return False

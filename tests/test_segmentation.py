@@ -106,6 +106,58 @@ def test_get_text_contours(cmap):
     assert pts[:, 0].min() <= 25 and pts[:, 0].max() >= 90
 
 
+def test_refind_skip_equals_fill_refind_dance():
+    # the bbox-gated refind skip in get_text_contours must be an identity:
+    # on random blob masks, compare the gated extraction against the
+    # unconditional fill-then-refind dance
+    from page_segmentation_tpu.ops.contours import fill_contour, find_external_contours
+    from page_segmentation_tpu.segmentation import pc_segmentation as pcs
+
+    def dance(mask):
+        filled = np.zeros(mask.shape, np.uint8)
+        cs = find_external_contours(mask)
+        for c in cs:
+            fill_contour(filled, c, 255)
+        return find_external_contours(filled)
+
+    def gated(mask):
+        cs = find_external_contours(mask)
+        if pcs._any_bbox_nested(cs):
+            filled = np.zeros(mask.shape, np.uint8)
+            for c in cs:
+                fill_contour(filled, c, 255)
+            cs = find_external_contours(filled)
+        return cs
+
+    rng = np.random.RandomState(42)
+    skipped = 0
+    for _ in range(60):
+        h, w = rng.randint(15, 90), rng.randint(15, 90)
+        mask = (rng.rand(h, w) < rng.uniform(0.1, 0.5)).astype(np.uint8) * 255
+        a, b = dance(mask), gated(mask)
+        assert len(a) == len(b)
+        for ca, cb in zip(a, b):
+            np.testing.assert_array_equal(ca, cb)
+        if not pcs._any_bbox_nested(find_external_contours(mask)):
+            skipped += 1
+    assert skipped > 0  # the fast path actually exercises
+
+
+def test_refind_dance_still_swallows_nested_components():
+    # a blob inside a ring's hole must still be swallowed by the dance —
+    # the bbox gate may not skip it
+    from page_segmentation_tpu.ops.contours import find_external_contours
+    from page_segmentation_tpu.segmentation import pc_segmentation as pcs
+
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:35, 5:35] = 255
+    mask[10:30, 10:30] = 0  # hole
+    mask[15:25, 15:25] = 255  # nested blob
+    cs = find_external_contours(mask)
+    assert len(cs) == 2
+    assert pcs._any_bbox_nested(cs)
+
+
 def test_render_xycut(cmap, tmp_path):
     from page_segmentation_tpu.segmentation.render import render_regions, render_xycut
 
