@@ -181,37 +181,74 @@ int ps_cc_vote(const uint8_t* binary, int h, int w, int n_classes,
 int ps_contours(const uint8_t* img, int h, int w, int32_t* out_points,
                 int max_points, int32_t* out_lens, int max_contours) {
     const size_t size = static_cast<size_t>(h) * w;
-    std::vector<int32_t> labels(size);
-    std::vector<int32_t> remap;
-    const int num_labels = label_image(img, h, w, 8, labels.data(), remap);
+    // Single labeling pass only (the renumber pass and final-labels array
+    // that label_image would add are dead weight here): with union-by-min,
+    // a component's root IS its first-created provisional label, and that
+    // label is created exactly at the component's topmost-leftmost pixel —
+    // its first raster pixel has no earlier 8-neighbors in the component,
+    // so it always takes the uf.add() branch, and every later label of the
+    // component is numerically larger.  Hence roots in ascending order ==
+    // components in raster discovery order, and created_at[root] == the
+    // trace start pixel.  Same-component tests during tracing go through
+    // uf.find on provisional labels.
+    std::vector<int32_t> provisional(size, 0);
+    UnionFind uf(1024);
+    std::vector<int32_t> created_at(1, -1);  // per provisional label; [0] unused
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* row = img + static_cast<size_t>(y) * w;
+        int32_t* prow = provisional.data() + static_cast<size_t>(y) * w;
+        const int32_t* prev = prow - w;
+        for (int x = 0; x < w; ++x) {
+            if (!row[x]) continue;
+            int32_t label = 0;
+            if (x > 0 && prow[x - 1]) label = prow[x - 1];
+            if (y > 0) {
+                if (prev[x]) {
+                    if (label && label != prev[x]) uf.unite(label, prev[x]);
+                    label = label ? std::min(label, prev[x]) : prev[x];
+                }
+                if (x > 0 && prev[x - 1]) {
+                    if (label && label != prev[x - 1]) uf.unite(label, prev[x - 1]);
+                    label = label ? std::min(label, prev[x - 1]) : prev[x - 1];
+                }
+                if (x + 1 < w && prev[x + 1]) {
+                    if (label && label != prev[x + 1]) uf.unite(label, prev[x + 1]);
+                    label = label ? std::min(label, prev[x + 1]) : prev[x + 1];
+                }
+            }
+            if (!label) {
+                label = uf.add();
+                created_at.push_back(static_cast<int32_t>(y) * w + x);
+            }
+            prow[x] = label;
+        }
+    }
 
     static const int dy[8] = {0, -1, -1, -1, 0, 1, 1, 1};
     static const int dx[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
-
-    // first (topmost-leftmost) pixel per component, in raster order
-    std::vector<int32_t> first(num_labels, -1);
-    for (size_t i = 0; i < size; ++i)
-        if (labels[i] && first[labels[i]] < 0) first[labels[i]] = static_cast<int32_t>(i);
 
     int n_contours = 0;
     int point_cursor = 0;
     std::vector<std::pair<int, int>> trace;
     // next boundary move from (cy, cx) scanning clockwise after `backtrack`;
     // returns the direction taken or -1 for an isolated pixel
-    auto next_move = [&](int cy, int cx, int backtrack, int label, int* ny, int* nx) {
+    auto next_move = [&](int cy, int cx, int backtrack, int32_t root, int* ny, int* nx) {
         for (int k = 0; k < 8; ++k) {
             const int d = (backtrack + 1 + k) % 8;
             const int ty = cy + dy[d], tx = cx + dx[d];
             if (ty < 0 || ty >= h || tx < 0 || tx >= w) continue;
-            if (labels[static_cast<size_t>(ty) * w + tx] != label) continue;
+            const int32_t p = provisional[static_cast<size_t>(ty) * w + tx];
+            if (!p || uf.find(p) != root) continue;
             *ny = ty; *nx = tx;
             return d;
         }
         return -1;
     };
-    for (int l = 1; l < num_labels; ++l) {
+    const int32_t n_provisional = static_cast<int32_t>(uf.parent.size());
+    for (int32_t l = 1; l < n_provisional; ++l) {
+        if (uf.find(l) != l) continue;  // merged into an earlier label
         if (n_contours >= max_contours) return -1;
-        const int sy0 = first[l] / w, sx0 = first[l] % w;
+        const int sy0 = created_at[l] / w, sx0 = created_at[l] % w;
         trace.clear();
         trace.emplace_back(sy0, sx0);
         // west of the topmost-leftmost pixel is background
