@@ -129,6 +129,7 @@ def test_headline_bench_smoke(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep CPU smoke off the TPU tunnel
     proc = subprocess.run(
         [sys.executable, "bench.py", "--pages", "4", "--batch", "2",
          "--height", "352", "--width", "256", "--repeats", "2",
@@ -165,6 +166,7 @@ def test_sustained_pipelined_smoke(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep CPU smoke off the TPU tunnel
     proc = subprocess.run(
         [sys.executable, "bench.py", "--pages", "4", "--batch", "2",
          "--height", "352", "--width", "256", "--repeats", "1",

@@ -150,6 +150,10 @@ def test_cli_pipeline_end_to_end(tmp_path):
                                           "n_classes": 3})
     out = os.path.join(str(tmp_path), "out")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # drop the axon-tunnel gate: sitecustomize's register() force-updates
+    # jax_platforms after import, so the env var alone cannot keep a
+    # subprocess off a wedged TPU tunnel
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, "-m", "page_segmentation_tpu.cli", "predict",
          "--load", ckpt, "--output", out, "--images", img_dir,
@@ -322,6 +326,10 @@ def test_cli_pipeline_binary_free(tmp_path):
     save_checkpoint(ckpt, cls.variables, {"architecture": "fcn_skip",
                                           "n_classes": 3})
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # drop the axon-tunnel gate: sitecustomize's register() force-updates
+    # jax_platforms after import, so the env var alone cannot keep a
+    # subprocess off a wedged TPU tunnel
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     outs = {}
     for label, extra in (("with", ["--binary", bin_dir]), ("free", [])):
