@@ -151,27 +151,56 @@ int ps_cc_with_stats(const uint8_t* img, int h, int w, int connectivity,
 int ps_cc_vote(const uint8_t* binary, int h, int w, int n_classes,
                int32_t* pred) {
     const size_t size = static_cast<size_t>(h) * w;
-    std::vector<int32_t> labels(size);
-    std::vector<int32_t> remap;
-    const int num_labels = label_image(binary, h, w, 4, labels.data(), remap);
-    if (num_labels <= 1) return num_labels;
-
-    std::vector<int64_t> counts(static_cast<size_t>(num_labels) * n_classes, 0);
-    for (size_t i = 0; i < size; ++i) {
-        const int32_t l = labels[i];
-        if (l) counts[static_cast<size_t>(l) * n_classes + pred[i]]++;
+    // Histogram/vote never needs raster-renumbered labels — provisional
+    // labels flattened to union-find roots partition pixels identically,
+    // so label_image's renumber pass (a full find-per-pixel sweep) is
+    // skipped: one provisional pass, one histogram pass, one rewrite.
+    std::vector<int32_t> provisional(size, 0);
+    UnionFind uf(1024);
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* row = binary + static_cast<size_t>(y) * w;
+        int32_t* prow = provisional.data() + static_cast<size_t>(y) * w;
+        const int32_t* prev = prow - w;
+        for (int x = 0; x < w; ++x) {
+            if (!row[x]) continue;
+            int32_t label = 0;
+            if (x > 0 && prow[x - 1]) label = prow[x - 1];
+            if (y > 0 && prev[x]) {
+                if (label && label != prev[x]) uf.unite(label, prev[x]);
+                label = label ? std::min(label, prev[x]) : prev[x];
+            }
+            if (!label) label = uf.add();
+            prow[x] = label;
+        }
     }
-    std::vector<int32_t> majority(num_labels, 0);
-    for (int l = 1; l < num_labels; ++l) {
+    const int32_t n_prov = static_cast<int32_t>(uf.parent.size());
+    if (n_prov <= 1) return 1;  // background only
+
+    std::vector<int32_t> flat(n_prov, 0);
+    int32_t n_components = 0;
+    for (int32_t l = 1; l < n_prov; ++l) {
+        flat[l] = uf.find(l);
+        if (flat[l] == l) ++n_components;
+    }
+    std::vector<int64_t> counts(static_cast<size_t>(n_prov) * n_classes, 0);
+    for (size_t i = 0; i < size; ++i) {
+        const int32_t p = provisional[i];
+        if (p) counts[static_cast<size_t>(flat[p]) * n_classes + pred[i]]++;
+    }
+    std::vector<int32_t> majority(n_prov, 0);
+    for (int32_t l = 1; l < n_prov; ++l) {
+        if (flat[l] != l) continue;  // only roots accumulated counts
         const int64_t* c = counts.data() + static_cast<size_t>(l) * n_classes;
         int best = 0;
         for (int k = 1; k < n_classes; ++k)
             if (c[k] > c[best]) best = k;
         majority[l] = best;
     }
-    for (size_t i = 0; i < size; ++i)
-        if (labels[i]) pred[i] = majority[labels[i]];
-    return num_labels;
+    for (size_t i = 0; i < size; ++i) {
+        const int32_t p = provisional[i];
+        if (p) pred[i] = majority[flat[p]];
+    }
+    return n_components + 1;
 }
 
 // External contours (8-connectivity) via Moore-neighbor tracing, with
