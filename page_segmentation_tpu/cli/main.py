@@ -370,46 +370,28 @@ def cmd_gen_masks(args) -> int:
 
 # --------------------------------------------------------- page-segmentation
 def cmd_page_segmentation(args) -> int:
-    import numpy as np
-
-    from ..core.image_io import imread_rgb
-    from ..segmentation.pc_segmentation import find_segments, get_text_contours
-    from ..segmentation.render import render_morphological, render_regions, render_xycut
+    """Region segmentation through the pipelined driver
+    (segmentation/batch.py): decode-ahead prefetch, the indexed-PNG fast
+    path for predictions our own predict stage wrote, and — in
+    --text_contours mode on a TPU backend — the batched device
+    morphology chain.  Output files are identical to the per-page host
+    loop (equality-gated in tests/test_segmentation_batch.py)."""
+    from ..segmentation.batch import PageSegmenter
 
     color_map = _load_color_map(args.color_map)
-    for path in _expand(args.prediction):
-        image = imread_rgb(path)
-        orig_height = image.shape[0]
-        segments_text, segments_image = find_segments(
-            orig_height, image, args.char_height, args.resize_height, color_map,
-            only_images=args.text_contours,
-        )
-        if args.text_contours:
-            contours = get_text_contours(image, args.char_height, color_map)
-            render_regions(
-                args.output_dir, args.extension, image.shape[:2], path, color_map,
-                render_morphological, contours, segments_image,
-            )
-            text_regions = contours
-        else:
-            render_regions(
-                args.output_dir, args.extension, image.shape[:2], path, color_map,
-                render_xycut, segments_text, segments_image,
-            )
-            text_regions = segments_text
-        if args.xml_output_dir:
-            from ..core.image_io import split_filename
-            from ..pagexml.xml_gen import save_pagexml
-
-            os.makedirs(args.xml_output_dir, exist_ok=True)
-            page_name = split_filename(path)[1]
-            save_pagexml(
-                os.path.join(args.xml_output_dir, page_name + ".xml"),
-                os.path.basename(path),
-                image.shape[:2],
-                text_regions=text_regions,
-                image_regions=segments_image,
-            )
+    segmenter = PageSegmenter(
+        color_map,
+        args.resize_height,
+        args.text_contours,
+        args.output_dir,
+        extension=args.extension,
+        xml_output_dir=args.xml_output_dir,
+        backend=args.morph_backend,
+        batch_size=args.seg_batch,
+    )
+    paths = _expand(args.prediction)
+    for _ in segmenter.run((p, args.char_height) for p in paths):
+        pass
     return 0
 
 
@@ -768,6 +750,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--xml_output_dir", default=None,
                    help="also emit the regions as PAGE-XML documents here")
     s.add_argument("--extension", default="png")
+    s.add_argument("--morph_backend", default="auto",
+                   choices=["auto", "device", "host"],
+                   help="text-contours morphology placement: host (= auto) "
+                        "runs the native bit-packed chain; device dispatches "
+                        "one batched XLA program per page-shape group "
+                        "(1-bit masks on the link) — measured slower on "
+                        "this host's tunneled link, kept selectable")
+    s.add_argument("--seg_batch", type=int, default=8,
+                   help="pages per pipeline batch (decode prefetch + one "
+                        "device morphology dispatch per same-shape run)")
     s.set_defaults(func=cmd_page_segmentation)
 
     # serve

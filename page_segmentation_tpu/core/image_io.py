@@ -111,6 +111,33 @@ def imread_rgb(path) -> np.ndarray:
     return imread(path, as_gray=False)
 
 
+def imread_labels(path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(labels, palette) for a palette-mode PNG; None for anything else.
+
+    The predict stage writes its color-mask product as an indexed PNG
+    (:func:`imsave_indexed`), so the page-segmentation consumer can skip
+    the RGB expansion entirely: PIL hands back the raw palette indices
+    (~3x less inflate than an RGB encode of the same page, and no
+    3-byte/px gather), and downstream label selection becomes a byte
+    compare.  Any non-PNG or non-'P'-mode source returns None — callers
+    fall back to :func:`imread_rgb`, whose decoded pixels are identical
+    (``palette[labels]``, gated in tests/test_image_io.py).
+    """
+    import io
+
+    with open(str(path), "rb") as f:
+        data = f.read()
+    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+        return None
+    with Image.open(io.BytesIO(data)) as im:
+        if im.mode != "P":
+            return None
+        labels = np.asarray(im)
+        flat = im.getpalette()
+    palette = np.asarray(flat, np.uint8).reshape(-1, 3)
+    return labels, palette
+
+
 def imread_bin(path, binarize: bool = True, threshold: int = 128) -> np.ndarray:
     """Read a binarized image as 0/255 uint8 (white background, black ink)."""
     gray = imread(path, as_gray=True)

@@ -86,6 +86,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, u8p, u8p,
         ]
+    if hasattr(lib, "ps_bitmorph"):  # stale .so without the symbol
+        lib.ps_bitmorph.restype = ctypes.c_int
+        lib.ps_bitmorph.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ]
+        lib.ps_bitmorph_chain.restype = ctypes.c_int
+        lib.ps_bitmorph_chain.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -121,6 +131,35 @@ def cc_vote(binary: np.ndarray, pred: np.ndarray, n_classes: int) -> Optional[np
     out = np.ascontiguousarray(np.asarray(pred), dtype=np.int32).copy()
     h, w = binary_u8.shape
     lib.ps_cc_vote(binary_u8, h, w, int(n_classes), out)
+    return out
+
+
+def bitmorph(mask: np.ndarray, k: int, erode: bool = False) -> Optional[np.ndarray]:
+    """Single k x k dilate/erode on a binary mask via the bit-packed
+    sliding-window kernel; returns uint8 0/255 or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_bitmorph"):
+        return None
+    m = np.ascontiguousarray(np.asarray(mask), np.uint8)
+    h, w = m.shape
+    out = np.empty((h, w), np.uint8)
+    if lib.ps_bitmorph(m, h, w, int(k), int(bool(erode)), out) != 0:
+        return None
+    return out
+
+
+def bitmorph_chain(mask: np.ndarray, k: int, k3: int, k11: int) -> Optional[np.ndarray]:
+    """The text-contours morphology chain close(k)/open(k3)/dilate(k11)/
+    close(k11) on a binary mask (bit-packed sliding windows, ~1/64th the
+    byte traffic of the cv2 van Herk path); uint8 0/255 or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_bitmorph_chain"):
+        return None
+    m = np.ascontiguousarray(np.asarray(mask), np.uint8)
+    h, w = m.shape
+    out = np.empty((h, w), np.uint8)
+    if lib.ps_bitmorph_chain(m, h, w, int(k), int(k3), int(k11), out) != 0:
+        return None
     return out
 
 

@@ -97,7 +97,46 @@ def find_segments(
     canonical_scale = resize_height / image.shape[0]
     canonical_w = int(image.shape[1] * canonical_scale)
     canonical = dilate(resize_nearest_cv(image, (resize_height, canonical_w)))
+    return _cut_canonical(canonical, orig_height, char_height, resize_height,
+                          color_map, only_images)
 
+
+def find_segments_indexed(
+    orig_height: int,
+    labels: np.ndarray,
+    palette: np.ndarray,
+    char_height: int,
+    resize_height: int,
+    color_map: ColorMap,
+    only_images: bool = False,
+) -> Tuple[List[RectSegment], List[RectSegment]]:
+    """``find_segments`` fast path for palette-indexed predictions.
+
+    Nearest resize selects source *pixels*, so resizing the label map and
+    palette-gathering RGB afterwards picks exactly the pixels
+    ``find_segments`` would — but the 3-byte/px palette expansion happens
+    at the tiny canonical scale (~300x212) instead of the full page
+    (~90 ms/page measured for a full-page gather on this host).  The 3x3
+    RGB dilation and the cut engine are shared verbatim.  Equality-gated
+    against ``find_segments`` in tests/test_segmentation_indexed.py.
+    """
+    canonical_scale = resize_height / labels.shape[0]
+    canonical_w = int(labels.shape[1] * canonical_scale)
+    small = resize_nearest_cv(labels, (resize_height, canonical_w))
+    palette = np.asarray(palette, np.uint8)
+    canonical = dilate(palette[small])
+    return _cut_canonical(canonical, orig_height, char_height, resize_height,
+                          color_map, only_images)
+
+
+def _cut_canonical(
+    canonical: np.ndarray,
+    orig_height: int,
+    char_height: int,
+    resize_height: int,
+    color_map: ColorMap,
+    only_images: bool,
+) -> Tuple[List[RectSegment], List[RectSegment]]:
     to_canonical = resize_height / orig_height
     thresholds = CutThresholds.at_scale(char_height, to_canonical)
 
@@ -115,31 +154,44 @@ def dilate(bin_image: np.ndarray) -> np.ndarray:
     return morphology.dilate(bin_image, (3, 3), iterations=1)
 
 
-def get_text_contours(image: np.ndarray, char_height: int, color_map: ColorMap) -> List[CVContour]:
-    """Polygonal text regions via char_height-scaled morphology
-    (reference pc_segmentation.py:70-116 behavior)."""
-    # select text-colored pixels (one SIMD pass; see exact_color_mask)
-    mask = exact_color_mask(image, color_map.color_for_label("text"))
+def text_region_mask(mask: np.ndarray, char_height: int) -> np.ndarray:
+    """The char_height-scaled morphology chain on a text-pixel mask
+    (reference pc_segmentation.py:82-95) — host backend.
 
+    Fast path: the native bit-packed sliding-window kernel
+    (ps_bitmorph_chain, ~2-3x the cv2 van Herk chain at A4 on this
+    host), equality-gated against the cv2/scipy composition below for
+    odd AND even kernels in tests/test_device_morph.py; the composition
+    remains the semantic contract and the no-toolchain fallback."""
+    from .device_morph import morph_kernels
+
+    k, k3, k11 = morph_kernels(char_height)
+    if mask.ndim == 2:
+        from .. import native
+
+        fused = native.bitmorph_chain(mask, k, k3, k11)
+        if fused is not None:
+            return fused
     # noise removal: close to fill holes, open to drop specks < char/3
-    k = max(int(char_height), 1)
     mask = morphology.morph_close(mask, (k, k))
-    k3 = max(int(char_height / 3), 1)
     mask = morphology.morph_open(mask, (k3, k3))
-
     # grow char-level blobs into line/region blobs, then close them
-    k11 = max(int(char_height / 1.1), 1)
     region_chars = morphology.dilate(mask, (k11, k11), iterations=1)
-    region_text = morphology.morph_close(region_chars, (k11, k11))
+    return morphology.morph_close(region_chars, (k11, k11))
 
-    # fill region polygons so enclosed holes vanish, then extract the final
-    # contours (the reference's draw-then-refind dance, without the
-    # border-pixel workaround cv2 needs).  The refind can only differ from
-    # the first find by swallowing components nested inside another
-    # component's hole; nesting requires bbox containment, so when no
-    # contour's bbox lies inside another's the second full-image labeling
-    # pass is skipped — the dominant cost of this stage on large pages
-    # (equality gated in tests/test_segmentation.py).
+
+def contours_from_region_mask(region_text: np.ndarray) -> List[CVContour]:
+    """Final contour extraction from a processed region mask.
+
+    Fill region polygons so enclosed holes vanish, then extract the final
+    contours (the reference's draw-then-refind dance, without the
+    border-pixel workaround cv2 needs).  The refind can only differ from
+    the first find by swallowing components nested inside another
+    component's hole; nesting requires bbox containment, so when no
+    contour's bbox lies inside another's the second full-image labeling
+    pass is skipped — the dominant cost of this stage on large pages
+    (equality gated in tests/test_segmentation.py).
+    """
     contours = find_external_contours(region_text)
     if _any_bbox_nested(contours):
         filled = np.zeros(region_text.shape, np.uint8)
@@ -150,18 +202,60 @@ def get_text_contours(image: np.ndarray, char_height: int, color_map: ColorMap) 
     return [CVContour(c) for c in contours[::-1]]
 
 
+def get_text_contours(image: np.ndarray, char_height: int, color_map: ColorMap) -> List[CVContour]:
+    """Polygonal text regions via char_height-scaled morphology
+    (reference pc_segmentation.py:70-116 behavior)."""
+    # select text-colored pixels (one SIMD pass; see exact_color_mask)
+    mask = exact_color_mask(image, color_map.color_for_label("text"))
+    return contours_from_region_mask(text_region_mask(mask, char_height))
+
+
+def get_text_contours_batch(
+    masks: np.ndarray,
+    char_heights,
+    device_morph=None,
+) -> List[List[CVContour]]:
+    """Batched text contours from text-pixel masks (N, H, W).
+
+    With ``device_morph`` (a :class:`~.device_morph.TextRegionMorphDevice`)
+    the morphology chain runs as one device dispatch per distinct kernel
+    triple (kernel extents are static per compiled program — see
+    device_morph.py for why).  Without it, the host chain runs per page.
+    Both paths are equality-gated in tests/test_device_morph.py.
+    """
+    from .device_morph import morph_kernels
+
+    if device_morph is not None:
+        kernels = [morph_kernels(ch) for ch in char_heights]
+        regions = device_morph.run(np.asarray(masks, bool), kernels)
+        return [contours_from_region_mask(regions[i])
+                for i in range(regions.shape[0])]
+    return [
+        contours_from_region_mask(
+            text_region_mask(np.asarray(masks[i], np.uint8) * 255, ch))
+        for i, ch in enumerate(char_heights)
+    ]
+
+
 def _any_bbox_nested(contours: List[np.ndarray]) -> bool:
     """Conservative nesting pretest: True iff some contour's bbox is
     contained (inclusive) in another's.  Polygon nesting implies bbox
     containment, so False proves the fill-then-refind dance is an
-    identity."""
-    boxes = [
-        (int(c[:, 0].min()), int(c[:, 1].min()),
-         int(c[:, 0].max()), int(c[:, 1].max()))
-        for c in contours
-    ]
-    for i, a in enumerate(boxes):
-        for j, b in enumerate(boxes):
-            if i != j and a[0] >= b[0] and a[1] >= b[1] and a[2] <= b[2] and a[3] <= b[3]:
-                return True
-    return False
+    identity.  Vectorized over the (n, 4) bbox array: noisy pages can
+    emit thousands of contours, where a Python double loop would cost
+    more than the refind pass this pretest exists to skip."""
+    if len(contours) < 2:
+        return False
+    boxes = np.array(
+        [(c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+         for c in contours],
+        np.int64,
+    )
+    a = boxes[:, None, :]  # candidate contained box
+    b = boxes[None, :, :]  # candidate container box
+    contained = (
+        (a[..., 0] >= b[..., 0]) & (a[..., 1] >= b[..., 1])
+        & (a[..., 2] <= b[..., 2]) & (a[..., 3] <= b[..., 3])
+    )
+    np.fill_diagonal(contained, False)
+    return bool(contained.any())

@@ -151,7 +151,12 @@ def render_regions(
     if image.mode == "P" and extension.lower() not in ("png",):
         # JPEG and friends cannot encode palette images
         image = image.convert("RGB")
-    image.save(outfile)
+    if extension.lower() == "png":
+        # zlib level 1: identical decoded pixels, ~2x faster encode of the
+        # flat-color A4 canvas (the encode is on the stage's critical path)
+        image.save(outfile, compress_level=1)
+    else:
+        image.save(outfile)
     return outfile
 
 

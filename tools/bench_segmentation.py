@@ -40,8 +40,12 @@ SEG_MAP = {
 
 
 def build_pages(workdir: str):
-    """All-types GT masks at A4 scale, one PNG per golden page."""
-    from page_segmentation_tpu.core.image_io import imread_rgb, imsave
+    """All-types GT masks at A4 scale, one page in BOTH encodings: the
+    indexed PNG our own predict stage writes (imsave_indexed — the
+    pipeline contract) and a plain RGB PNG (arbitrary external input).
+    Returns [(rgb_path, idx_path, char_height), ...]."""
+    from page_segmentation_tpu.core.colors import ColorMap
+    from page_segmentation_tpu.core.image_io import imread_rgb, imsave, imsave_indexed
     from page_segmentation_tpu.ops.resize import resize_nearest_cv
     from page_segmentation_tpu.pagexml.mask_gen import MaskGenerator, MaskSetting, MaskType
 
@@ -49,8 +53,8 @@ def build_pages(workdir: str):
     os.makedirs(masks_dir, exist_ok=True)
     gen = MaskGenerator(MaskSetting(mask_type=MaskType.ALLTYPES))
     xml_dir = os.path.join(CORPUS, "xml")
-    paths = []
     char_heights = json.load(open(os.path.join(CORPUS, "frozen.json")))["char_height"]
+    palette = ColorMap(SEG_MAP).palette
     pages = []
     for name in sorted(os.listdir(xml_dir)):
         gen.save(os.path.join(xml_dir, name), masks_dir)
@@ -58,11 +62,15 @@ def build_pages(workdir: str):
         stem = name.split(".")[0]
         rgb = imread_rgb(os.path.join(masks_dir, name))
         big = resize_nearest_cv(rgb, A4)
-        out = os.path.join(workdir, f"{stem}.pred.png")
-        imsave(out, big)
+        labels = np.zeros(big.shape[:2], np.uint8)
+        for idx, color in enumerate(palette):
+            labels[(big == color).all(-1)] = idx
+        rgb_path = os.path.join(workdir, f"{stem}.rgb.pred.png")
+        idx_path = os.path.join(workdir, f"{stem}.pred.png")
+        imsave(rgb_path, big)
+        imsave_indexed(idx_path, labels, palette)
         ch = round(char_heights[stem] * A4[0] / rgb.shape[0])
-        pages.append((out, ch))
-        paths.append(out)
+        pages.append((rgb_path, idx_path, ch))
     return pages
 
 
@@ -70,15 +78,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--resize-height", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=9,
+                    help="pages per pipeline batch (9 = all golden pages "
+                         "in one device morphology dispatch)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    import jax
+
     from page_segmentation_tpu.core.colors import ColorMap
-    from page_segmentation_tpu.core.image_io import imread_rgb
-    from page_segmentation_tpu.segmentation.pc_segmentation import (
-        find_segments, get_text_contours)
-    from page_segmentation_tpu.segmentation.render import (
-        render_morphological, render_regions, render_xycut)
+    from page_segmentation_tpu.segmentation.batch import PageSegmenter
 
     cmap = ColorMap(SEG_MAP)
     modes = {}
@@ -86,46 +95,47 @@ def main():
         pages = build_pages(workdir)
         out_dir = os.path.join(workdir, "seg")
 
-        def run_mode(contours: bool):
-            walls, stage = [], {"decode": [], "segment": [], "render": []}
-            region_counts = []
-            for rep in range(max(1, args.reps)):
+        def run_mode(contours: bool, source: str = "indexed",
+                     backend: str = "auto", reps: int = 0):
+            """One PageSegmenter config through the pipelined driver
+            (decode-ahead + indexed fast path + device morphology when a
+            TPU is present), whole-run wall per rep."""
+            segmenter = PageSegmenter(
+                cmap, args.resize_height, contours, out_dir, backend=backend,
+                batch_size=args.batch)
+            pairs = [((idx if source == "indexed" else rgb), ch)
+                     for rgb, idx, ch in pages]
+            walls, region_counts = [], []
+            for rep in range(max(1, reps or args.reps)):
                 t0 = time.perf_counter()
-                for path, ch in pages:
-                    ta = time.perf_counter()
-                    image = imread_rgb(path)
-                    tb = time.perf_counter()
-                    texts, images = find_segments(
-                        image.shape[0], image, ch, args.resize_height, cmap,
-                        only_images=contours)
-                    if contours:
-                        regions = get_text_contours(image, ch, cmap)
-                        method = render_morphological
-                    else:
-                        regions, method = texts, render_xycut
-                    tc = time.perf_counter()
-                    render_regions(out_dir, "png", image.shape[:2], path,
-                                   cmap, method, regions, images)
-                    td = time.perf_counter()
-                    stage["decode"].append(tb - ta)
-                    stage["segment"].append(tc - tb)
-                    stage["render"].append(td - tc)
-                    if rep == 0:
-                        region_counts.append(len(regions) + len(images))
+                results = list(segmenter.run(pairs))
                 walls.append(time.perf_counter() - t0)
+                if rep == 0:
+                    region_counts = [len(r[1]) + len(r[2]) for r in results]
                 print(f"rep {rep}: {len(pages)} pages in {walls[-1]:.2f}s = "
-                      f"{len(pages) / walls[-1]:.1f} pages/s", file=sys.stderr)
+                      f"{len(pages) / walls[-1]:.1f} pages/s "
+                      f"[{'contours' if contours else 'xycut'}/{source}/{backend}]",
+                      file=sys.stderr)
             wall = statistics.median(walls)
             return {
                 "pages_per_sec": round(len(pages) / wall, 2),
                 "rep_pages_per_sec": [round(len(pages) / w, 2) for w in walls],
-                "stage_median_ms": {k: round(statistics.median(v) * 1e3, 1)
-                                    for k, v in stage.items()},
+                "source": source,
+                "backend": backend,
                 "regions_per_page": region_counts,
             }
 
         modes["xycut"] = run_mode(contours=False)
         modes["text_contours"] = run_mode(contours=True)
+        # the device-morphology placement, recorded for the A/B even
+        # though auto resolves to host on this link (see batch.py)
+        modes["text_contours_device"] = run_mode(
+            contours=True, backend="device", reps=min(args.reps, 3))
+        # legacy comparison line: arbitrary RGB input, host morphology —
+        # the pre-pipeline configuration
+        modes["text_contours_rgb_host"] = run_mode(
+            contours=True, source="rgb", backend="host",
+            reps=min(args.reps, 3))
 
     result = {
         "metric": "segmentation_pages_per_sec",
@@ -135,10 +145,14 @@ def main():
         "n_pages": 9,
         "resize_height": args.resize_height,
         "host_cpus": os.cpu_count(),
+        "jax_backend": jax.default_backend(),
         "modes": modes,
-        "note": ("host-only stage (no device/link); golden all-types GT masks "
-                 "upscaled nearest to 300-DPI A4; PNG decode inside the clock "
-                 "as in the page-segmentation CLI"),
+        "note": ("pipelined driver (segmentation/batch.py): decode-ahead "
+                 "prefetch; indexed prediction PNGs (the predict stage's "
+                 "own output format) decoded to labels; text-contours "
+                 "morphology batched on device when a TPU is present. "
+                 "Golden all-types GT masks upscaled nearest to 300-DPI A4; "
+                 "PNG decode inside the clock as in the CLI"),
     }
     line = json.dumps(result)
     print(line)
