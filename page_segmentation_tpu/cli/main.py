@@ -427,6 +427,7 @@ def cmd_serve(args) -> int:
         max_width=args.max_width,
         max_queue=args.max_queue,
         resize_backend=args.resize_backend,
+        prepare=args.prepare,
     )
     server = PredictionServer(service, host=args.host, port=args.port)
     logger.info("model %s ready; POST /predict on %s:%d",
@@ -784,11 +785,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="backpressure: reject (HTTP 503 + Retry-After) new "
                         "pages beyond this many pending; 0 = unbounded")
     v.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    v.add_argument("--prepare", default="fused", choices=["fused", "spline"],
+                   help="fused (default): requests ride the production "
+                        "device pipeline (host decimate + device cubic "
+                        "resample + forward in one program — the predict "
+                        "--pipeline path); spline = per-request bit-parity "
+                        "host prepare.  Configurations the fused path "
+                        "cannot express (max_width, generic post-processors) "
+                        "fall back to spline automatically")
     v.add_argument("--resize_backend", default="scipy", choices=["scipy", "pil"],
-                   help="prepare backend: scipy = the bit-parity spline path "
-                        "(default); pil = C-speed uint8 bicubic, ~10x faster "
-                        "per request at full resolution but not bit-parity "
-                        "(pixels differ by a few gray levels)")
+                   help="SPLINE-prepare backend: scipy = the bit-parity "
+                        "spline path (default); pil = C-speed uint8 bicubic, "
+                        "~10x faster per request at full resolution but not "
+                        "bit-parity (pixels differ by a few gray levels)")
     v.add_argument("--s2d_stem", action="store_true")
     v.add_argument("--int8", action="store_true",
                    help="serve the int8-quantized model (fcn/fcn_skip; "

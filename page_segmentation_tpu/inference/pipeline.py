@@ -232,6 +232,7 @@ class ThroughputPredictor:
         int8: bool = False,
         reuse_output_buffers: bool = False,
         preprocess_mode: str = "gray",
+        yield_pred: bool = False,
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
@@ -251,6 +252,14 @@ class ThroughputPredictor:
             raise ValueError(
                 f"download='packed' carries 2-bit classes (n_classes <= 4); "
                 f"this model has {self.n_classes} — use 'pred' or 'color'"
+            )
+        # yield_pred: batches come back as (pred, color, overlay, inverted)
+        # — the serving engine needs the label map alongside the trio
+        self.yield_pred = bool(yield_pred)
+        if yield_pred and download == "color":
+            raise ValueError(
+                "yield_pred needs the class map on host — use "
+                "download='packed' or 'pred', not 'color'"
             )
         self.download = download
         self.mesh = mesh
@@ -394,6 +403,17 @@ class ThroughputPredictor:
             from .. import native
             from .output import finish_mask_trio, unpack_classes
 
+            if self.yield_pred:
+                # the label map must materialize on host anyway, so the
+                # unpack + trio run through the python chain (the fused
+                # native kernels never expose the classes)
+                pred = unpack_classes(downloaded)[:, :h, :w]
+                if self.cc_vote == "host":
+                    pred = self._host_vote(pred, ink)
+                trio = finish_mask_trio(
+                    pred, ink, self.palette_np,
+                    out=self._out_bufs(ink.shape[0], h, w))
+                return (pred,) + trio
             if self.cc_vote == "host":
                 # one native call for the whole vote finish (unpack + per-
                 # component majority vote + trio, GIL-free) — the Python
@@ -423,10 +443,11 @@ class ThroughputPredictor:
                 return fused
             return finish_mask_trio(unpack_classes(downloaded), ink, self.palette_np, out=out)
         if self.download == "pred":
+            pred = downloaded[:, :h, :w]
             if self.cc_vote == "host":
-                return self._finish_pred(
-                    self._host_vote(downloaded[:, :h, :w], ink), ink)
-            return self._finish_pred(downloaded, ink)
+                pred = self._host_vote(pred, ink)
+            trio = self._finish_pred(pred, ink)
+            return ((pred,) + trio) if self.yield_pred else trio
         color = downloaded[:, :h, :w]
         not_ink3 = (~ink[..., None]).astype(np.uint8)
         ink3 = ink[..., None].astype(np.uint8)

@@ -109,9 +109,11 @@ class BatchingService:
         max_width: Optional[int] = None,
         max_queue: int = 0,
         resize_backend: str = "scipy",
+        prepare: str = "fused",
     ):
         self.predictor = predictor
         self.color_map = color_map
+        self.target_line_height = target_line_height
         self.default_char_height = default_char_height
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
@@ -119,6 +121,23 @@ class BatchingService:
         # (0 = unbounded); rejected requests fail fast with
         # ServiceOverloaded / HTTP 503 instead of stacking latency
         self.max_queue = max_queue
+        self.max_width = max_width
+        # prepare="fused" (default): requests ride the production fused
+        # pipeline — host box-decimate + ONE device program (cubic
+        # resample + normalize + forward + argmax), the same path behind
+        # `predict --pipeline` and bench.py, instead of a full-resolution
+        # host spline per request (round-3 serve spent ~85% of its time
+        # there: bench_runs/r3_serve.json p50 1.14 s).  prepare="spline"
+        # keeps the per-request bit-parity prepare; configurations the
+        # fused path cannot express (max_width downscale, high-res
+        # output, post-processors beyond a lone cc-vote) fall back to it
+        # automatically.
+        self.prepare = prepare if prepare in ("fused", "spline") else "spline"
+        if self.prepare == "fused" and not self._fused_eligible():
+            logger.info("fused prepare unavailable for this configuration; "
+                        "using the spline path")
+            self.prepare = "spline"
+        self._fused_predictors: Dict = {}
         # default is the bit-parity spline prepare; "pil" swaps in the
         # C-speed uint8 bicubic (~10x at full resolution, but it prepares
         # ~94% of pixels a few gray levels differently — an explicit
@@ -132,6 +151,17 @@ class BatchingService:
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, name="batcher", daemon=True)
         self._worker.start()
+
+    def _fused_eligible(self) -> bool:
+        from .postprocess import vote_connected_component_class
+
+        settings = self.predictor.settings
+        post = settings.post_process or []
+        return (
+            self.max_width is None
+            and not settings.high_res_output
+            and post in ([], [vote_connected_component_class])
+        )
 
     # ----------------------------------------------------------- client side
     def submit(
@@ -201,35 +231,114 @@ class BatchingService:
             t_starts = {id(e): t for t, e in pending}
             entries = [e for _, e in pending]
             try:
-                dataset = self.loader.load_data(entries)
-                n_done = 0
-                for data, pred, color, overlay, inverted in (
-                    self.predictor.predict_dataset_fast(
-                        dataset, batch_size=self.max_batch
-                    )
-                ):
-                    future = data.user_data
-                    result = {
-                        "labels": pred,
-                        "color": color,
-                        "overlay": overlay,
-                        "inverted": inverted,
-                        "data": data,
-                    }
+                if self.prepare == "fused":
+                    done = self._process_fused(entries)
+                else:
+                    done = self._process_spline(entries)
+                # stats BEFORE resolution: a client that reads /stats the
+                # moment its future resolves must see this batch counted
+                self.stats.batches_total += 1
+                self.stats.pages_total += len(done)
+                self.stats.batch_sizes.append(len(done))
+                for data, payload in done:
                     self.stats.latency_ms.append(
                         (time.perf_counter() - t_starts[id(data)]) * 1e3
                     )
-                    n_done += 1
-                    future.set_result(result)
-                self.stats.batches_total += 1
-                self.stats.pages_total += n_done
-                self.stats.batch_sizes.append(n_done)
+                    data.user_data.set_result(payload)
             except Exception as exc:  # noqa: BLE001 - fail every rider
                 logger.exception("batch failed")
                 self.stats.errors_total += len(entries)
                 for entry in entries:
                     if not entry.user_data.done():
                         entry.user_data.set_exception(exc)
+
+    @staticmethod
+    def _payload(data, pred, color, overlay, inverted):
+        return (data, {
+            "labels": pred,
+            "color": color,
+            "overlay": overlay,
+            "inverted": inverted,
+            "data": data,
+        })
+
+    def _process_spline(self, entries) -> list:
+        """Per-request host spline prepare + bucketed fused forward (the
+        bit-parity path)."""
+        dataset = self.loader.load_data(entries)
+        return [
+            self._payload(data, pred, color, overlay, inverted)
+            for data, pred, color, overlay, inverted in
+            self.predictor.predict_dataset_fast(dataset, batch_size=self.max_batch)
+        ]
+
+    def _fused_predictor_for(self, key):
+        """One ThroughputPredictor per (page shape, char_height): the
+        fused program bakes the normalized shape, so serving traffic with
+        homogeneous page geometry (the production norm) compiles once."""
+        if key not in self._fused_predictors:
+            from .corpus import pick_host_decimate
+            from .pipeline import ThroughputPredictor
+            from .postprocess import vote_connected_component_class
+
+            h, w, char_height = key
+            scale = self.target_line_height / char_height
+            net = self.predictor.network
+            arch = net.architecture
+            post = self.predictor.settings.post_process or []
+            self._fused_predictors[key] = ThroughputPredictor(
+                net.module,
+                net.variables,
+                self.color_map.palette,
+                (h, w),
+                scale,
+                host_decimate=pick_host_decimate(scale),
+                stride_factor=arch.stride_factor,
+                compute_dtype=net.compute_dtype,
+                download="packed" if net.n_classes <= 4 else "pred",
+                cc_vote="host" if post == [vote_connected_component_class] else False,
+                preprocess_mode=arch.preprocess_mode,
+                int8=self.predictor.settings.int8,
+                yield_pred=True,
+            )
+        return self._fused_predictors[key]
+
+    def _process_fused(self, entries) -> list:
+        """Batch requests through the production fused pipeline: ONE
+        uint8 decimated upload + ONE device program (cubic resample +
+        normalize + forward + argmax) + ONE compact download per
+        same-geometry group.  Ragged group sizes pad to the next power of
+        two (zero pages, dropped) so the compile ladder stays small."""
+        done = []
+        color_pages = [e for e in entries if np.asarray(e.image).ndim != 2]
+        if color_pages:  # fused batches are single-plane; route the rest
+            done.extend(self._process_spline(color_pages))
+            entries = [e for e in entries if np.asarray(e.image).ndim == 2]
+        groups: Dict = {}
+        for entry in entries:
+            key = entry.image.shape[:2] + (int(entry.line_height_px),)
+            groups.setdefault(key, []).append(entry)
+        for key, members in groups.items():
+            tp = self._fused_predictor_for(key)
+            n = len(members)
+            n_pad = min(self.max_batch, 1 << max(0, n - 1).bit_length())
+            h, w = key[:2]
+            images = np.zeros((n_pad, h, w), np.uint8)
+            binaries = np.zeros((n_pad, h, w), np.uint8)
+            for i, entry in enumerate(members):
+                images[i] = entry.image
+                binaries[i] = entry.binary
+            served = 0
+            for pred, color, overlay, inverted in tp.run(
+                images, binaries, batch_size=n_pad
+            ):
+                take = min(len(members) - served, pred.shape[0])
+                for j in range(take):
+                    entry = members[served + j]
+                    done.append(self._payload(
+                        entry, pred[j], color[j], overlay[j], inverted[j]))
+                served += take
+        return done
 
 
 def _png_bytes(arr: np.ndarray) -> bytes:

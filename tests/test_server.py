@@ -64,13 +64,85 @@ def reference_result(service, page):
 
 
 def test_submit_matches_library_path(service):
+    """The default (fused-prepare) service must agree with the spline
+    library path at the argmax level — the fused path inverts/normalizes
+    on device in float32 while the spline parity path prepares in host
+    float64, so isolated argmax ties may flip (same contract as the
+    pipeline headline path); anything beyond stray ties is a bug."""
     page = make_page(0)
+    assert service.prepare == "fused"
     got = service.submit(page).result(timeout=120)
     _, pred, color, overlay, inverted = reference_result(service, page)
-    np.testing.assert_array_equal(got["labels"], pred)
-    np.testing.assert_array_equal(got["color"], color)
-    np.testing.assert_array_equal(got["overlay"], overlay)
-    np.testing.assert_array_equal(got["inverted"], inverted)
+    assert got["labels"].shape == pred.shape
+    agree = float((got["labels"] == pred).mean())
+    assert agree >= 0.99, agree
+    assert float((got["color"] == color).mean()) >= 0.99
+
+
+def test_fused_service_equals_direct_throughput_predictor(service):
+    """Exact gate: the fused service IS the ThroughputPredictor path —
+    same page in, identical labels + trio out."""
+    from page_segmentation_tpu.inference.corpus import pick_host_decimate
+    from page_segmentation_tpu.inference.pipeline import ThroughputPredictor
+
+    page = make_page(3)
+    got = service.submit(page).result(timeout=120)
+    net = service.predictor.network
+    tp = ThroughputPredictor(
+        net.module, net.variables, DEFAULT_IMAGE_MAP.palette,
+        page.shape, 1.0, host_decimate=pick_host_decimate(1.0),
+        compute_dtype=net.compute_dtype, download="packed", yield_pred=True,
+    )
+    binary = np.where(page >= 128, np.uint8(255), np.uint8(0))
+    (pred, color, overlay, inverted), = list(
+        tp.run(page[None], binary[None], batch_size=1))
+    np.testing.assert_array_equal(got["labels"], pred[0])
+    np.testing.assert_array_equal(got["color"], color[0])
+    np.testing.assert_array_equal(got["overlay"], overlay[0])
+    np.testing.assert_array_equal(got["inverted"], inverted[0])
+
+
+def test_spline_service_matches_library_path_exactly():
+    """prepare='spline' stays the bit-parity opt-in: byte-identical to
+    the library predict path."""
+    network = PixelClassifier(n_classes=3, seed=0)
+    predictor = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
+        network=network,
+    )
+    svc = BatchingService(
+        predictor, DEFAULT_IMAGE_MAP, target_line_height=8,
+        default_char_height=8, max_batch=8, max_wait_ms=60.0,
+        prepare="spline",
+    )
+    try:
+        page = make_page(0)
+        got = svc.submit(page).result(timeout=120)
+        _, pred, color, overlay, inverted = reference_result(svc, page)
+        np.testing.assert_array_equal(got["labels"], pred)
+        np.testing.assert_array_equal(got["color"], color)
+        np.testing.assert_array_equal(got["overlay"], overlay)
+        np.testing.assert_array_equal(got["inverted"], inverted)
+    finally:
+        svc.stop()
+
+
+def test_fused_falls_back_when_ineligible():
+    """Configurations the fused path cannot express (max_width, high-res
+    output, generic post-processors) silently use the spline path."""
+    network = PixelClassifier(n_classes=3, seed=0)
+    predictor = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
+        network=network,
+    )
+    svc = BatchingService(
+        predictor, DEFAULT_IMAGE_MAP, target_line_height=8,
+        default_char_height=8, max_width=40,
+    )
+    try:
+        assert svc.prepare == "spline"
+    finally:
+        svc.stop()
 
 
 def test_concurrent_requests_share_batches(service):
@@ -147,7 +219,11 @@ def test_http_predict_color(server, service):
         assert resp.headers["Content-Type"] == "image/png"
         out = np.asarray(Image.open(io.BytesIO(resp.read())))
     _, _, color, _, _ = reference_result(service, page)
-    np.testing.assert_array_equal(out, color)
+    # fused-prepare service: argmax-level agreement with the spline
+    # parity path (isolated float ties may flip — see
+    # test_submit_matches_library_path)
+    assert out.shape == color.shape
+    assert float((out == color).mean()) >= 0.99
 
 
 def test_http_predict_labels_output(server):

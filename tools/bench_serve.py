@@ -8,7 +8,7 @@ Reports whole-run pages/s and per-request latency percentiles from the
 service's own ServeStats, plus an optional end-to-end HTTP smoke
 (PNG-in/JSON-out through PredictionServer) for the full-wire path.
 
-Records bench_runs/r3_serve.json with --record.
+Records bench_runs/r4_serve.json with --record.
 """
 import argparse
 import json
@@ -35,11 +35,16 @@ def main():
     parser.add_argument("--max-wait-ms", type=float, default=25.0)
     parser.add_argument("--http-smoke", type=int, default=3,
                         help="requests through the real HTTP server (0=skip)")
+    parser.add_argument("--prepare", default="fused",
+                        choices=["fused", "spline"],
+                        help="serve prepare path under test: fused = the "
+                             "production device pipeline (the serve "
+                             "default), spline = per-request host prepare")
     parser.add_argument("--resize-backend", default="pil",
                         choices=["pil", "scipy"],
-                        help="prepare backend under test (pil = the "
-                             "throughput opt-in, scipy = the serve default "
-                             "parity path); recorded in the artifact")
+                        help="SPLINE-prepare backend (pil = the throughput "
+                             "opt-in, scipy = the bit-parity path); "
+                             "recorded in the artifact")
     parser.add_argument("--record", action="store_true")
     args = parser.parse_args()
 
@@ -66,7 +71,7 @@ def main():
     service = BatchingService(
         predictor, DEFAULT_IMAGE_MAP, default_char_height=50,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        resize_backend=args.resize_backend,
+        resize_backend=args.resize_backend, prepare=args.prepare,
     )
 
     pages, binaries, _ = bench.synthesize_pages(
@@ -116,6 +121,7 @@ def main():
         "page_hw": [args.height, args.width],
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
+        "prepare": args.prepare,
         "resize_backend": args.resize_backend,
         "latency_ms": {
             k.removeprefix("latency_ms_"): snap[k]
@@ -137,7 +143,7 @@ def main():
         server = PredictionServer(service2 := BatchingService(
             predictor, DEFAULT_IMAGE_MAP, default_char_height=50,
             max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-            resize_backend=args.resize_backend,
+            resize_backend=args.resize_backend, prepare=args.prepare,
         ))
         threading.Thread(target=server.serve_forever, daemon=True).start()
         from PIL import Image
@@ -165,7 +171,7 @@ def main():
     print(json.dumps(result))
     if args.record:
         path = os.path.join(os.path.dirname(__file__), "..", "bench_runs",
-                            "r3_serve.json")
+                            "r4_serve.json")
         with open(path, "w") as f:
             json.dump(result, f)
             f.write("\n")
