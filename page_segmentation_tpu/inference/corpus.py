@@ -22,7 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..core.image_io import imread, imread_bin, imsave
+from ..core.image_io import imread, imread_bilevel_packed, imread_bin, imsave
 from ..ops.threshold import binarize_into, otsu_threshold
 
 
@@ -83,6 +83,7 @@ class RawCorpusPredictor:
         int8: bool = False,
         compute_dtype=None,
         binarize: str = "threshold",
+        reuse_output_buffers: bool = False,
     ):
         if classifier.rgb and int8:
             raise ValueError("int8 supports the grayscale FCN families only")
@@ -111,6 +112,11 @@ class RawCorpusPredictor:
 
             compute_dtype = jnp.bfloat16
         self.compute_dtype = compute_dtype
+        # opt-in trio-buffer reuse (see ThroughputPredictor): each yielded
+        # trio is then valid only until a few batches later — callers that
+        # consume-and-drop (benchmarks, streaming writers) save the fresh
+        # 3x1.1 MB/page allocations; the library default keeps copies
+        self.reuse_output_buffers = bool(reuse_output_buffers)
         self._predictors = {}
         self._spare_ring: Optional[RawCorpusPredictor._SliceRing] = None
         # created eagerly: a lazily-created lock is itself a race (two
@@ -134,11 +140,12 @@ class RawCorpusPredictor:
             groups.setdefault((h, w, page.line_height_px), []).append(page)
         return list(groups.items())
 
-    def _predictor_for(self, key):
+    def _predictor_for(self, key, packed_binary: bool = False):
+        key = key + (packed_binary,)
         if key not in self._predictors:
             from .pipeline import ThroughputPredictor
 
-            h, w, line_height = key
+            h, w, line_height, _ = key
             scale = self.target_line_height / line_height
             arch = self.classifier.architecture
             self._predictors[key] = ThroughputPredictor(
@@ -154,6 +161,8 @@ class RawCorpusPredictor:
                 cc_vote=self.cc_vote,
                 int8=self.int8,
                 preprocess_mode=arch.preprocess_mode,
+                packed_binary=packed_binary,
+                reuse_output_buffers=self.reuse_output_buffers,
             )
         return self._predictors[key]
 
@@ -177,10 +186,14 @@ class RawCorpusPredictor:
             self._pairs = [None, None]
             self._turn = 0
 
-        def take(self, h: int, w: int, n: int):
+        def take(self, h: int, w: int, n: int, wb: Optional[int] = None):
+            """(images (n, h, w), binaries (n, h, wb or w)): wb narrows
+            the binary buffer to the packed-bit stride."""
+            wb = w if wb is None else wb
             pair = self._pairs[self._turn % 2]
-            if pair is None or pair[0].shape[1:] != (h, w) or pair[0].shape[0] < n:
-                pair = (np.empty((n, h, w), np.uint8), np.empty((n, h, w), np.uint8))
+            if (pair is None or pair[0].shape[1:] != (h, w)
+                    or pair[1].shape[1:] != (h, wb) or pair[0].shape[0] < n):
+                pair = (np.empty((n, h, w), np.uint8), np.empty((n, h, wb), np.uint8))
                 self._pairs[self._turn % 2] = pair
             self._turn += 1
             return pair[0][:n], pair[1][:n]
@@ -199,8 +212,10 @@ class RawCorpusPredictor:
             if self._spare_ring is None:
                 self._spare_ring = ring
 
-    def _load_slice(self, ring, members: List[RawPage], h: int, w: int):
-        images, binaries = ring.take(h, w, len(members))
+    def _load_slice(self, ring, members: List[RawPage], h: int, w: int,
+                    packed: bool = False):
+        images, binaries = ring.take(h, w, len(members),
+                                     wb=(w + 7) // 8 if packed else None)
 
         def load(i_page):
             i, page = i_page
@@ -211,8 +226,23 @@ class RawCorpusPredictor:
                     f"header probe and decode (expected {(h, w)})"
                 )
             images[i] = img
-            if page.binary_path is not None:
-                binaries[i] = imread_bin(page.binary_path)
+            if packed:
+                # bit rows straight from the bilevel PNG (~3 ms/A4-page vs
+                # ~14 through the expanding decode; imsave_bilevel layout)
+                got = imread_bilevel_packed(page.binary_path)
+                if got is not None and got[0].shape[0] == h and got[1] == w:
+                    binaries[i] = got[0]
+                else:  # stray non-bilevel file in a packed corpus
+                    gray = imread(page.binary_path, as_gray=True)
+                    binaries[i] = np.packbits(gray >= 128, axis=-1)
+            elif page.binary_path is not None:
+                # raw grayscale, NOT imread_bin's 0/255 rewrite: the only
+                # consumer is the ink gather, whose `< 128` test on raw
+                # gray equals `< 128` on the thresholded (>=128 -> 255)
+                # image — skipping the full-page np.where saves ~6 ms/page
+                # on this host (and is the identity for bilevel sources,
+                # the recommended layout)
+                binaries[i] = imread_bin(page.binary_path, binarize=False)
             elif self.binarize == "otsu":
                 # cv2 Otsu keeps strictly-above-t pixels -> >= t+1
                 binarize_into(images[i], binaries[i], otsu_threshold(images[i]) + 1)
@@ -240,9 +270,16 @@ class RawCorpusPredictor:
             for sub in ("color", "overlay", "inverted"):
                 os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
         ring = self._take_ring()  # exclusive: see _SliceRing docstring
+        # bit-packed corpus mode: every page carries a binary file and the
+        # first one reads as a bilevel filter-0 PNG (the imsave_bilevel
+        # layout) — binaries then stay packed from disk to ink gather
+        pages = list(pages)
+        packed = bool(pages) and all(p.binary_path for p in pages) and (
+            imread_bilevel_packed(pages[0].binary_path) is not None)
         try:
             for (h, w, line_height), members in self.group(pages):
-                predictor = self._predictor_for((h, w, line_height))
+                predictor = self._predictor_for((h, w, line_height),
+                                                packed_binary=packed)
                 slices = [
                     members[start : start + self.window]
                     for start in range(0, len(members), self.window)
@@ -252,12 +289,14 @@ class RawCorpusPredictor:
                 # decode rides a spare core; host residency becomes two
                 # windows of full-resolution pages instead of one)
                 with ThreadPoolExecutor(1) as loader:
-                    pending = loader.submit(self._load_slice, ring, slices[0], h, w)
+                    pending = loader.submit(self._load_slice, ring, slices[0],
+                                            h, w, packed)
                     for index, chunk in enumerate(slices):
                         images, binaries = pending.result()
                         if index + 1 < len(slices):
                             pending = loader.submit(
-                                self._load_slice, ring, slices[index + 1], h, w
+                                self._load_slice, ring, slices[index + 1],
+                                h, w, packed
                             )
                         yield from self._run_slice(
                             predictor, chunk, images, binaries, output_dir

@@ -233,6 +233,7 @@ class ThroughputPredictor:
         reuse_output_buffers: bool = False,
         preprocess_mode: str = "gray",
         yield_pred: bool = False,
+        packed_binary: bool = False,
     ):
         in_h, in_w = page_shape
         self.page_shape = page_shape
@@ -311,6 +312,13 @@ class ThroughputPredictor:
         self.palette_dev = jnp.asarray(palette)
         self.row_idx = nearest_index_array(out_h, in_h)
         self.col_idx = nearest_index_array(out_w, in_w)
+        # packed_binary: run() receives binaries as MSB-first bit rows
+        # (N, H, ceil(W/8)) — the imread_bilevel_packed layout — and the
+        # ink gather reads bits directly (~125 K gathers) instead of an
+        # 8.7 M-pixel expanded page per image
+        self.packed_binary = bool(packed_binary)
+        self._col_bytes = self.col_idx >> 3
+        self._col_shift = (7 - (self.col_idx & 7)).astype(np.uint8)
 
     # ------------------------------------------------------------ host steps
     # native C kernels (ps_native.cpp) run the host stages GIL-free at
@@ -329,6 +337,14 @@ class ThroughputPredictor:
             arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
         return jax.device_put(arr, NamedSharding(self.mesh, P(self.data_axis)))
 
+    def _gather_ink_bits(self, packed: np.ndarray) -> np.ndarray:
+        """Ink mask from bit-packed binaries (N, H, ceil(W/8)): sample the
+        nearest grid directly in bit space (ink = bit 0 = PNG black, the
+        `< 128` contract on 0/255 pixels)."""
+        rows = packed[:, self.row_idx, :]                 # (N, oh, stride)
+        window = rows[:, :, self._col_bytes]              # (N, oh, ow)
+        return ((window >> self._col_shift) & 1) == 0
+
     def _prep(self, pages: np.ndarray, binaries: np.ndarray):
         """Decimate pages (box mean) + nearest-gather the ink mask."""
         from .. import native
@@ -336,6 +352,8 @@ class ThroughputPredictor:
         dec = native.decimate_u8(pages, self.host_decimate)
         if dec is not None:
             dec = dec[:, : self.decimated_shape[0], : self.decimated_shape[1]]
+            if self.packed_binary:
+                return self._put(dec), self._gather_ink_bits(binaries)
             ink = native.gather_ink(binaries, self.row_idx, self.col_idx)
             return self._put(dec), ink.astype(bool)
 
@@ -348,8 +366,11 @@ class ThroughputPredictor:
             reduced = Image.fromarray(pages[i]).reduce(self.host_decimate)
             arr = np.asarray(reduced)
             dec[i] = arr[: self.decimated_shape[0], : self.decimated_shape[1]]
-            # ink = 1 where the binarized image is dark (dataset.py:135-136)
-            ink[i] = binaries[i][np.ix_(self.row_idx, self.col_idx)] < 128
+            if self.packed_binary:
+                ink[i] = self._gather_ink_bits(binaries[i : i + 1])[0]
+            else:
+                # ink = 1 where the binarized image is dark (dataset.py:135-136)
+                ink[i] = binaries[i][np.ix_(self.row_idx, self.col_idx)] < 128
         return self._put(dec), ink
 
     def _out_bufs(self, n: int, h: int, w: int):

@@ -439,3 +439,29 @@ def test_ring_pool_reuse_and_exclusivity(tmp_path):
     assert runner._spare_ring is ring_a
     for name, color in first.items():
         np.testing.assert_array_equal(color, second[name])
+
+
+def test_packed_bilevel_binaries_equal_expanded(tmp_path):
+    """A corpus whose binaries are true 1-bit PNGs (imsave_bilevel, the
+    recommended layout) streams bit-packed from disk to ink gather and
+    must produce byte-identical trios to the 8-bit-binary corpus."""
+    from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.core.image_io import imsave_bilevel
+
+    pages, _, bin_dir = _write_corpus(str(tmp_path), [(96, 80, 3)])
+    packed_dir = os.path.join(str(tmp_path), "binary1")
+    os.makedirs(packed_dir)
+    packed_pages = []
+    for p in pages:
+        name = os.path.basename(p.binary_path)
+        imsave_bilevel(os.path.join(packed_dir, name), imread(p.binary_path, as_gray=True))
+        packed_pages.append(RawPage(p.image_path, os.path.join(packed_dir, name),
+                                    p.line_height_px))
+    runner = RawCorpusPredictor(_classifier(), DEFAULT_IMAGE_MAP.palette,
+                                batch_size=2)
+    ref = {p.name: trio for p, *trio in runner.run(pages)}
+    got = {p.name: trio for p, *trio in runner.run(packed_pages)}
+    assert ref.keys() == got.keys()
+    for name in ref:
+        for a, b in zip(ref[name], got[name]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

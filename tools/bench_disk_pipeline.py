@@ -11,7 +11,7 @@ finish — with the whole run timed, decode included.
 
 On a 1-core host PNG decode of ~8.7 MB grayscale pages dominates; the
 point of the recorded artifact is honesty about that boundary, not a
-headline.  Writes bench_runs/r3_disk_pipeline.json when --record.
+headline.  Writes bench_runs/r4_disk_pipeline.json when --record.
 """
 import argparse
 import json
@@ -54,12 +54,18 @@ def main():
                              "byte-equal to these synth binaries) — ONE "
                              "PNG decode per page instead of two, the "
                              "dominant cost on a decode-bound host")
+    parser.add_argument("--bin8", action="store_true",
+                        help="write binaries as 8-bit grayscale PNGs (the "
+                             "pre-r4 layout) instead of true 1-bit PNGs; "
+                             "decoded pixels are identical, the 8-bit "
+                             "decode just inflates 8x the bytes")
     args = parser.parse_args()
 
     import bench  # repo-root synth (distinct pages, bench.py contract)
     from PIL import Image
 
     from page_segmentation_tpu.core.colors import DEFAULT_IMAGE_MAP
+    from page_segmentation_tpu.core.image_io import imsave_bilevel, imsave_gray_fast
     from page_segmentation_tpu.inference.corpus import RawCorpusPredictor, RawPage
     from page_segmentation_tpu.inference.classifier import PixelClassifier
     from page_segmentation_tpu.models.registry import Architecture
@@ -67,7 +73,10 @@ def main():
     # corpus dir keyed by page dims so a rerun with different --height/
     # --width can never silently measure a prior run's stale pages while
     # recording the new dims in the artifact
-    corpus_dir = os.path.join(args.dir, f"{args.height}x{args.width}")
+    depth = "b8" if args.bin8 else "b1"
+    # v2: filter-0 image layout (imsave_gray_fast) — keyed so a rerun can
+    # never measure a stale corpus written by an older encoder
+    corpus_dir = os.path.join(args.dir, f"{args.height}x{args.width}_{depth}v2")
     img_dir = os.path.join(corpus_dir, "images")
     bin_dir = os.path.join(corpus_dir, "binary")
     os.makedirs(img_dir, exist_ok=True)
@@ -91,8 +100,11 @@ def main():
             # interrupted prior run can never leave an image whose binary
             # is missing (which would crash imread_bin mid-measurement)
             if not os.path.exists(ip):
-                Image.fromarray(binaries[i]).save(bp, compress_level=1)
-                Image.fromarray(pages[i]).save(ip, compress_level=1)
+                if args.bin8:
+                    Image.fromarray(binaries[i]).save(bp, compress_level=1)
+                else:
+                    imsave_bilevel(bp, binaries[i])
+                imsave_gray_fast(ip, pages[i])
             raw_pages.append(RawPage(ip, bp, line_height))
         done += n
         print(f"corpus: {done}/{args.pages} on disk "
@@ -115,6 +127,9 @@ def main():
         batch_size=args.batch,
         window=args.window,
         compute_dtype=dtype,
+        # the bench drops each trio after counting it (same contract as
+        # bench.py's headline loop)
+        reuse_output_buffers=not args.write_outputs,
     )
     out_dir = os.path.join(args.dir, "out") if args.write_outputs else None
 
@@ -163,6 +178,7 @@ def main():
         "host_cpus": os.cpu_count(),
         "outputs_written": bool(out_dir),
         "binary_free": bool(args.binary_free),
+        "binary_depth": 8 if args.bin8 else 1,
         "mode": "RawCorpusPredictor (cli predict --pipeline): header probe "
                 "+ PNG decode (prefetch thread) + decimate + device forward "
                 "+ packed download + trio finish; decode INSIDE the clock"
@@ -175,8 +191,8 @@ def main():
     result.update(bench.phase_stats(intervals, batch_counts))
     print(json.dumps(result))
     if args.record:
-        name = ("r3_disk_pipeline_binfree.json" if args.binary_free
-                else "r3_disk_pipeline.json")
+        name = ("r4_disk_pipeline_binfree.json" if args.binary_free
+                else "r4_disk_pipeline.json")
         path = os.path.join(os.path.dirname(__file__), "..", "bench_runs",
                             name)
         with open(path, "w") as f:
