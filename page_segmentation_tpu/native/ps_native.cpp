@@ -176,25 +176,31 @@ int ps_cc_vote(const uint8_t* binary, int h, int w, int n_classes,
     const int32_t n_prov = static_cast<int32_t>(uf.parent.size());
     if (n_prov <= 1) return 1;  // background only
 
+    // flatten roots AND compact them to dense component ids in the same
+    // sweep: provisional labels can approach h*w/2 on speckle-dense
+    // pages (every run-start mints one even if it later merges), and a
+    // histogram sized by them transiently allocated ~100+ MB at A4 —
+    // sizing by components keeps it proportional to real content
     std::vector<int32_t> flat(n_prov, 0);
     int32_t n_components = 0;
     for (int32_t l = 1; l < n_prov; ++l) {
-        flat[l] = uf.find(l);
-        if (flat[l] == l) ++n_components;
+        const int32_t root = uf.find(l);
+        // union-by-min: root <= l, so flat[root] is already assigned
+        flat[l] = (root == l) ? ++n_components : flat[root];
     }
-    std::vector<int64_t> counts(static_cast<size_t>(n_prov) * n_classes, 0);
+    std::vector<int64_t> counts(
+        static_cast<size_t>(n_components + 1) * n_classes, 0);
     for (size_t i = 0; i < size; ++i) {
         const int32_t p = provisional[i];
         if (p) counts[static_cast<size_t>(flat[p]) * n_classes + pred[i]]++;
     }
-    std::vector<int32_t> majority(n_prov, 0);
-    for (int32_t l = 1; l < n_prov; ++l) {
-        if (flat[l] != l) continue;  // only roots accumulated counts
-        const int64_t* c = counts.data() + static_cast<size_t>(l) * n_classes;
+    std::vector<int32_t> majority(n_components + 1, 0);
+    for (int32_t comp = 1; comp <= n_components; ++comp) {
+        const int64_t* c = counts.data() + static_cast<size_t>(comp) * n_classes;
         int best = 0;
         for (int k = 1; k < n_classes; ++k)
             if (c[k] > c[best]) best = k;
-        majority[l] = best;
+        majority[comp] = best;
     }
     for (size_t i = 0; i < size; ++i) {
         const int32_t p = provisional[i];

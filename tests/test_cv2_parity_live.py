@@ -222,6 +222,48 @@ def test_fill_contour_cv2_dispatch_equals_fallback(monkeypatch):
             np.testing.assert_array_equal(fast, slow)
 
 
+def test_fill_contour_dispatch_equals_fallback_thin_shapes(monkeypatch):
+    """UNDILATED adversarial masks — isolated diagonal chains, blobs
+    joined at a single pixel, self-touching one-pixel boundaries, raw
+    speckle — the shapes where cv2.drawContours and the PIL rasterizer
+    are most likely to diverge (and which char_height morphology can
+    still emit).  The dispatch must stay pixel-equal on all of them, or
+    output would silently depend on whether cv2 imports."""
+    assert contours._cv2 is not None
+    cases = []
+    rng = np.random.RandomState(113)
+    for _ in range(30):  # undilated speckle
+        cases.append((rng.rand(40, 50) < 0.15).astype(np.uint8) * 255)
+    diag = np.zeros((30, 30), np.uint8)
+    anti = np.zeros((30, 30), np.uint8)
+    for i in range(25):
+        diag[i, i] = 255
+        anti[i, 29 - i] = 255
+    cases += [diag, anti]
+    hourglass = np.zeros((21, 21), np.uint8)  # two blobs, one-pixel joint
+    hourglass[2:8, 2:8] = 255
+    hourglass[10:16, 10:16] = 255
+    hourglass[8, 8] = hourglass[9, 9] = 255
+    cases.append(hourglass)
+    pinched = np.zeros((15, 15), np.uint8)  # self-touching 1-px boundary
+    pinched[3, 3:12] = 255
+    pinched[11, 3:12] = 255
+    pinched[3:12, 3] = 255
+    pinched[3:12, 11] = 255
+    pinched[3:12, 7] = 255
+    cases.append(pinched)
+    for x in cases:
+        cs = contours.find_external_contours(x)
+        fast = np.zeros_like(x)
+        slow = np.zeros_like(x)
+        for c in cs:
+            contours.fill_contour(fast, c, 255)
+            with monkeypatch.context() as mp:
+                mp.setattr(contours, "_cv2", None)
+                contours.fill_contour(slow, c, 255)
+        np.testing.assert_array_equal(fast, slow)
+
+
 def test_resize_nearest_cv_exact_vs_cv2():
     rng = np.random.RandomState(106)
     for _ in range(150):
