@@ -25,6 +25,12 @@ real page *photography* carries, VERDICT round-2 missing item 2):
          and caption; ground truth in the 2017 PAGE namespace
          (exercises PCGTSVersion autodetect end-to-end)
 
+Pages 9-10 (v4) are image-HEAVY (a photographic plate with scratches;
+twin engravings with a damp stain): they raise the image-bearing page
+count from 3 to 5 so the training-quality split can place the image
+class in train (>=2 pages), val AND eval at once (round-4; see
+make_page_v4).
+
 Run once to (re)create the checked-in corpus:
     python tests/golden_corpus/make_corpus.py
 then refreeze derived outputs:
@@ -415,7 +421,87 @@ def make_page_v3(index: int):
     return image, binary, xml
 
 
-N_PAGES = 9
+# ------------------------------------------------------------- v4 pages
+def _photo_plate(img, rng, top, left, bottom, right):
+    """Photographic plate: smooth tonal gradients + film grain (no
+    halftone cells) — binarizes as large mixed fg/bg areas."""
+    h, w = bottom - top, right - left
+    yy, xx = np.mgrid[0:h, 0:w]
+    photo = 95 + 65 * np.sin(yy / (h / 2.3) + 1.1) * np.cos(xx / (w / 1.7))
+    photo += rng.randn(h, w) * 6
+    img[top:bottom, left:right] = photo
+    return [(left, top), (right, top), (right, bottom), (left, bottom)]
+
+
+def _engraving(img, rng, top, left, bottom, right):
+    """Engraving-style diagonal hatching: dense dark strokes that
+    binarize as heavy regular foreground."""
+    h, w = bottom - top, right - left
+    yy, xx = np.mgrid[0:h, 0:w]
+    phase = (yy + xx) % 6
+    img[top:bottom, left:right] = np.where(
+        phase < 2, 60 + rng.randn(h, w) * 8, 200 + rng.randn(h, w) * 6)
+    return [(left, top), (right, top), (right, bottom), (left, bottom)]
+
+
+def _plate_scratches(img, rng, n=3):
+    """Thin bright diagonal scratches across the plate area."""
+    for _ in range(n):
+        y0, x0 = rng.randint(40, H - 60), rng.randint(10, W - 60)
+        length = rng.randint(40, 110)
+        sy, sx = rng.choice([-1, 1]), 1
+        for t in range(length):
+            y, x = y0 + sy * t, x0 + sx * t
+            if 0 <= y < H and 0 <= x < W:
+                img[y, x] = 235
+
+
+def make_page_v4(index: int):
+    """Pages 9-10: image-HEAVY pages (a photographic plate; twin
+    engravings).  With only 3 of 9 pages carrying ImageRegions, a
+    train/val/eval split could starve the image class to one training
+    page and never show it to validation — these two raise the
+    image-bearing count to 5 so the training-quality split can place
+    the class in train (>=2), val AND eval simultaneously
+    (tools/train_quality.py)."""
+    rng = np.random.RandomState(900 + index)
+    img = _paper(rng)
+    regions = []
+    if index == 9:
+        head = _text_block(img, rng, 18, 70, 42, 230, char_h=10)
+        regions.append(_region("r9_head", "heading", head))
+        plate = _photo_plate(img, rng, 55, 45, 250, 255)
+        regions.append(_region("r9_plate", None, plate, tag="ImageRegion"))
+        _plate_scratches(img, rng)
+        caption = _text_block(img, rng, 262, 60, 286, 240, char_h=8)
+        regions.append(_region("r9_cap", "caption", caption))
+        para = _text_block(img, rng, 300, 40, 380, 260)
+        regions.append(_region("r9_para", "paragraph", para))
+    else:  # index == 10
+        para_top = _text_block(img, rng, 25, 40, 96, 260)
+        regions.append(_region("r10_top", "paragraph", para_top))
+        eng1 = _engraving(img, rng, 110, 40, 230, 140)
+        regions.append(_region("r10_eng1", None, eng1, tag="ImageRegion"))
+        eng2 = _engraving(img, rng, 110, 160, 230, 260)
+        regions.append(_region("r10_eng2", None, eng2, tag="ImageRegion"))
+        caption = _text_block(img, rng, 240, 55, 263, 245, char_h=8)
+        regions.append(_region("r10_cap", "caption", caption))
+        para_bot = _text_block(img, rng, 276, 40, 376, 260)
+        regions.append(_region("r10_bot", "paragraph", para_bot))
+        _stain(img, rng, 70, 235, 35, 40, level=150, soft=10.0)
+    image = np.clip(img, 0, 255).astype(np.uint8)
+    binary = np.where(image < 128, 0, 255).astype(np.uint8)
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<PcGts xmlns="{NS}">\n'
+        f'  <Page imageFilename="page{index}.png" imageHeight="{H}" imageWidth="{W}">\n'
+        + "".join(regions)
+        + "  </Page>\n</PcGts>\n"
+    )
+    return image, binary, xml
+
+
+N_PAGES = 11
 
 
 def main():
@@ -425,7 +511,8 @@ def main():
         image, binary, xml = (
             make_page(i) if i < 3
             else make_page_v2(i) if i < 6
-            else make_page_v3(i)
+            else make_page_v3(i) if i < 9
+            else make_page_v4(i)
         )
         imsave(os.path.join(HERE, "images", f"page{i}.png"), image)
         imsave(os.path.join(HERE, "binary", f"page{i}.png"), binary)

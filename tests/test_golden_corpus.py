@@ -1,6 +1,6 @@
 """Golden-corpus regression: the full reference workflow
 (examples/dataset-creation-example.sh:17-55 + model-training-example.sh)
-over a checked-in 9-page historical-style corpus with frozen outputs.
+over a checked-in 11-page historical-style corpus with frozen outputs.
 
 Pages 0-2 are clean scans; pages 3-5 carry scan-side degradations —
 skew/two-column, bleed-through + TextLine/Baseline ground truth + an ink
@@ -9,7 +9,9 @@ pages 6-8 carry capture-side ones — two-axis rotation + vignetting +
 JPEG blocking, gutter shadow + illumination gradient + drop cap,
 halftone speckle + dog-eared corner + GraphicRegion with 2017-namespace
 ground truth (VERDICT round-2 missing item 2, as far as a zero-egress
-environment allows).
+environment allows); pages 9-10 are image-heavy (photographic plate,
+twin engravings) so splits can cover the image class everywhere
+(round 4).
 
 Deterministic host stages (gen-masks rasterization across all five mask
 settings, char-height estimation, XY-cut rectangles) diff byte-/value-

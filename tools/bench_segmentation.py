@@ -137,12 +137,13 @@ def main():
             contours=True, source="rgb", backend="host",
             reps=min(args.reps, 3))
 
+    n_pages = len(modes['xycut']['regions_per_page'])
     result = {
         "metric": "segmentation_pages_per_sec",
         "value": modes["xycut"]["pages_per_sec"],
         "unit": "pages/sec",
         "page_shape": list(A4),
-        "n_pages": 9,
+        "n_pages": n_pages,
         "resize_height": args.resize_height,
         "host_cpus": os.cpu_count(),
         "jax_backend": jax.default_backend(),

@@ -3,7 +3,7 @@
 The test suite proves the loss decreases and every path agrees with
 every other path; THIS tool records what the trained model is actually
 worth: the full reference workflow (gen-masks -> create-dataset-file ->
-train -> predict -> evaluate) over the 9-page golden corpus with a
+train -> predict -> evaluate) over the 11-page golden corpus with a
 seeded train/test split, reporting held-out pixel accuracy, per-label
 F1, and FgPA (foreground pixel accuracy, the reference's headline
 quality metric) from the `evaluate` CLI.
@@ -92,17 +92,39 @@ def main():
                 os.path.splitext(os.path.basename(e["image_path"]))[0]
                 for e in split["eval"]
             )
-            gt_classes = set()
-            for page in test_pages:
-                labels = cmap.imread_labels(
-                    os.path.join(ds, "masks", f"{page}.mask.png"))
-                gt_classes.update(np.unique(labels).tolist())
-            if gt_classes == set(range(cmap.n_classes)):
+            def classes_of(entries):
+                out = []
+                for e in entries:
+                    page = os.path.splitext(
+                        os.path.basename(e["image_path"]))[0]
+                    labels = cmap.imread_labels(
+                        os.path.join(ds, "masks", f"{page}.mask.png"))
+                    out.append(set(np.unique(labels).tolist()))
+                return out
+
+            all_classes = set(range(cmap.n_classes))
+            eval_cover = set().union(*classes_of(split["eval"]))
+            # val drives checkpoint selection: if it lacks a class, early
+            # stopping can freeze the model before that class trains at
+            # all (observed: image-class F1 0.0005 under a val page with
+            # no image regions) — corpus v4 added image-heavy pages so
+            # this constraint is satisfiable
+            val_cover = set().union(*classes_of(split["test"]))
+            train_sets = classes_of(split["train"])
+            # every class must also be learnable: >= 2 train pages
+            train_ok = all(
+                sum(label in s for s in train_sets) >= 2
+                for label in all_classes
+            )
+            if (eval_cover == all_classes and val_cover == all_classes
+                    and train_ok):
                 split_seed = seed
                 break
-            print(f"seed {seed}: eval GT covers {sorted(gt_classes)} of "
-                  f"{cmap.n_classes} classes; redrawing", file=sys.stderr)
-        assert split_seed is not None, "no seed produced full-class eval GT"
+            print(f"seed {seed}: eval covers {sorted(eval_cover)}, val "
+                  f"covers {sorted(val_cover)}, train_ok={train_ok}; "
+                  "redrawing", file=sys.stderr)
+        assert split_seed is not None, \
+            "no seed produced a testable+learnable split"
 
         out = os.path.join(tmp, "train_out")
         rc = cli(["train", "--split_file", dataset_json, "--output", out,
@@ -185,7 +207,7 @@ def main():
         "loss_last": round(scalars[-1]["loss"], 4),
         "mode": "full reference workflow (gen-masks -> create-dataset-file "
                 "-> train -> predict --fast --high_res_output -> evaluate) "
-                "on the 9-page golden corpus, seeded 6/1/2 train/val/eval "
+                "on the 11-page golden corpus, seeded (n-3)/1/2 train/val/eval "
                 "split; best checkpoint selected on the VAL page, metrics "
                 "on the 2 untouched eval pages (no model selection leak)",
     }
