@@ -35,8 +35,12 @@ CORPUS = os.path.join(HERE, "..", "tests", "golden_corpus")
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n-epoch", type=int, default=100)
-    parser.add_argument("--l-rate", type=float, default=1e-3)
+    # recipe defaults = the recorded r4 artifact's: lr 1e-3 converged the
+    # majority classes but early-stopped (patience 30 epochs) before the
+    # ~4%-of-pixels image class trained at all (its F1 read 0.0); 3e-4
+    # with a higher epoch cap reached image F1 0.61 on held-out pages
+    parser.add_argument("--n-epoch", type=int, default=300)
+    parser.add_argument("--l-rate", type=float, default=3e-4)
     parser.add_argument("--target-line-height", type=int, default=10)
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument("--augment", action="store_true", default=True)
