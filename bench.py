@@ -129,7 +129,19 @@ def _supervise(seconds: float):
     # ------------------------------------------------------ watchdog parent
     def emit_and_kill(note: str, exit_code: int = 0):
         state = _read_state(state_path)
-        if not state.get("emitted"):
+        if state.get("emitted"):
+            # the child checkpoints emitted=True immediately BEFORE its
+            # final print: give it a grace window to finish flushing —
+            # killing it mid-print would lose the round's only JSON line
+            for _ in range(15):
+                try:
+                    done_pid, _status = os.waitpid(pid, os.WNOHANG)
+                except OSError:
+                    os._exit(0)
+                if done_pid:
+                    os._exit(0)
+                time.sleep(1.0)
+        else:
             print(json.dumps(_partial_result(state, note)), flush=True)
         try:
             os.kill(pid, signal.SIGKILL)
@@ -166,15 +178,6 @@ def _supervise(seconds: float):
                 os._exit(0)
             os._exit(code if code > 0 else 1)
         if time.monotonic() - t0 > seconds:
-            state = _read_state(state_path)
-            if state.get("emitted"):
-                # the child printed its final line in the last poll
-                # interval: give it a grace period to exit on its own
-                for _ in range(15):
-                    done_pid, status = os.waitpid(pid, os.WNOHANG)
-                    if done_pid:
-                        os._exit(0)
-                    time.sleep(1.0)
             emit_and_kill(f"bench exceeded {seconds:.0f}s wall-clock")
         time.sleep(1.0)
 

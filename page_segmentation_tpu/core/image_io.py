@@ -59,14 +59,15 @@ def _decode_png_cv2_bytes(data) -> Optional[np.ndarray]:
     return arr
 
 
-def _decode_png_filter0_gray(data) -> Optional[np.ndarray]:
-    """Decode an 8-bit grayscale PNG whose rows are all filter-0 straight
-    from the zlib stream (no per-row unfilter): ~6 ms for a 300-DPI A4
-    page vs ~9-15 through the general decoders on this host.  Probes the
-    first row's filter byte from a bounded decompress before committing;
-    returns None for anything else (filtered rows, other modes) — the
-    general decoders take over, pixels identical either way
-    (tests/test_image_io.py)."""
+def _read_png_gray_rows(data, bit_depth: int,
+                        probe_first_row: bool = False) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Shared fast-path PNG reader: (filter-stripped rows (H, stride), W,
+    H) for a non-interlaced grayscale PNG of ``bit_depth`` whose rows are
+    ALL filter-0; None for anything else — including malformed or
+    truncated input (the general decoders take over and report real
+    corruption with a meaningful error).  ``probe_first_row`` does a
+    bounded decompress of the first filter byte before committing to the
+    full inflate (worth it for 8-bit pages; bilevel streams are tiny)."""
     import struct
     import zlib
 
@@ -74,39 +75,71 @@ def _decode_png_filter0_gray(data) -> Optional[np.ndarray]:
         data = data.tobytes()
     if len(data) < 8 or data[:8] != _PNG_MAGIC:
         return None
-    pos = 8
-    w = h = None
-    idat = []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload)
-            if (bit_depth, color_type, comp, filt, interlace) != (8, 0, 0, 0, 0):
+    try:
+        pos = 8
+        w = h = None
+        idat = []
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload)
+                if (depth, color_type, comp, filt, interlace) != (
+                        bit_depth, 0, 0, 0, 0):
+                    return None
+            elif tag == b"IDAT":
+                idat.append(payload)
+            elif tag == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        stream = b"".join(idat)
+        if probe_first_row:
+            head = zlib.decompressobj().decompress(stream[: 1 << 14], 1)
+            if not head or head[0] != 0:
                 return None
-        elif tag == b"IDAT":
-            idat.append(payload)
-        elif tag == b"IEND":
-            break
-    if w is None or not idat:
+        stride = (w * bit_depth + 7) // 8
+        raw = zlib.decompress(stream)
+        if len(raw) != h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        if rows[:, 0].any():  # a filtered row anywhere: general path
+            return None
+        return np.ascontiguousarray(rows[:, 1:]), int(w), int(h)
+    except Exception:  # malformed/truncated: fall back, never raise
         return None
-    stream = b"".join(idat)
-    # bounded probe: if the first row is filtered, bail before paying the
-    # full decompress twice
-    probe = zlib.decompressobj()
-    head = probe.decompress(stream[: 1 << 14], 1)
-    if not head or head[0] != 0:
-        return None
-    raw = zlib.decompress(stream)
-    if len(raw) != h * (w + 1):
-        return None
-    rows = np.frombuffer(raw, np.uint8).reshape(h, w + 1)
-    if rows[:, 0].any():  # a later row is filtered: general path
-        return None
-    return np.ascontiguousarray(rows[:, 1:])
+
+
+def _write_png_gray(path, packed_rows: np.ndarray, w: int, bit_depth: int,
+                    level: int) -> None:
+    """Shared fast-path PNG writer: non-interlaced grayscale, filter-0
+    rows (standard PNG any decoder reads)."""
+    import struct
+    import zlib
+
+    h = packed_rows.shape[0]
+    rows = np.zeros((h, packed_rows.shape[1] + 1), np.uint8)  # filter 0
+    rows[:, 1:] = packed_rows
+    header = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 0)
+    with open(str(path), "wb") as f:
+        f.write(_PNG_MAGIC)
+        f.write(_png_chunk(b"IHDR", header))
+        f.write(_png_chunk(b"IDAT", zlib.compress(rows.tobytes(), level)))
+        f.write(_png_chunk(b"IEND", b""))
+
+
+def _decode_png_filter0_gray(data) -> Optional[np.ndarray]:
+    """Decode an 8-bit grayscale PNG whose rows are all filter-0 straight
+    from the zlib stream (no per-row unfilter): ~6 ms for a 300-DPI A4
+    page vs ~9-15 through the general decoders on this host.  Returns
+    None for anything else (filtered rows, other modes, malformed input)
+    — the general decoders take over, pixels identical either way
+    (tests/test_image_io.py)."""
+    got = _read_png_gray_rows(data, bit_depth=8, probe_first_row=True)
+    return got[0] if got is not None else None
 
 
 def imsave_gray_fast(path, image: np.ndarray, level: int = 1) -> None:
@@ -116,21 +149,10 @@ def imsave_gray_fast(path, image: np.ndarray, level: int = 1) -> None:
     throughput-critical grayscale corpora — scan pages are mostly paper,
     so the filterless stream still compresses well and reads back with a
     single inflate, no per-row unfilter."""
-    import struct
-    import zlib
-
     arr = _coerce_uint8(np.asarray(image))
     if arr.ndim != 2:
         raise ValueError(f"imsave_gray_fast takes (H, W) grayscale, got {arr.shape}")
-    h, w = arr.shape
-    rows = np.zeros((h, w + 1), np.uint8)
-    rows[:, 1:] = arr
-    header = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    with open(str(path), "wb") as f:
-        f.write(_PNG_MAGIC)
-        f.write(_png_chunk(b"IHDR", header))
-        f.write(_png_chunk(b"IDAT", zlib.compress(rows.tobytes(), level)))
-        f.write(_png_chunk(b"IEND", b""))
+    _write_png_gray(path, arr, arr.shape[1], bit_depth=8, level=level)
 
 
 def decode_image_bytes(data: bytes, as_gray: bool = False) -> np.ndarray:
@@ -188,6 +210,27 @@ def imread_rgb(path) -> np.ndarray:
     return imread(path, as_gray=False)
 
 
+def decode_labels_bytes(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(labels, palette) for in-memory palette-mode PNG bytes; None for
+    anything else (non-PNG, non-'P' mode, malformed input) — callers
+    fall back to :func:`decode_image_bytes` on the SAME bytes, avoiding
+    a second file read."""
+    import io
+
+    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+        return None
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            if im.mode != "P":
+                return None
+            labels = np.asarray(im)
+            flat = im.getpalette()
+    except Exception:  # malformed: the general decoders report it
+        return None
+    palette = np.asarray(flat, np.uint8).reshape(-1, 3)
+    return labels, palette
+
+
 def imread_labels(path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """(labels, palette) for a palette-mode PNG; None for anything else.
 
@@ -200,19 +243,9 @@ def imread_labels(path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     fall back to :func:`imread_rgb`, whose decoded pixels are identical
     (``palette[labels]``, gated in tests/test_image_io.py).
     """
-    import io
-
     with open(str(path), "rb") as f:
         data = f.read()
-    if len(data) < 8 or data[:8] != _PNG_MAGIC:
-        return None
-    with Image.open(io.BytesIO(data)) as im:
-        if im.mode != "P":
-            return None
-        labels = np.asarray(im)
-        flat = im.getpalette()
-    palette = np.asarray(flat, np.uint8).reshape(-1, 3)
-    return labels, palette
+    return decode_labels_bytes(data)
 
 
 def imread_bin(path, binarize: bool = True, threshold: int = 128) -> np.ndarray:
@@ -310,65 +343,32 @@ def imsave_bilevel(path, binary: np.ndarray) -> None:
     the expansion, not the inflate, is where a bilevel decode spends its
     time on this host (~12 of 14 ms/page).
     """
-    import struct
-    import zlib
-
     arr = np.asarray(binary)
-    h, w = arr.shape
     packed = np.packbits(arr != 0, axis=-1)  # MSB-first: the PNG bit order
-    rows = np.zeros((h, packed.shape[1] + 1), np.uint8)  # filter byte 0
-    rows[:, 1:] = packed
-    header = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)  # 1-bit gray
-    with open(str(path), "wb") as f:
-        f.write(_PNG_MAGIC)
-        f.write(_png_chunk(b"IHDR", header))
-        f.write(_png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6)))
-        f.write(_png_chunk(b"IEND", b""))
+    _write_png_gray(path, packed, arr.shape[1], bit_depth=1, level=6)
 
 
 def imread_bilevel_packed(path) -> Optional[Tuple[np.ndarray, int]]:
     """(packed_rows (H, ceil(W/8)) uint8 MSB-first, W) for a bilevel
     filter-0 PNG (the :func:`imsave_bilevel` layout); None for anything
-    else — callers fall back to the expanding decoders.
+    else, INCLUDING malformed/truncated files — callers fall back to the
+    expanding decoders, which report real corruption meaningfully.
 
     Bit 1 = white paper, bit 0 = ink (PNG grayscale: 0 is black), so
     ``ink = bit == 0`` — the `< 128` threshold contract on 0/255 pixels.
     Decoding to packed rows costs ~3 ms/A4-page vs ~14 ms through the
     expanding path: zlib inflates ~1.1 MB instead of touching 8.7 MB.
     """
-    import struct
-    import zlib
-
-    with open(str(path), "rb") as f:
-        data = f.read()
-    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+    try:
+        with open(str(path), "rb") as f:
+            data = f.read()
+    except OSError:
         return None
-    pos = 8
-    w = h = None
-    idat = []
-    while pos + 8 <= len(data):
-        (length,), tag = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload)
-            if (bit_depth, color_type, comp, filt, interlace) != (1, 0, 0, 0, 0):
-                return None
-        elif tag == b"IDAT":
-            idat.append(payload)
-        elif tag == b"IEND":
-            break
-    if w is None or not idat:
+    got = _read_png_gray_rows(data, bit_depth=1)
+    if got is None:
         return None
-    stride = (w + 7) // 8
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        return None
-    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    if rows[:, 0].any():  # filtered rows: leave them to the full decoders
-        return None
-    return np.ascontiguousarray(rows[:, 1:]), int(w)
+    rows, w, _h = got
+    return rows, w
 
 
 def imsave_pil(path, image: np.ndarray) -> None:

@@ -272,11 +272,24 @@ class BatchingService:
             self.predictor.predict_dataset_fast(dataset, batch_size=self.max_batch)
         ]
 
+    # bound on cached fused predictors: each holds compiled programs +
+    # index arrays for one (page shape, char_height); serving traffic
+    # with heterogeneous page sizes would otherwise grow the cache (and
+    # pay a compile per new size) without limit.  LRU keeps the hot
+    # geometries; an evicted one recompiles if it returns.
+    MAX_FUSED_PREDICTORS = 8
+
     def _fused_predictor_for(self, key):
         """One ThroughputPredictor per (page shape, char_height): the
         fused program bakes the normalized shape, so serving traffic with
         homogeneous page geometry (the production norm) compiles once."""
-        if key not in self._fused_predictors:
+        if key in self._fused_predictors:
+            self._fused_predictors[key] = self._fused_predictors.pop(key)
+        else:
+            while len(self._fused_predictors) >= self.MAX_FUSED_PREDICTORS:
+                evicted = next(iter(self._fused_predictors))
+                del self._fused_predictors[evicted]
+                logger.info("evicted fused predictor for geometry %s", evicted)
             from .corpus import pick_host_decimate
             from .pipeline import ThroughputPredictor
             from .postprocess import vote_connected_component_class
@@ -324,7 +337,10 @@ class BatchingService:
             n_pad = min(self.max_batch, 1 << max(0, n - 1).bit_length())
             h, w = key[:2]
             images = np.zeros((n_pad, h, w), np.uint8)
-            binaries = np.zeros((n_pad, h, w), np.uint8)
+            # pad binaries are WHITE (no ink): an all-zero pad page reads
+            # as solid ink, and the host finish would then run a full-page
+            # cc-vote + trio over it before the result is dropped
+            binaries = np.full((n_pad, h, w), 255, np.uint8)
             for i, entry in enumerate(members):
                 images[i] = entry.image
                 binaries[i] = entry.binary

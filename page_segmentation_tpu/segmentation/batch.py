@@ -28,7 +28,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..core.colors import ColorMap, exact_color_mask
-from ..core.image_io import imread_labels, imread_rgb, split_filename
+from ..core.image_io import split_filename
 from .pc_segmentation import (
     find_segments,
     find_segments_indexed,
@@ -79,11 +79,18 @@ class PageSegmenter:
 
     # ------------------------------------------------------------- per page
     def _load(self, path: str):
-        got = imread_labels(path)
+        # one file read: try the indexed decode on the bytes, fall back
+        # to the RGB decode on the SAME bytes (re-reading the file cost a
+        # second disk+header pass per RGB page in the decode-bound stage)
+        from ..core.image_io import decode_image_bytes, decode_labels_bytes
+
+        with open(path, "rb") as f:
+            data = f.read()
+        got = decode_labels_bytes(data)
         if got is not None:
             labels, palette = got
             return path, None, labels, palette
-        return path, imread_rgb(path), None, None
+        return path, decode_image_bytes(data), None, None
 
     def _text_mask(self, image, labels, palette) -> np.ndarray:
         text = np.asarray(self.color_map.color_for_label("text"), np.uint8)

@@ -251,11 +251,21 @@ def _any_bbox_nested(contours: List[np.ndarray]) -> bool:
          for c in contours],
         np.int64,
     )
-    a = boxes[:, None, :]  # candidate contained box
-    b = boxes[None, :, :]  # candidate container box
-    contained = (
-        (a[..., 0] >= b[..., 0]) & (a[..., 1] >= b[..., 1])
-        & (a[..., 2] <= b[..., 2]) & (a[..., 3] <= b[..., 3])
-    )
-    np.fill_diagonal(contained, False)
-    return bool(contained.any())
+    n = len(boxes)
+    b = boxes[None, :, :]  # candidate container boxes
+    # chunk the candidate-contained axis: the full n x n broadcast is
+    # >10 GB at the contour counts a speckle page with char_height 1 can
+    # emit (the chain is then a no-op); 512-row blocks keep memory at
+    # O(512 n) with the same early exit the scalar loop had
+    for start in range(0, n, 512):
+        a = boxes[start : start + 512, None, :]
+        contained = (
+            (a[..., 0] >= b[..., 0]) & (a[..., 1] >= b[..., 1])
+            & (a[..., 2] <= b[..., 2]) & (a[..., 3] <= b[..., 3])
+        )
+        # a box "contains" itself: mask the diagonal of this block
+        idx = np.arange(start, min(start + 512, n))
+        contained[idx - start, idx] = False
+        if contained.any():
+            return True
+    return False
