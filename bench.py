@@ -171,8 +171,11 @@ def _supervise(seconds: float):
             # child crashed: if the headline was already measured, the
             # number is valid regardless of the later crash — report it
             # (with the crash noted) instead of losing the round's record
+            # a nonzero exit proves the child's final print cannot have
+            # completed, so emitted=True is no reason to stay silent —
+            # recover the measured sections either way (advisor r4)
             state = _read_state(state_path)
-            if state.get("sections") and not state.get("emitted"):
+            if state.get("sections"):
                 print(json.dumps(_partial_result(
                     state, f"bench child exited rc={code}")), flush=True)
                 os._exit(0)

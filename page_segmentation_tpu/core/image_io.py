@@ -227,6 +227,8 @@ def decode_labels_bytes(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
             flat = im.getpalette()
     except Exception:  # malformed: the general decoders report it
         return None
+    if flat is None or len(flat) % 3:  # PIL may return no/odd palette
+        return None
     palette = np.asarray(flat, np.uint8).reshape(-1, 3)
     return labels, palette
 

@@ -118,7 +118,8 @@ def find_segments_indexed(
     at the tiny canonical scale (~300x212) instead of the full page
     (~90 ms/page measured for a full-page gather on this host).  The 3x3
     RGB dilation and the cut engine are shared verbatim.  Equality-gated
-    against ``find_segments`` in tests/test_segmentation_indexed.py.
+    against ``find_segments`` in tests/test_segmentation_batch.py
+    (test_find_segments_indexed_equals_rgb).
     """
     canonical_scale = resize_height / labels.shape[0]
     canonical_w = int(labels.shape[1] * canonical_scale)

@@ -59,9 +59,12 @@ def test_native_chain_equals_cv2_composition():
     from page_segmentation_tpu import native
 
     rng = np.random.RandomState(7)
-    for ch in (3, 7, 10, 11, 16):
+    # ch=70/130 cross the 64-bit word boundary (k > 64, two-word left
+    # extensions) — the production 300-DPI char-height regime (advisor r4)
+    for ch in (3, 7, 10, 11, 16, 70, 130):
         k, k3, k11 = morph_kernels(ch)
-        m = (rng.rand(60, 83) < 0.25).astype(np.uint8) * 255
+        h, w = (190, 230) if k > 16 else (60, 83)
+        m = (rng.rand(h, w) < 0.25).astype(np.uint8) * 255
         got = native.bitmorph_chain(m, k, k3, k11)
         if got is None:
             pytest.skip("native library unavailable")
