@@ -268,6 +268,7 @@ def cmd_train(args) -> int:
         lr_warmup_steps=args.lr_warmup_steps,
         lr_decay_steps=args.lr_decay_steps,
         lr_min_fraction=args.lr_min_fraction,
+        balanced_sampling=args.balanced_sampling,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -642,6 +643,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--optimizer", default="adam")
     t.add_argument("--early_stopping_max_performance_drops", type=int, default=30)
     t.add_argument("--data_augmentation", action="store_true")
+    t.add_argument("--balanced_sampling", action="store_true",
+                   help="class-balanced page resampling per training epoch "
+                        "(minority-class pages drawn more often)")
     t.add_argument("--device_augmentation", action="store_true",
                    help="fused on-TPU affine augmentation (perf mode)")
     t.add_argument("--checkpoint_backend", default="msgpack", choices=["msgpack", "orbax"])

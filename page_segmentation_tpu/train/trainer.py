@@ -149,6 +149,13 @@ class TrainSettings(NamedTuple):
     # cosine: total decay steps; None = ceil(pages/batch) * n_epoch
     lr_decay_steps: Optional[int] = None
     lr_min_fraction: float = 0.0  # cosine: final lr = l_rate * fraction
+    # class-balanced page sampling: redraw each training epoch's page
+    # list (same length, with replacement) with pages weighted by how
+    # over-represented their rarest class is globally, so minority-class
+    # pixels (e.g. the ~4%-of-pixels image class) stop being swamped by
+    # background/text gradients.  Off = the reference's uniform epoch
+    # (every page exactly once).  Needs eager-loaded masks.
+    balanced_sampling: bool = False
 
 
 def _weighted_means(weighted_metrics) -> dict:
@@ -174,6 +181,7 @@ class Trainer:
     def __init__(self, settings: TrainSettings):
         self.settings = settings
         s = settings
+        self._class_weight_cache = {}
 
         dtype = jnp.bfloat16 if s.compute_dtype == "bfloat16" else jnp.float32
         self.module = s.architecture.model(s.n_classes, dtype=dtype)
@@ -494,14 +502,57 @@ class Trainer:
             batch["weights"][i, :h, :w] = 1.0
         return batch
 
+    def _page_class_weights(self, data) -> "np.ndarray":
+        """Per-page sampling weight = max over classes on the page of
+        (page's pixel fraction of c) / (corpus pixel fraction of c).
+
+        A page whose pixels are 30% image-class when the corpus is 4%
+        image-class gets weight ~7.5; an all-background page gets ~1.
+        Cached per dataset identity (masks are immutable during train)."""
+        key = id(data[0]) if data else None
+        cached = self._class_weight_cache.get(key)
+        if cached is not None and len(cached) == len(data):
+            return cached
+        n = self.settings.n_classes
+        corpus = np.zeros(n, np.float64)
+        per_page = np.zeros((len(data), n), np.float64)
+        for i, d in enumerate(data):
+            if d.mask is None:
+                raise ValueError(
+                    "balanced_sampling needs eager-loaded masks "
+                    "(streaming/lazy datasets keep pixels on disk)"
+                )
+            counts = np.bincount(d.mask.reshape(-1), minlength=n)[:n]
+            per_page[i] = counts / max(1, counts.sum())
+            corpus += counts
+        corpus = corpus / max(1.0, corpus.sum())
+        ratios = per_page / np.maximum(corpus, 1e-9)[None, :]
+        weights = np.maximum(ratios.max(axis=1), 1e-3)
+        weights = weights / weights.sum()
+        self._class_weight_cache = {key: weights}
+        return weights
+
+    def _balanced_resample(self, data, rng):
+        """Redraw an epoch-sized page list (with replacement) under the
+        class-balance weights.  Duplicated pages diverge under
+        augmentation (per-sample transform draws in _make_batch)."""
+        weights = self._page_class_weights(data)
+        idx = rng.choice(len(data), size=len(data), replace=True, p=weights)
+        return [data[i] for i in idx]
+
     def _bucketed_batches(self, dataset: Dataset, batch_size: int, shuffle_rng=None):
         """Group pages by bucket shape, yield same-bucket batches.
 
         Multi-host mode forces one bucket (the global max): every process
         must take the same number of identically-shaped steps."""
         s = self.settings
+        data = dataset.data
+        # only training epochs resample (they pass a shuffle rng); eval
+        # paths must see every page exactly once
+        if s.balanced_sampling and shuffle_rng is not None:
+            data = self._balanced_resample(data, shuffle_rng)
         groups = {}
-        for d in dataset.data:
+        for d in data:
             shape = self._forced_bucket or bucket_shape(
                 _entry_shape(d), s.architecture.stride_factor, s.bucket_granularity
             )

@@ -529,3 +529,80 @@ def test_lr_schedule_resumes_on_curve(tmp_path):
     resumed_hist = resumed.train()
     np.testing.assert_allclose(
         resumed_hist["lr"], full_hist["lr"][2:], rtol=1e-6)
+
+
+def _minority_dataset(n_pages=6, h=40, w=32):
+    """Pages 0..n-2 are background/text; the LAST page is mostly a rare
+    third 'image' class (~a few % of corpus pixels overall)."""
+    cmap = ColorMap({"(255, 255, 255)": (0, "background"),
+                     "(255, 0, 0)": (1, "text"),
+                     "(0, 255, 0)": (2, "image")})
+    pages = []
+    for i in range(n_pages):
+        mask = np.zeros((h, w), np.uint8)
+        if i == n_pages - 1:
+            mask[5:35, 5:27] = 2
+        else:
+            mask[10:30, 5:25] = 1
+        image = np.where(mask > 0, 200, 10).astype(np.uint8)
+        binary = (mask > 0).astype(np.uint8)
+        pages.append(SingleData(image=image, binary=binary, mask=mask))
+    return Dataset(pages, cmap)
+
+
+def test_balanced_sampling_off_is_default_epoch(tmp_path):
+    """Equivalence gate: sampling off draws the exact batches the
+    pre-sampler trainer drew (every page once, same rng stream)."""
+    data = _minority_dataset()
+    trainer = Trainer(_settings(tmp_path, data, n_classes=3))
+    rng1 = np.random.default_rng([0, 0])
+    rng2 = np.random.default_rng([0, 0])
+    batches = trainer._bucketed_batches(data, 1, shuffle_rng=rng1)
+    # re-derive by hand: same grouping + same shuffles
+    members = list(data.data)
+    rng2.shuffle(members)
+    order = [[m] for m in members]
+    rng2.shuffle(order)
+    assert [id(b[0]) for b in batches] == [id(b[0]) for b in order]
+    # every page exactly once
+    assert sorted(id(d) for b in batches for d in b) == sorted(
+        id(d) for d in data.data)
+
+
+def test_balanced_sampling_boosts_minority_pages(tmp_path):
+    data = _minority_dataset()
+    trainer = Trainer(_settings(
+        tmp_path, data, n_classes=3, balanced_sampling=True))
+    rng = np.random.default_rng(0)
+    minority = data.data[-1]
+    counts = []
+    for _ in range(50):
+        batches = trainer._bucketed_batches(data, 1, shuffle_rng=rng)
+        assert sum(len(b) for b in batches) == len(data.data)
+        counts.append(sum(d is minority for b in batches for d in b))
+    mean = np.mean(counts)
+    # uniform sampling would give 1.0 draw per epoch; the weighted draw
+    # must clearly exceed it (the page's rare class dominates its pixels)
+    assert mean > 1.8, mean
+    # eval path (no rng) must NOT resample
+    eval_batches = trainer._bucketed_batches(data, 1)
+    assert sorted(id(d) for b in eval_batches for d in b) == sorted(
+        id(d) for d in data.data)
+
+
+def test_balanced_sampling_trains(tmp_path):
+    data = _minority_dataset()
+    trainer = Trainer(_settings(
+        tmp_path, data, n_classes=3, n_epoch=4, balanced_sampling=True))
+    history = trainer.train()
+    assert history["loss"][-1] < history["loss"][0]
+
+
+def test_balanced_sampling_lazy_raises(tmp_path):
+    data = _minority_dataset()
+    for d in data.data:
+        d.mask = None
+    trainer = Trainer(_settings(
+        tmp_path, data, n_classes=3, balanced_sampling=True))
+    with pytest.raises(ValueError, match="balanced_sampling"):
+        trainer._bucketed_batches(data, 1, shuffle_rng=np.random.default_rng(0))
