@@ -499,6 +499,39 @@ class ThroughputPredictor:
         return self._finish(np.asarray(color_dev), ink)
 
     # -------------------------------------------------------------- pipeline
+    # ------------------------------------------------------- staged one-batch
+    # run() pipelines a whole corpus internally; a serving engine instead
+    # pipelines ACROSS requests — its collector thread preps batch k+1
+    # while its device thread executes batch k.  These two methods expose
+    # run()'s stages for that caller-owned overlap (server.py).
+    def prep_batch(self, pages: np.ndarray, binaries: np.ndarray):
+        """Stage 1, host+upload: decimate + device_put + ink gather for
+        one batch.  Returns an opaque prepared unit for execute_batch.
+        Safe to call from a different thread than execute_batch unless
+        cc_vote='pallas' (tunneled-download corruption — run() serializes
+        that case; tools/repro_pallas_download.py)."""
+        vote = self.cc_vote in ("xla", "pallas")
+        dec_dev, ink = self._prep(pages, binaries)
+        ink_dev = self._put(self._pack_ink(ink)) if vote else None
+        return dec_dev, ink, ink_dev
+
+    def execute_batch(self, prepared):
+        """Stage 2, device+finish: dispatch the fused program, download,
+        host vote/trio.  Returns what one run() iteration would yield."""
+        dec_dev, ink, ink_dev = prepared
+        if self._calibrate_fn is not None and "amax" not in self.variables:
+            amax = jax.device_get(
+                self._calibrate_fn(self.variables["params"], dec_dev)
+            )
+            self.variables = dict(self.variables, amax=amax)
+        if ink_dev is not None:
+            color_dev = self.fused(
+                self.variables, dec_dev, self.palette_dev, ink_dev
+            )
+        else:
+            color_dev = self.fused(self.variables, dec_dev, self.palette_dev)
+        return self._finish(np.asarray(color_dev), ink)
+
     def run(self, pages: np.ndarray, binaries: np.ndarray, batch_size: int = 16,
             depth: int = 2):
         """Yield (color, overlay, inverted) batches, in order.

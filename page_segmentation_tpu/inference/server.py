@@ -110,6 +110,7 @@ class BatchingService:
         max_queue: int = 0,
         resize_backend: str = "scipy",
         prepare: str = "fused",
+        pipeline_depth: int = 2,
     ):
         self.predictor = predictor
         self.color_map = color_map
@@ -149,8 +150,18 @@ class BatchingService:
         self.stats = ServeStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, name="batcher", daemon=True)
+        # two-stage pipeline (the batch pipeline's overlap, across
+        # requests): the collector thread decodes/prepares/uploads batch
+        # k+1 while the device thread dispatches + downloads + finishes
+        # batch k.  The bounded hand-off queue is the backpressure: depth
+        # bounds in-flight device batches, and a full queue tells the
+        # collector to keep its window open (adaptive batching).
+        self._prepared: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline_depth))
+        self._worker = threading.Thread(target=self._run, name="collector", daemon=True)
+        self._device_worker = threading.Thread(
+            target=self._device_run, name="device", daemon=True)
         self._worker.start()
+        self._device_worker.start()
 
     def _fused_eligible(self) -> bool:
         from .postprocess import vote_connected_component_class
@@ -196,12 +207,19 @@ class BatchingService:
 
     def stop(self) -> None:
         self._stop.set()
-        self._queue.put(None)  # wake the worker
+        self._queue.put(None)  # wake the collector
         self._worker.join(timeout=10)
+        self._device_worker.join(timeout=10)
 
     # ----------------------------------------------------------- worker side
     def _collect(self) -> List:
-        """Block for the first request, then hold the window open."""
+        """Block for the first request, then hold the window open.
+
+        Adaptive window: once ``max_wait_ms`` expires, the batch closes
+        only if a pipeline slot is free — while the device stages are
+        saturated, closing early buys no latency (the batch would just
+        sit in the hand-off queue) and costs batch size, so collection
+        continues until a slot opens or the batch fills."""
         try:
             first = self._queue.get(timeout=0.25)
         except queue.Empty:
@@ -213,17 +231,22 @@ class BatchingService:
         while len(pending) < self.max_batch:
             timeout = deadline - time.perf_counter()
             if timeout <= 0:
-                break
+                if not self._prepared.full():
+                    break
+                timeout = 0.005  # device busy: re-check in small steps
             try:
                 item = self._queue.get(timeout=timeout)
             except queue.Empty:
-                break
+                continue  # top of loop decides: close or extend
             if item is None:
                 break
             pending.append(item)
         return pending
 
     def _run(self) -> None:
+        """Collector thread: batch requests and run the HOST side (group,
+        pad, decimate, upload), handing prepared units to the device
+        thread.  Prep of batch k+1 thereby overlaps device work on k."""
         while not self._stop.is_set():
             pending = self._collect()
             if not pending:
@@ -231,24 +254,61 @@ class BatchingService:
             t_starts = {id(e): t for t, e in pending}
             entries = [e for _, e in pending]
             try:
-                if self.prepare == "fused":
-                    done = self._process_fused(entries)
-                else:
-                    done = self._process_spline(entries)
+                units = self._prep_units(entries, t_starts)
+            except Exception as exc:  # noqa: BLE001 - fail every rider
+                logger.exception("batch prepare failed")
+                self.stats.errors_total += len(entries)
+                for entry in entries:
+                    if not entry.user_data.done():
+                        entry.user_data.set_exception(exc)
+                continue
+            for unit in units:
+                while not self._stop.is_set():
+                    try:
+                        self._prepared.put(unit, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+        self._prepared.put(None)  # release the device thread
+
+    def _device_run(self) -> None:
+        """Device thread: dispatch + download + finish + resolve futures."""
+        while True:
+            unit = self._prepared.get()
+            if unit is None:
+                return
+            kind, payload, members, t_starts = unit
+            try:
+                if kind == "fused":
+                    tp, prepared = payload
+                    results = tp.execute_batch(prepared)
+                    pred, color, overlay, inverted = results
+                    done = [
+                        self._payload(entry, pred[j], color[j], overlay[j],
+                                      inverted[j])
+                        for j, entry in enumerate(members)
+                    ]
+                else:  # spline: prepared dataset through the bucketed path
+                    done = [
+                        self._payload(data, pred, color, overlay, inverted)
+                        for data, pred, color, overlay, inverted in
+                        self.predictor.predict_dataset_fast(
+                            payload, batch_size=self.max_batch)
+                    ]
                 # stats BEFORE resolution: a client that reads /stats the
                 # moment its future resolves must see this batch counted
                 self.stats.batches_total += 1
                 self.stats.pages_total += len(done)
                 self.stats.batch_sizes.append(len(done))
-                for data, payload in done:
+                for data, result in done:
                     self.stats.latency_ms.append(
                         (time.perf_counter() - t_starts[id(data)]) * 1e3
                     )
-                    data.user_data.set_result(payload)
+                    data.user_data.set_result(result)
             except Exception as exc:  # noqa: BLE001 - fail every rider
                 logger.exception("batch failed")
-                self.stats.errors_total += len(entries)
-                for entry in entries:
+                self.stats.errors_total += len(members)
+                for entry in members:
                     if not entry.user_data.done():
                         entry.user_data.set_exception(exc)
 
@@ -262,15 +322,47 @@ class BatchingService:
             "data": data,
         })
 
-    def _process_spline(self, entries) -> list:
-        """Per-request host spline prepare + bucketed fused forward (the
-        bit-parity path)."""
-        dataset = self.loader.load_data(entries)
-        return [
-            self._payload(data, pred, color, overlay, inverted)
-            for data, pred, color, overlay, inverted in
-            self.predictor.predict_dataset_fast(dataset, batch_size=self.max_batch)
-        ]
+    def _prep_units(self, entries, t_starts) -> list:
+        """Host-side stage: turn one collected batch into prepared units
+        for the device thread.  Fused-eligible grayscale pages group by
+        geometry and prep through ThroughputPredictor.prep_batch; color
+        pages (and the spline configuration) prepare through the loader's
+        spline path."""
+        units = []
+        if self.prepare == "fused":
+            color_pages = [e for e in entries if np.asarray(e.image).ndim != 2]
+            entries = [e for e in entries if np.asarray(e.image).ndim == 2]
+            if color_pages:  # fused batches are single-plane
+                units.append((
+                    "spline", self.loader.load_data(color_pages),
+                    color_pages, t_starts,
+                ))
+            groups: Dict = {}
+            for entry in entries:
+                key = entry.image.shape[:2] + (int(entry.line_height_px),)
+                groups.setdefault(key, []).append(entry)
+            for key, members in groups.items():
+                tp = self._fused_predictor_for(key)
+                n = len(members)
+                n_pad = min(self.max_batch, 1 << max(0, n - 1).bit_length())
+                h, w = key[:2]
+                images = np.zeros((n_pad, h, w), np.uint8)
+                # pad binaries are WHITE (no ink): an all-zero pad page
+                # reads as solid ink, and the host finish would then run a
+                # full-page cc-vote + trio over it before being dropped
+                binaries = np.full((n_pad, h, w), 255, np.uint8)
+                for i, entry in enumerate(members):
+                    images[i] = entry.image
+                    binaries[i] = entry.binary
+                units.append((
+                    "fused", (tp, tp.prep_batch(images, binaries)),
+                    members, t_starts,
+                ))
+        else:
+            units.append((
+                "spline", self.loader.load_data(entries), entries, t_starts,
+            ))
+        return units
 
     # bound on cached fused predictors: each holds compiled programs +
     # index arrays for one (page shape, char_height); serving traffic
@@ -316,45 +408,6 @@ class BatchingService:
             )
         return self._fused_predictors[key]
 
-    def _process_fused(self, entries) -> list:
-        """Batch requests through the production fused pipeline: ONE
-        uint8 decimated upload + ONE device program (cubic resample +
-        normalize + forward + argmax) + ONE compact download per
-        same-geometry group.  Ragged group sizes pad to the next power of
-        two (zero pages, dropped) so the compile ladder stays small."""
-        done = []
-        color_pages = [e for e in entries if np.asarray(e.image).ndim != 2]
-        if color_pages:  # fused batches are single-plane; route the rest
-            done.extend(self._process_spline(color_pages))
-            entries = [e for e in entries if np.asarray(e.image).ndim == 2]
-        groups: Dict = {}
-        for entry in entries:
-            key = entry.image.shape[:2] + (int(entry.line_height_px),)
-            groups.setdefault(key, []).append(entry)
-        for key, members in groups.items():
-            tp = self._fused_predictor_for(key)
-            n = len(members)
-            n_pad = min(self.max_batch, 1 << max(0, n - 1).bit_length())
-            h, w = key[:2]
-            images = np.zeros((n_pad, h, w), np.uint8)
-            # pad binaries are WHITE (no ink): an all-zero pad page reads
-            # as solid ink, and the host finish would then run a full-page
-            # cc-vote + trio over it before the result is dropped
-            binaries = np.full((n_pad, h, w), 255, np.uint8)
-            for i, entry in enumerate(members):
-                images[i] = entry.image
-                binaries[i] = entry.binary
-            served = 0
-            for pred, color, overlay, inverted in tp.run(
-                images, binaries, batch_size=n_pad
-            ):
-                take = min(len(members) - served, pred.shape[0])
-                for j in range(take):
-                    entry = members[served + j]
-                    done.append(self._payload(
-                        entry, pred[j], color[j], overlay[j], inverted[j]))
-                served += take
-        return done
 
 
 def _png_bytes(arr: np.ndarray) -> bytes:

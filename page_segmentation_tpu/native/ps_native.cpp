@@ -595,84 +595,116 @@ struct Layout {
     u64 used_mask; // valid bits of each row's last word
 };
 
-// dst(x) = src(x + s1) OP src(x + s2), per row along the bit axis.
-static void hshift2(const u64* src, u64* dst, const Layout& L,
-                    int s1, int s2, bool is_and) {
+// ---- cache-blocked morph_op -----------------------------------------------
+// window_pass streams the full image once per shift-combine pass, so a
+// composed chain is DRAM-bound (~log2(k) full sweeps per axis per op).
+// The blocked version performs ALL of an axis's passes while the working
+// set is cache-resident — horizontal: one row (~WC words) in L1 at a
+// time; vertical: one column stripe (H x STRIPE_W words) in L2 — cutting
+// full-image DRAM sweeps per op from 2*(log2(k)+1) to ~4.  Bit-identical
+// to window_pass (same doubling, same identity handling; gated in
+// tests/test_device_morph.py / test_native.py).
+
+// in-place doubling along the bit axis within one row: writing word i
+// reads words >= i, so left-to-right is safe.  The final (possibly
+// negative-shift) combine goes through a scratch row.
+static void h_passes_row(u64* row, u64* scratch, const Layout& L,
+                         int k, int anchor, bool is_and) {
     const u64 pad = is_and ? ~0ull : 0ull;
-    int sw1, sb1, sw2, sb2;
-    split_shift(s1, sw1, sb1);
-    split_shift(s2, sw2, sb2);
-    for (int y = 0; y < L.H; ++y) {
-        const u64* r = src + static_cast<size_t>(y) * L.WC;
-        u64* d = dst + static_cast<size_t>(y) * L.WC;
+    const u64 tail = pad & ~L.used_mask;
+    int width = 1;
+    while (width * 2 <= k) {
+        int sw, sb;
+        split_shift(width, sw, sb);
         for (int i = 0; i < L.WC; ++i) {
-            const u64 v1 = read_shifted(r, L.WC, i + sw1, sb1, pad);
-            const u64 v2 = read_shifted(r, L.WC, i + sw2, sb2, pad);
-            d[i] = is_and ? (v1 & v2) : (v1 | v2);
+            const u64 v = read_shifted(row, L.WC, i + sw, sb, pad);
+            row[i] = is_and ? (row[i] & v) : (row[i] | v);
         }
-        d[L.WC - 1] = (d[L.WC - 1] & L.used_mask) | (pad & ~L.used_mask);
+        row[L.WC - 1] = (row[L.WC - 1] & L.used_mask) | tail;
+        width *= 2;
     }
+    int sw1, sb1, sw2, sb2;
+    split_shift(-anchor, sw1, sb1);
+    split_shift(k - width - anchor, sw2, sb2);
+    for (int i = 0; i < L.WC; ++i) {
+        const u64 v1 = read_shifted(row, L.WC, i + sw1, sb1, pad);
+        const u64 v2 = read_shifted(row, L.WC, i + sw2, sb2, pad);
+        scratch[i] = is_and ? (v1 & v2) : (v1 | v2);
+    }
+    scratch[L.WC - 1] = (scratch[L.WC - 1] & L.used_mask) | tail;
+    std::copy(scratch, scratch + L.WC, row);
 }
 
-// dst row y = src row (y + s1) OP src row (y + s2); missing rows read pad.
-static void vshift2(const u64* src, u64* dst, const Layout& L,
-                    int s1, int s2, bool is_and) {
+// all vertical passes for the word-column stripe [w0, w1): doubling runs
+// in place top-down (writing row y reads rows >= y), the final combine
+// through a scratch stripe.
+static void v_passes_stripe(u64* buf, u64* scratch, const Layout& L,
+                            int w0, int w1, int k, int anchor, bool is_and) {
     const u64 pad = is_and ? ~0ull : 0ull;
+    const int sw = w1 - w0;
+    int width = 1;
+    while (width * 2 <= k) {
+        for (int y = 0; y < L.H; ++y) {
+            u64* d = buf + static_cast<size_t>(y) * L.WC + w0;
+            const int y2 = y + width;
+            if (y2 < L.H) {
+                const u64* r = buf + static_cast<size_t>(y2) * L.WC + w0;
+                if (is_and)
+                    for (int i = 0; i < sw; ++i) d[i] &= r[i];
+                else
+                    for (int i = 0; i < sw; ++i) d[i] |= r[i];
+            }
+            // else: the missing row reads the op identity — AND with all-
+            // ones / OR with zero — so the combine is a no-op either way
+        }
+        width *= 2;
+    }
+    const int s1 = -anchor, s2 = k - width - anchor;
     for (int y = 0; y < L.H; ++y) {
         const int y1 = y + s1, y2 = y + s2;
         const u64* r1 = (y1 >= 0 && y1 < L.H)
-                            ? src + static_cast<size_t>(y1) * L.WC : nullptr;
+                            ? buf + static_cast<size_t>(y1) * L.WC + w0 : nullptr;
         const u64* r2 = (y2 >= 0 && y2 < L.H)
-                            ? src + static_cast<size_t>(y2) * L.WC : nullptr;
-        u64* d = dst + static_cast<size_t>(y) * L.WC;
-        for (int i = 0; i < L.WC; ++i) {
+                            ? buf + static_cast<size_t>(y2) * L.WC + w0 : nullptr;
+        u64* d = scratch + static_cast<size_t>(y) * sw;
+        for (int i = 0; i < sw; ++i) {
             const u64 v1 = r1 ? r1[i] : pad;
             const u64 v2 = r2 ? r2[i] : pad;
             d[i] = is_and ? (v1 & v2) : (v1 | v2);
         }
     }
+    for (int y = 0; y < L.H; ++y)
+        std::copy(scratch + static_cast<size_t>(y) * sw,
+                  scratch + static_cast<size_t>(y) * sw + sw,
+                  buf + static_cast<size_t>(y) * L.WC + w0);
 }
 
-// One sliding-window reduction (OR for dilate / AND for erode) along one
-// axis, window k anchored at k/2 (cv2's default anchor), via doubling:
-// g_2w(x) = g_w(x) OP g_w(x + w); final = g_W(x - ah) OP g_W(x - ah + k - W).
-static void window_pass(u64*& cur, u64*& tmp, const Layout& L,
-                        int k, bool is_and, bool vertical) {
+static void morph_op_blocked(u64* buf, const Layout& L,
+                             int k, int anchor, bool is_and) {
     const u64 pad = is_and ? ~0ull : 0ull;
-    // reset the extension region + tail bits to THIS op's identity (the
-    // previous op had the opposite identity and polluted them)
+    // identity reset (extension region + tail bits held the previous
+    // op's opposite identity), fused with the horizontal passes so the
+    // row is touched once
+    std::vector<u64> hscratch(L.WC);
     for (int y = 0; y < L.H; ++y) {
-        u64* row = cur + static_cast<size_t>(y) * L.WC;
+        u64* row = buf + static_cast<size_t>(y) * L.WC;
         if (y < L.er) {
             std::fill(row, row + L.WC, pad);
             continue;
         }
         std::fill(row, row + L.ew, pad);
         row[L.WC - 1] = (row[L.WC - 1] & L.used_mask) | (pad & ~L.used_mask);
+        if (k > 1)
+            h_passes_row(row, hscratch.data(), L, k, anchor, is_and);
     }
     if (k <= 1) return;
-    const int ah = k / 2;
-    int width = 1;
-    while (width * 2 <= k) {
-        if (vertical)
-            vshift2(cur, tmp, L, 0, width, is_and);
-        else
-            hshift2(cur, tmp, L, 0, width, is_and);
-        std::swap(cur, tmp);
-        width *= 2;
-    }
-    // OR/AND are idempotent, so width == k degenerates to a plain shift
-    if (vertical)
-        vshift2(cur, tmp, L, -ah, k - width - ah, is_and);
-    else
-        hshift2(cur, tmp, L, -ah, k - width - ah, is_and);
-    std::swap(cur, tmp);
-}
-
-static void morph_op(u64*& cur, u64*& tmp, const Layout& L,
-                     int k, bool is_and) {
-    window_pass(cur, tmp, L, k, is_and, /*vertical=*/false);
-    window_pass(cur, tmp, L, k, is_and, /*vertical=*/true);
+    // stripe width: 32 words x H rows (~900 KB at A4 height) stays L2-
+    // resident on this host while amortizing the per-stripe loop overhead
+    const int STRIPE_W = 32;
+    std::vector<u64> vscratch(static_cast<size_t>(L.H) * STRIPE_W);
+    for (int w0 = 0; w0 < L.WC; w0 += STRIPE_W)
+        v_passes_stripe(buf, vscratch.data(), L, w0,
+                        std::min(L.WC, w0 + STRIPE_W), k, anchor, is_and);
 }
 
 static Layout make_layout(int h, int w, int kmax) {
@@ -689,20 +721,59 @@ static Layout make_layout(int h, int w, int kmax) {
     return L;
 }
 
+// pack/unpack move 8.7 MB/page at A4 — a per-pixel bit loop there costs
+// more than the blocked morphology itself, so both go 8 pixels at a time:
+// pack gathers per-byte nonzero flags with the movemask multiply
+// (0x0002040810204081 collects the 8 byte-MSBs into the top byte);
+// unpack expands each bit-octet through a 2 KB LUT of 0/255 byte lanes.
+
+static inline uint8_t pack8(u64 v) {
+    // MSB of each byte = 1 iff that byte is nonzero
+    const u64 nz = ((v & 0x7f7f7f7f7f7f7f7full) + 0x7f7f7f7f7f7f7f7full) | v;
+    return static_cast<uint8_t>(
+        ((nz & 0x8080808080808080ull) * 0x0002040810204081ull) >> 56);
+}
+
 static void pack(const uint8_t* mask, const Layout& L, u64* dst) {
+    const int w8 = L.w & ~7;
     for (int y = 0; y < L.h; ++y) {
         const uint8_t* row = mask + static_cast<size_t>(y) * L.w;
         u64* d = dst + static_cast<size_t>(L.er + y) * L.WC + L.ew;
-        for (int x = 0; x < L.w; ++x)
+        int x = 0;
+        for (; x < w8; x += 8) {
+            u64 v;
+            std::memcpy(&v, row + x, 8);
+            d[x >> 6] |= static_cast<u64>(pack8(v)) << (x & 63);
+        }
+        for (; x < L.w; ++x)
             d[x >> 6] |= static_cast<u64>(row[x] != 0) << (x & 63);
     }
 }
 
+struct Expand8 {
+    u64 lut[256];
+    Expand8() {
+        for (int b = 0; b < 256; ++b) {
+            u64 v = 0;
+            for (int j = 0; j < 8; ++j)
+                if (b & (1 << j)) v |= 0xffull << (8 * j);
+            lut[b] = v;
+        }
+    }
+};
+
 static void unpack(const u64* src, const Layout& L, uint8_t* out) {
+    static const Expand8 expand;
+    const int w8 = L.w & ~7;
     for (int y = 0; y < L.h; ++y) {
         const u64* s = src + static_cast<size_t>(L.er + y) * L.WC + L.ew;
         uint8_t* d = out + static_cast<size_t>(y) * L.w;
-        for (int x = 0; x < L.w; ++x)
+        int x = 0;
+        for (; x < w8; x += 8) {
+            const u64 v = expand.lut[(s[x >> 6] >> (x & 63)) & 0xff];
+            std::memcpy(d + x, &v, 8);
+        }
+        for (; x < L.w; ++x)
             d[x] = static_cast<uint8_t>(
                 -static_cast<int8_t>((s[x >> 6] >> (x & 63)) & 1));
     }
@@ -719,35 +790,45 @@ int ps_bitmorph(const uint8_t* mask, int h, int w, int k, int op,
     using namespace bitmorph;
     if (h <= 0 || w <= 0 || k <= 0) return -1;
     const Layout L = make_layout(h, w, k);
-    std::vector<u64> a(static_cast<size_t>(L.H) * L.WC, 0), b(a.size());
+    std::vector<u64> a(static_cast<size_t>(L.H) * L.WC, 0);
     pack(mask, L, a.data());
-    u64* cur = a.data();
-    u64* tmp = b.data();
-    morph_op(cur, tmp, L, k, op != 0);
-    unpack(cur, L, out);
+    morph_op_blocked(a.data(), L, k, k / 2, op != 0);
+    unpack(a.data(), L, out);
     return 0;
 }
 
 // The full text-contours chain (reference pc_segmentation.py:82-95):
 // close(k) -> open(k3) -> dilate(k11) -> close(k11) on a 0/nonzero uint8
 // mask; writes 0/255.
+//
+// Runs as FOUR composed window ops instead of the literal seven: adjacent
+// same-type box ops compose exactly — a sliding AND of size a anchored at
+// a/2 followed by one of size b anchored at b/2 equals a single sliding
+// AND of size a+b-1 anchored at a/2+b/2 (Minkowski sum of the two
+// windows; identically for OR).  The op sequence
+//   D(k) E(k) E(k3) D(k3) D(k11) D(k11) E(k11)
+// therefore collapses to
+//   D(k) . E(k+k3-1) . D(k3+2*k11-2) . E(k11)
+// which is bit-identical to the sequential chain (gated against the
+// cv2/scipy composition in tests/test_device_morph.py) at ~2/3 of the
+// shift-combine passes at production char heights.
 int ps_bitmorph_chain(const uint8_t* mask, int h, int w,
                       int k, int k3, int k11, uint8_t* out) {
     using namespace bitmorph;
     if (h <= 0 || w <= 0 || k <= 0 || k3 <= 0 || k11 <= 0) return -1;
-    const int kmax = std::max(k, std::max(k3, k11));
+    const int ek = k + k3 - 1;          // E(k) . E(k3)
+    const int ea = k / 2 + k3 / 2;
+    const int dk = k3 + 2 * k11 - 2;    // D(k3) . D(k11) . D(k11)
+    const int da = k3 / 2 + k11 / 2 + k11 / 2;
+    const int kmax = std::max(std::max(k, k11), std::max(ek, dk));
     const Layout L = make_layout(h, w, kmax);
-    std::vector<u64> a(static_cast<size_t>(L.H) * L.WC, 0), b(a.size());
+    std::vector<u64> a(static_cast<size_t>(L.H) * L.WC, 0);
     pack(mask, L, a.data());
     u64* cur = a.data();
-    u64* tmp = b.data();
-    morph_op(cur, tmp, L, k, false);    // close(k): dilate
-    morph_op(cur, tmp, L, k, true);     //           erode
-    morph_op(cur, tmp, L, k3, true);    // open(k3): erode
-    morph_op(cur, tmp, L, k3, false);   //           dilate
-    morph_op(cur, tmp, L, k11, false);  // grow chars
-    morph_op(cur, tmp, L, k11, false);  // close(k11): dilate
-    morph_op(cur, tmp, L, k11, true);   //             erode
+    morph_op_blocked(cur, L, k, k / 2, false);      // close(k): dilate
+    morph_op_blocked(cur, L, ek, ea, true);         // close-erode + open-erode
+    morph_op_blocked(cur, L, dk, da, false);        // open-dilate + grow + close-dilate
+    morph_op_blocked(cur, L, k11, k11 / 2, true);   // close(k11): erode
     unpack(cur, L, out);
     return 0;
 }
