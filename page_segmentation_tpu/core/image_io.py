@@ -61,13 +61,18 @@ def _decode_png_cv2_bytes(data) -> Optional[np.ndarray]:
 
 def _read_png_gray_rows(data, bit_depth: int,
                         probe_first_row: bool = False) -> Optional[Tuple[np.ndarray, int, int]]:
-    """Shared fast-path PNG reader: (filter-stripped rows (H, stride), W,
-    H) for a non-interlaced grayscale PNG of ``bit_depth`` whose rows are
-    ALL filter-0; None for anything else — including malformed or
-    truncated input (the general decoders take over and report real
-    corruption with a meaningful error).  ``probe_first_row`` does a
-    bounded decompress of the first filter byte before committing to the
-    full inflate (worth it for 8-bit pages; bilevel streams are tiny)."""
+    """Shared fast-path PNG reader: (reconstructed rows (H, stride), W, H)
+    for ANY non-interlaced grayscale PNG of ``bit_depth``; None for
+    anything else — including malformed or truncated input (the general
+    decoders take over and report real corruption with a meaningful
+    error).  Filter-0 rows decode straight from the inflate; filtered
+    rows (sub/up/avg/paeth — what real-world encoders emit) reconstruct
+    through the native C unfilter (``native.png_unfilter``, gated
+    byte-equal vs PIL on every filter type in tests/test_image_io.py);
+    without the native lib, filtered files fall back to the general
+    decoders.  ``probe_first_row`` does a bounded decompress of the first
+    filter byte before committing to the full inflate (worth it for 8-bit
+    pages; bilevel streams are tiny)."""
     import struct
     import zlib
 
@@ -99,15 +104,20 @@ def _read_png_gray_rows(data, bit_depth: int,
         stream = b"".join(idat)
         if probe_first_row:
             head = zlib.decompressobj().decompress(stream[: 1 << 14], 1)
-            if not head or head[0] != 0:
+            if not head or head[0] > 4:  # not a valid PNG filter byte
                 return None
         stride = (w * bit_depth + 7) // 8
         raw = zlib.decompress(stream)
         if len(raw) != h * (stride + 1):
             return None
         rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-        if rows[:, 0].any():  # a filtered row anywhere: general path
-            return None
+        if rows[:, 0].any():  # filtered rows: native C reconstruction
+            from .. import native
+
+            pixels = native.png_unfilter(rows, bpp=1)
+            if pixels is None:  # no lib / bad filter byte: general path
+                return None
+            return pixels, int(w), int(h)
         return np.ascontiguousarray(rows[:, 1:]), int(w), int(h)
     except Exception:  # malformed/truncated: fall back, never raise
         return None
@@ -131,13 +141,14 @@ def _write_png_gray(path, packed_rows: np.ndarray, w: int, bit_depth: int,
         f.write(_png_chunk(b"IEND", b""))
 
 
-def _decode_png_filter0_gray(data) -> Optional[np.ndarray]:
-    """Decode an 8-bit grayscale PNG whose rows are all filter-0 straight
-    from the zlib stream (no per-row unfilter): ~6 ms for a 300-DPI A4
-    page vs ~9-15 through the general decoders on this host.  Returns
-    None for anything else (filtered rows, other modes, malformed input)
-    — the general decoders take over, pixels identical either way
-    (tests/test_image_io.py)."""
+def _decode_png_gray_fast(data) -> Optional[np.ndarray]:
+    """Decode ANY non-interlaced 8-bit grayscale PNG straight from the
+    zlib stream: filter-0 rows need no reconstruction (~6 ms for a
+    300-DPI A4 page vs ~9-15 through the general decoders on this host);
+    filtered rows reconstruct via the native C unfilter at ~the same
+    speed.  Returns None for anything else (other modes, malformed
+    input, filtered rows without the native lib) — the general decoders
+    take over, pixels identical either way (tests/test_image_io.py)."""
     got = _read_png_gray_rows(data, bit_depth=8, probe_first_row=True)
     return got[0] if got is not None else None
 
@@ -145,7 +156,7 @@ def _decode_png_filter0_gray(data) -> Optional[np.ndarray]:
 def imsave_gray_fast(path, image: np.ndarray, level: int = 1) -> None:
     """Write an 8-bit grayscale PNG with filter-0 rows (standard PNG any
     decoder reads; pixels identical to imsave's).  Pairs with
-    :func:`_decode_png_filter0_gray`: the recommended layout for
+    :func:`_decode_png_gray_fast`: the recommended layout for
     throughput-critical grayscale corpora — scan pages are mostly paper,
     so the filterless stream still compresses well and reads back with a
     single inflate, no per-row unfilter."""
@@ -158,7 +169,7 @@ def imsave_gray_fast(path, image: np.ndarray, level: int = 1) -> None:
 def decode_image_bytes(data: bytes, as_gray: bool = False) -> np.ndarray:
     """Decode in-memory image bytes (HTTP bodies, buffers) with the same
     fast path + contract as imread."""
-    arr = _decode_png_filter0_gray(data)
+    arr = _decode_png_gray_fast(data)
     if arr is not None:
         return arr if as_gray else np.stack([arr] * 3, axis=-1)
     arr = _decode_png_cv2_bytes(data)

@@ -96,6 +96,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
         ]
+    if hasattr(lib, "ps_png_unfilter"):  # stale .so without the symbol
+        lib.ps_png_unfilter.restype = ctypes.c_int
+        lib.ps_png_unfilter.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -159,6 +164,24 @@ def bitmorph_chain(mask: np.ndarray, k: int, k3: int, k11: int) -> Optional[np.n
     h, w = m.shape
     out = np.empty((h, w), np.uint8)
     if lib.ps_bitmorph_chain(m, h, w, int(k), int(k3), int(k11), out) != 0:
+        return None
+    return out
+
+
+def png_unfilter(rows: np.ndarray, bpp: int = 1) -> Optional[np.ndarray]:
+    """Reconstruct PNG-filtered rows (RFC 2083 §6: none/sub/up/avg/paeth).
+
+    ``rows`` is the inflated IDAT stream reshaped (h, stride+1) — filter
+    byte + stride data bytes per row; returns the (h, stride) pixel bytes,
+    or None (no native lib / invalid filter byte — general decoders take
+    over).  ``bpp=1`` covers grayscale-8 and every sub-byte depth."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_png_unfilter"):
+        return None
+    r = np.ascontiguousarray(np.asarray(rows), np.uint8)
+    h, stride_p1 = r.shape
+    out = np.empty((h, stride_p1 - 1), np.uint8)
+    if lib.ps_png_unfilter(r, h, stride_p1 - 1, int(bpp), out) != 0:
         return None
     return out
 

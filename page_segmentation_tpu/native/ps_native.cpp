@@ -834,3 +834,70 @@ int ps_bitmorph_chain(const uint8_t* mask, int h, int w,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------ PNG unfilter
+// Reconstruction of PNG row filters (sub/up/average/paeth — RFC 2083 §6)
+// so that ANY non-interlaced grayscale/bilevel PNG decodes on the fast
+// path: zlib inflate (C, via Python's zlib) + this pass, instead of
+// falling back to a general decoder per file.  `rows` is the inflated
+// stream (h rows of 1 filter byte + stride pixel bytes); `out` receives
+// the reconstructed h x stride pixels.  `bpp` is the filter's byte
+// distance to the "left" pixel (1 for gray-8 and all sub-byte depths).
+
+extern "C" {
+
+int ps_png_unfilter(const uint8_t* rows, int h, int stride, int bpp,
+                    uint8_t* out) {
+    if (h <= 0 || stride <= 0 || bpp <= 0) return -1;
+    const uint8_t* prev = nullptr;
+    for (int y = 0; y < h; ++y) {
+        const uint8_t* src = rows + static_cast<size_t>(y) * (stride + 1);
+        uint8_t* dst = out + static_cast<size_t>(y) * stride;
+        const int f = src[0];
+        const uint8_t* px = src + 1;
+        switch (f) {
+            case 0:  // None
+                std::memcpy(dst, px, stride);
+                break;
+            case 1:  // Sub
+                for (int i = 0; i < bpp && i < stride; ++i) dst[i] = px[i];
+                for (int i = bpp; i < stride; ++i)
+                    dst[i] = static_cast<uint8_t>(px[i] + dst[i - bpp]);
+                break;
+            case 2:  // Up
+                if (prev)
+                    for (int i = 0; i < stride; ++i)
+                        dst[i] = static_cast<uint8_t>(px[i] + prev[i]);
+                else
+                    std::memcpy(dst, px, stride);
+                break;
+            case 3:  // Average
+                for (int i = 0; i < stride; ++i) {
+                    const int a = i >= bpp ? dst[i - bpp] : 0;
+                    const int b = prev ? prev[i] : 0;
+                    dst[i] = static_cast<uint8_t>(px[i] + ((a + b) >> 1));
+                }
+                break;
+            case 4:  // Paeth
+                for (int i = 0; i < stride; ++i) {
+                    const int a = i >= bpp ? dst[i - bpp] : 0;
+                    const int b = prev ? prev[i] : 0;
+                    const int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+                    const int p = a + b - c;
+                    const int pa = std::abs(p - a);
+                    const int pb = std::abs(p - b);
+                    const int pc = std::abs(p - c);
+                    const int pred = (pa <= pb && pa <= pc) ? a
+                                     : (pb <= pc) ? b : c;
+                    dst[i] = static_cast<uint8_t>(px[i] + pred);
+                }
+                break;
+            default:
+                return -1;  // invalid filter byte: general decoder reports it
+        }
+        prev = dst;
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -1,3 +1,10 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from page_segmentation_tpu.core import image_io
+
+
 
 
 def test_imsave_bilevel_roundtrip(tmp_path):
@@ -30,7 +37,7 @@ def test_gray_fast_roundtrip_and_fallback(tmp_path):
     import numpy as np
 
     from page_segmentation_tpu.core.image_io import (
-        _decode_png_filter0_gray, imread, imsave, imsave_gray_fast)
+        _decode_png_gray_fast, imread, imsave, imsave_gray_fast)
 
     rng = np.random.RandomState(1)
     img = rng.randint(0, 256, (83, 61), np.uint8)
@@ -43,9 +50,9 @@ def test_gray_fast_roundtrip_and_fallback(tmp_path):
     np.testing.assert_array_equal(imread(ref, as_gray=True), img)
     # the fast decoder really engaged for its own file and declined PIL's
     with open(fast, "rb") as f:
-        assert _decode_png_filter0_gray(f.read()) is not None
+        assert _decode_png_gray_fast(f.read()) is not None
     with open(ref, "rb") as f:
-        ref_fast = _decode_png_filter0_gray(f.read())
+        ref_fast = _decode_png_gray_fast(f.read())
     if ref_fast is not None:  # PIL happened to emit all filter-0 rows
         np.testing.assert_array_equal(ref_fast, img)
     # PIL itself reads the fast file identically
@@ -61,7 +68,7 @@ def test_fast_decoders_return_none_on_corrupt_input(tmp_path):
     import pytest
 
     from page_segmentation_tpu.core.image_io import (
-        _decode_png_filter0_gray, decode_image_bytes, decode_labels_bytes,
+        _decode_png_gray_fast, decode_image_bytes, decode_labels_bytes,
         imread_bilevel_packed, imsave_bilevel, imsave_gray_fast)
 
     rng = np.random.RandomState(2)
@@ -76,13 +83,13 @@ def test_fast_decoders_return_none_on_corrupt_input(tmp_path):
         # the IEND trailer leaves a decodable stream, which is fine)
         for cut in (12, 40, len(data) // 2):
             truncated = data[:cut]
-            assert _decode_png_filter0_gray(truncated) is None
+            assert _decode_png_gray_fast(truncated) is None
             assert decode_labels_bytes(truncated) is None
         # flip a byte INSIDE the zlib stream: the inflate's adler32
         # catches it (a flipped chunk-CRC byte is deliberately ignored —
         # the pixel data is intact and zlib checksums the real content)
         garbled = data[:60] + bytes([data[60] ^ 0xFF]) + data[61:]
-        assert _decode_png_filter0_gray(garbled) is None
+        assert _decode_png_gray_fast(garbled) is None
     # truncated bilevel file on disk: packed reader declines
     trunc_path = str(tmp_path / "t.png")
     with open(trunc_path, "wb") as f:
@@ -93,3 +100,112 @@ def test_fast_decoders_return_none_on_corrupt_input(tmp_path):
     # general path, not from the fast path
     with pytest.raises(Exception):
         decode_image_bytes(open(bil, "rb").read()[:40])
+
+
+def _png_gray_with_filters(image: np.ndarray, filters) -> bytes:
+    """Build a valid 8-bit grayscale PNG applying the given PNG filter
+    type to each row (cycled) — real-world encoders emit these adaptive
+    filters, PIL included; this builder pins them deterministically."""
+    import struct
+    import zlib
+
+    h, w = image.shape
+    out = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = image[y].astype(np.int32)
+        left = np.concatenate([[0], cur[:-1]])
+        upleft = np.concatenate([[0], prev[:-1]])
+        if f == 0:
+            enc = cur
+        elif f == 1:  # sub
+            enc = cur - left
+        elif f == 2:  # up
+            enc = cur - prev
+        elif f == 3:  # average
+            enc = cur - ((left + prev) >> 1)
+        else:  # paeth
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        out.append(f)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    raw = zlib.compress(bytes(out), 6)
+
+    def chunk(tag, payload):
+        import binascii
+        body = tag + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", binascii.crc32(body) & 0xFFFFFFFF))
+
+    header = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+            + chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filters", [(1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)])
+def test_native_unfilter_equals_pil_all_filter_types(filters):
+    """ANY-filter grayscale PNGs decode through the native C unfilter
+    byte-equal to PIL (sub/up/avg/paeth and a mixed cycle)."""
+    import io
+
+    from page_segmentation_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(sum(filters) + 11)
+    img = rng.randint(0, 256, (57, 83), np.uint8)
+    data = _png_gray_with_filters(img, filters)
+    via_pil = np.asarray(Image.open(io.BytesIO(data)))
+    assert np.array_equal(via_pil, img)  # the builder itself is valid
+    got = image_io._decode_png_gray_fast(data)
+    assert got is not None, "fast path must accept filtered rows"
+    assert np.array_equal(got, img)
+    # the public reader agrees too
+    assert np.array_equal(image_io.decode_image_bytes(data, as_gray=True), img)
+
+
+def test_native_unfilter_bilevel_filtered():
+    """Filtered 1-bit PNGs reconstruct bit-equal through the packed
+    reader (filters act on packed bytes; bpp=1 covers sub-byte depths)."""
+    import io
+    import struct
+    import zlib
+    import binascii
+
+    from page_segmentation_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(3)
+    img = (rng.rand(41, 70) < 0.4)
+    packed = np.packbits(img, axis=1)
+    h, stride = packed.shape
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):  # all rows "up"-filtered
+        cur = packed[y].astype(np.int32)
+        out.append(2)
+        out.extend(((cur - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", binascii.crc32(body) & 0xFFFFFFFF))
+
+    header = struct.pack(">IIBBBBB", 70, h, 1, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+            + chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + chunk(b"IEND", b""))
+    via_pil = np.asarray(Image.open(io.BytesIO(data)))
+    assert np.array_equal(via_pil, img)
+    got = image_io._read_png_gray_rows(data, bit_depth=1)
+    assert got is not None
+    rows, w, hh = got
+    assert (w, hh) == (70, 41)
+    assert np.array_equal(rows, packed)
