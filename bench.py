@@ -186,21 +186,36 @@ def _supervise(seconds: float):
 
 
 def preflight_link_probe(budget: float, probe_timeout: float = 75.0,
-                         sleep_s: float = 45.0) -> dict:
+                         sleep_s: float = 45.0,
+                         healthy_budget: float = 0.0,
+                         degraded_sleep_s: float = 25.0) -> dict:
     """Probe the TPU tunnel in a killable subprocess before any warmup.
 
-    The round-3 official bench started inside a tunnel wedge and burned
-    its whole budget in warmup compile (VERDICT r3 weak #5).  A wedged
-    probe subprocess is simply killed at ``probe_timeout``; the bench then
-    sleeps in bounded steps and re-probes until the link answers or
-    ``budget`` is spent, so a run that starts mid-wedge sleeps through it
-    and still measures with whatever time remains."""
+    Two gates, both bounded:
+
+    * **responsive** (the r3 lesson, VERDICT r3 weak #5): a wedged probe
+      subprocess is killed at ``probe_timeout``; the bench sleeps in
+      bounded steps and re-probes until the link answers or ``budget``
+      is spent, so a run that starts mid-wedge sleeps through it and
+      still measures with whatever time remains.
+    * **non-degraded** (the r4 lesson, VERDICT r4 weak #5): a responsive
+      probe whose link reads unhealthy (link_health.py: <20 MB/s either
+      direction or >150 ms dispatch) no longer starts the measurement
+      immediately — the official number was being captured hostage to
+      the tunnel's worst phases (BENCH_r04 median 166.8 on an 8.8 MB/s
+      phase vs 219-235 on quiet ones).  Within ``healthy_budget``
+      seconds the bench re-probes for a non-degraded window; on expiry
+      it measures anyway and records the phase, so the capture policy is
+      auditable either way (``probe_history`` keeps every reading).
+    """
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     probe_cmd = [sys.executable, os.path.join(here, "tools", "link_health.py"),
                  "--mb", "2", "--reps", "1"]
-    info = {"probes": 0, "waited_s": 0.0, "ok": False}
+    info = {"probes": 0, "waited_s": 0.0, "ok": False,
+            "healthy_budget_s": round(healthy_budget, 1),
+            "probe_history": []}
     t0 = time.monotonic()
     while True:
         info["probes"] += 1
@@ -212,6 +227,7 @@ def preflight_link_probe(budget: float, probe_timeout: float = 75.0,
             ok = proc.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False
+        waited = time.monotonic() - t0
         if ok:
             info["ok"] = True
             for line in reversed(proc.stdout.strip().splitlines()):
@@ -222,9 +238,22 @@ def preflight_link_probe(budget: float, probe_timeout: float = 75.0,
                 info["link"] = {k: link[k] for k in
                                 ("upload_mb_s", "download_mb_s",
                                  "dispatch_ms", "healthy") if k in link}
+                info["probe_history"].append(info["link"])
                 break
-            break
-        waited = time.monotonic() - t0
+            if info.get("link", {}).get("healthy", True):
+                break
+            if waited >= healthy_budget:
+                info["accepted_degraded"] = True
+                print("preflight: accepting a degraded phase "
+                      f"({info['link']}) — healthy-window budget "
+                      f"{healthy_budget:.0f}s spent", file=sys.stderr)
+                break
+            print(f"preflight: link responsive but degraded "
+                  f"({info['link']}); waiting {degraded_sleep_s:.0f}s for a "
+                  f"healthy window ({waited:.0f}/{healthy_budget:.0f}s)",
+                  file=sys.stderr)
+            time.sleep(min(degraded_sleep_s, healthy_budget - waited))
+            continue
         if waited >= budget:
             break
         print(f"preflight: link probe #{info['probes']} failed/wedged; "
@@ -523,7 +552,11 @@ def main():
     preflight = None
     if args.preflight and os.environ.get("JAX_PLATFORMS", "") != "cpu":
         budget = min(600.0, 0.55 * args.hard_timeout) if args.hard_timeout > 0 else 600.0
-        preflight = preflight_link_probe(budget)
+        # the healthy-window wait is bounded tighter than the wedge wait:
+        # a degraded link still measures (slower), a wedged one cannot
+        healthy_budget = (min(240.0, 0.25 * args.hard_timeout)
+                          if args.hard_timeout > 0 else 240.0)
+        preflight = preflight_link_probe(budget, healthy_budget=healthy_budget)
         print(f"preflight: {json.dumps(preflight)}", file=sys.stderr)
         # a run that starts mid-wedge measures with what's left: trim the
         # rep window and the long passes to the remaining watchdog budget
