@@ -269,6 +269,8 @@ def cmd_train(args) -> int:
         lr_decay_steps=args.lr_decay_steps,
         lr_min_fraction=args.lr_min_fraction,
         balanced_sampling=args.balanced_sampling,
+        balanced_sampling_strength=args.balanced_sampling_strength,
+        class_weighting=args.class_weighting,
     )
     trainer = Trainer(settings)
     trainer.train()
@@ -646,6 +648,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--balanced_sampling", action="store_true",
                    help="class-balanced page resampling per training epoch "
                         "(minority-class pages drawn more often)")
+    t.add_argument("--balanced_sampling_strength", type=float, default=0.5,
+                   help="mix between uniform (0) and fully inverse-"
+                        "frequency (1) page sampling")
+    t.add_argument("--class_weighting", type=float, default=0.0,
+                   help="per-class loss weight exponent beta: pixel loss "
+                        "scales by corpus_freq(class)^-beta (0 = off)")
     t.add_argument("--device_augmentation", action="store_true",
                    help="fused on-TPU affine augmentation (perf mode)")
     t.add_argument("--checkpoint_backend", default="msgpack", choices=["msgpack", "orbax"])

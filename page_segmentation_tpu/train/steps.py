@@ -35,6 +35,7 @@ def make_step_fns(
     remat: bool = False,
     device_preprocess: Optional[Callable] = None,
     skip_nonfinite: bool = False,
+    class_weights=None,
 ):
     """Returns (train_step, eval_step).
 
@@ -50,10 +51,25 @@ def make_step_fns(
     map (~4x fewer host->device bytes) — in which case normalization
     (``device_preprocess``, default /255) and the weights map are
     materialized on device inside the step.
+
+    ``class_weights`` (n_classes,) floats: per-class LOSS weighting —
+    each pixel's loss contribution scales by its true class's weight
+    (materialized on device as ``loss_weights`` = validity x
+    class_weights[mask]).  The optimized/monitored loss becomes the
+    class-weighted mean; accuracy/jaccard/dice/fgpa stay pixel-uniform.
+    None = off (bitwise-identical programs to before the knob existed).
     """
+    cw = (jnp.asarray(class_weights, jnp.float32)
+          if class_weights is not None else None)
 
     def unpack(batch):
         if "dims" not in batch:
+            if cw is not None and "loss_weights" not in batch:
+                batch = dict(batch)
+                batch["loss_weights"] = (
+                    batch["weights"] * cw[batch["mask"]]
+                    if "weights" in batch else cw[batch["mask"]]
+                )
             return batch
         image = batch["image"]
         x = image.astype(jnp.float32)
@@ -72,17 +88,21 @@ def make_step_fns(
         # it so both layouts (and the reference's in-graph zero pad,
         # model.py:20-26) feed identical activations near the pad boundary
         x = x * weights[..., None]
-        return {
+        out = {
             "image": x,
             "mask": batch["mask"].astype(jnp.int32),
             "binary": batch["binary"],
             "weights": weights,
         }
+        if cw is not None:
+            out["loss_weights"] = weights * cw[out["mask"]]
+        return out
 
     def compute_metrics(batch, logits):
         w = batch.get("weights")
         return {
-            "loss": loss_fn(batch["mask"], logits, weights=w),
+            "loss": loss_fn(batch["mask"], logits,
+                            weights=batch.get("loss_weights", w)),
             "accuracy": M.accuracy(batch["mask"], logits, weights=w),
             "jacard_coef": jnp.mean(M.jacard_coef(batch["mask"], logits, weights=w)),
             "dice_coef": jnp.mean(M.dice_coef(batch["mask"], logits, weights=w)),
@@ -125,7 +145,7 @@ def make_step_fns(
         gradient is exactly the single-device gradient.  Shards that are
         pure mesh padding (weight 0) contribute nothing.
         """
-        w = batch.get("weights")
+        w = batch.get("loss_weights", batch.get("weights"))
         if w is None:
             return 1.0 / jax.lax.psum(jnp.float32(1.0), data_axis)
         shard_wsum = jnp.sum(w.astype(jnp.float32))
@@ -156,7 +176,9 @@ def make_step_fns(
 
         def loss_of(p):
             logits, new_state = forward(p, batch["image"])
-            local = loss_fn(batch["mask"], logits, weights=batch.get("weights"))
+            local = loss_fn(batch["mask"], logits,
+                            weights=batch.get("loss_weights",
+                                              batch.get("weights")))
             if mesh is not None:
                 local = local * weight_share(batch)
             return local, (logits, new_state)

@@ -156,6 +156,16 @@ class TrainSettings(NamedTuple):
     # background/text gradients.  Off = the reference's uniform epoch
     # (every page exactly once).  Needs eager-loaded masks.
     balanced_sampling: bool = False
+    # sampling temperature: draw probability = (1-s)*uniform + s*balanced.
+    # Full-strength inverse-frequency (s=1) let the minority-heavy pages
+    # dominate epochs and starved the majority classes (val loss never
+    # recovered, early stop at ~epoch 30); 0.5 keeps every page in play
+    balanced_sampling_strength: float = 0.5
+    # per-class LOSS weighting: pixel loss scales by
+    # corpus_freq(class)^(-beta), normalized to mean pixel weight 1 over
+    # the train corpus.  0 = off (exact pre-knob programs); 0.5 = tempered
+    # inverse frequency; 1 = full inverse frequency.  Needs eager masks.
+    class_weighting: float = 0.0
 
 
 def _weighted_means(weighted_metrics) -> dict:
@@ -353,10 +363,21 @@ class Trainer:
 
         from .steps import make_step_fns
 
+        class_weights = None
+        if s.class_weighting:
+            freq = self._corpus_class_freq(s.train_data.data)
+            raw = np.power(np.maximum(freq, 1e-9), -float(s.class_weighting))
+            # normalize to mean pixel weight 1 over the train corpus so the
+            # loss scale (and the lr that suits it) is comparable to CCE
+            class_weights = raw / max(float((freq * raw).sum()), 1e-9)
+            logger.info(f"class weights (beta={s.class_weighting}): "
+                        f"{np.round(class_weights, 3).tolist()}")
+
         self._train_step, self._eval_step = make_step_fns(
             self.module, self.optimizer, self.loss_fn, mesh=self.mesh, remat=s.remat,
             device_preprocess=s.architecture.device_preprocess(),
             skip_nonfinite=s.skip_nonfinite > 0,
+            class_weights=class_weights,
         )
 
         if len(s.train_data) == 0 and s.n_epoch > 0:
@@ -502,32 +523,42 @@ class Trainer:
             batch["weights"][i, :h, :w] = 1.0
         return batch
 
-    def _page_class_weights(self, data) -> "np.ndarray":
-        """Per-page sampling weight = max over classes on the page of
-        (page's pixel fraction of c) / (corpus pixel fraction of c).
+    def _corpus_class_freq(self, data) -> "np.ndarray":
+        """(n_classes,) pixel frequency over the (eager) train masks."""
+        n = self.settings.n_classes
+        corpus = np.zeros(n, np.float64)
+        for d in data:
+            if d.mask is None:
+                raise ValueError(
+                    "class balancing needs eager-loaded masks "
+                    "(streaming/lazy datasets keep pixels on disk)"
+                )
+            corpus += np.bincount(d.mask.reshape(-1), minlength=n)[:n]
+        return corpus / max(1.0, corpus.sum())
 
-        A page whose pixels are 30% image-class when the corpus is 4%
-        image-class gets weight ~7.5; an all-background page gets ~1.
+    def _page_class_weights(self, data) -> "np.ndarray":
+        """Per-page sampling probability: the balanced term is the max
+        over classes on the page of (page's pixel fraction of c) /
+        (corpus pixel fraction of c) — a page that is 30% image-class in
+        a 4%-image corpus scores ~7.5, an all-background page ~1 — then
+        TEMPERED against uniform by balanced_sampling_strength (full-
+        strength starved the majority classes; see TrainSettings).
         Cached per dataset identity (masks are immutable during train)."""
         key = id(data[0]) if data else None
         cached = self._class_weight_cache.get(key)
         if cached is not None and len(cached) == len(data):
             return cached
         n = self.settings.n_classes
-        corpus = np.zeros(n, np.float64)
+        corpus = self._corpus_class_freq(data)
         per_page = np.zeros((len(data), n), np.float64)
         for i, d in enumerate(data):
-            if d.mask is None:
-                raise ValueError(
-                    "balanced_sampling needs eager-loaded masks "
-                    "(streaming/lazy datasets keep pixels on disk)"
-                )
             counts = np.bincount(d.mask.reshape(-1), minlength=n)[:n]
             per_page[i] = counts / max(1, counts.sum())
-            corpus += counts
-        corpus = corpus / max(1.0, corpus.sum())
         ratios = per_page / np.maximum(corpus, 1e-9)[None, :]
-        weights = np.maximum(ratios.max(axis=1), 1e-3)
+        balanced = np.maximum(ratios.max(axis=1), 1e-3)
+        balanced = balanced / balanced.sum()
+        s = float(np.clip(self.settings.balanced_sampling_strength, 0.0, 1.0))
+        weights = (1.0 - s) / len(data) + s * balanced
         weights = weights / weights.sum()
         self._class_weight_cache = {key: weights}
         return weights

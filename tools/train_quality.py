@@ -191,6 +191,9 @@ def main():
     parser.add_argument("--loss", default="categorical_crossentropy")
     parser.add_argument("--balanced-sampling", action="store_true",
                         help="class-balanced page sampling (see trainer)")
+    parser.add_argument("--balanced-sampling-strength", type=float, default=0.5)
+    parser.add_argument("--class-weighting", type=float, default=0.0,
+                        help="per-class loss weight exponent beta")
     parser.add_argument("--record", action="store_true")
     parser.add_argument("--record-name", default="r5_train_quality.json")
     args = parser.parse_args()
@@ -215,7 +218,10 @@ def main():
                   "--color_map", image_map,
                   "--loss", args.loss,
                   "--target_line_height", str(args.target_line_height),
-                  "--seed", "0"]
+                  "--seed", "0",
+                  "--class_weighting", str(args.class_weighting),
+                  "--balanced_sampling_strength",
+                  str(args.balanced_sampling_strength)]
                  + (["--data_augmentation"] if args.augment else [])
                  + (["--balanced_sampling"] if args.balanced_sampling else []))
         train_seconds = time.monotonic() - t0
@@ -255,6 +261,8 @@ def main():
         "augmented": bool(args.augment),
         "loss": args.loss,
         "balanced_sampling": bool(args.balanced_sampling),
+        "balanced_sampling_strength": args.balanced_sampling_strength,
+        "class_weighting": args.class_weighting,
         "loss_first": round(scalars[0]["loss"], 4),
         "loss_last": round(scalars[-1]["loss"], 4),
         "mode": "full reference workflow (gen-masks -> create-dataset-file "
