@@ -11,7 +11,7 @@ finish — with the whole run timed, decode included.
 
 On a 1-core host PNG decode of ~8.7 MB grayscale pages dominates; the
 point of the recorded artifact is honesty about that boundary, not a
-headline.  Writes bench_runs/r4_disk_pipeline.json when --record.
+headline.  Writes bench_runs/r5_disk_pipeline.json when --record.
 """
 import argparse
 import json
@@ -46,7 +46,7 @@ def main():
                              "(docs/PERFORMANCE.md §5), so the artifact "
                              "records every pass and reports the median")
     parser.add_argument("--record", action="store_true",
-                        help="write bench_runs/r3_disk_pipeline.json "
+                        help="write bench_runs/r5_disk_pipeline.json "
                              "(_binfree suffix with --binary-free)")
     parser.add_argument("--binary-free", action="store_true",
                         help="stream without binary files: pages binarize "
@@ -191,8 +191,8 @@ def main():
     result.update(bench.phase_stats(intervals, batch_counts))
     print(json.dumps(result))
     if args.record:
-        name = ("r4_disk_pipeline_binfree.json" if args.binary_free
-                else "r4_disk_pipeline.json")
+        name = ("r5_disk_pipeline_binfree.json" if args.binary_free
+                else "r5_disk_pipeline.json")
         path = os.path.join(os.path.dirname(__file__), "..", "bench_runs",
                             name)
         with open(path, "w") as f:

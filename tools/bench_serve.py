@@ -8,7 +8,7 @@ Reports whole-run pages/s and per-request latency percentiles from the
 service's own ServeStats, plus an optional end-to-end HTTP smoke
 (PNG-in/JSON-out through PredictionServer) for the full-wire path.
 
-Records bench_runs/r4_serve.json with --record.
+Records bench_runs/r5_serve.json with --record.
 """
 import argparse
 import json
@@ -171,7 +171,7 @@ def main():
     print(json.dumps(result))
     if args.record:
         path = os.path.join(os.path.dirname(__file__), "..", "bench_runs",
-                            "r4_serve.json")
+                            "r5_serve.json")
         with open(path, "w") as f:
             json.dump(result, f)
             f.write("\n")
