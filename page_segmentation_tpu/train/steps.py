@@ -58,17 +58,33 @@ def make_step_fns(
     class_weights[mask]).  The optimized/monitored loss becomes the
     class-weighted mean; accuracy/jaccard/dice/fgpa stay pixel-uniform.
     None = off (bitwise-identical programs to before the knob existed).
+    The weight VECTOR rides in the batch (``class_weights`` key), so
+    every beta shares one compiled program per bucket shape; only its
+    length (n_classes) is baked.
     """
-    cw = (jnp.asarray(class_weights, jnp.float32)
-          if class_weights is not None else None)
+    n_cw = len(class_weights) if class_weights is not None else 0
+    cw_default = (jnp.asarray(class_weights, jnp.float32)
+                  if class_weights is not None else None)
+
+    def class_weight_map(cw, mask):
+        # unrolled select-sum, NOT cw[mask]: a gather indexed by an
+        # (N, H, W) mask wedges/crashes the tunneled TPU worker (same
+        # failure mode as take_along_axis over page-sized arrays —
+        # segmentation/device_morph.py docstring); n_classes <= 19, so
+        # the elementwise chain fuses into the loss anyway
+        out = jnp.zeros(mask.shape, jnp.float32)
+        for c in range(n_cw):
+            out = out + cw[c] * (mask == c).astype(jnp.float32)
+        return out
 
     def unpack(batch):
         if "dims" not in batch:
-            if cw is not None and "loss_weights" not in batch:
+            if n_cw and "loss_weights" not in batch:
                 batch = dict(batch)
+                cw = batch.pop("class_weights", cw_default)
+                lw = class_weight_map(cw, batch["mask"])
                 batch["loss_weights"] = (
-                    batch["weights"] * cw[batch["mask"]]
-                    if "weights" in batch else cw[batch["mask"]]
+                    batch["weights"] * lw if "weights" in batch else lw
                 )
             return batch
         image = batch["image"]
@@ -94,8 +110,11 @@ def make_step_fns(
             "binary": batch["binary"],
             "weights": weights,
         }
-        if cw is not None:
-            out["loss_weights"] = weights * cw[out["mask"]]
+        if n_cw:
+            cw = batch.get("class_weights")
+            if cw is None:
+                cw = cw_default
+            out["loss_weights"] = weights * class_weight_map(cw, out["mask"])
         return out
 
     def compute_metrics(batch, logits):

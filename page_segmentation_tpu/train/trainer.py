@@ -369,9 +369,15 @@ class Trainer:
             raw = np.power(np.maximum(freq, 1e-9), -float(s.class_weighting))
             # normalize to mean pixel weight 1 over the train corpus so the
             # loss scale (and the lr that suits it) is comparable to CCE
-            class_weights = raw / max(float((freq * raw).sum()), 1e-9)
+            class_weights = (raw / max(float((freq * raw).sum()), 1e-9)
+                             ).astype(np.float32)
             logger.info(f"class weights (beta={s.class_weighting}): "
                         f"{np.round(class_weights, 3).tolist()}")
+        # single-device batches carry the weight vector (one compiled
+        # program serves every beta; the tunneled remote compile costs
+        # minutes); mesh batches can't — _pad_for_mesh/shard_batch treat
+        # every key as batch-dim sharded — so there it bakes as a constant
+        self._class_weights = class_weights
 
         self._train_step, self._eval_step = make_step_fns(
             self.module, self.optimizer, self.loss_fn, mesh=self.mesh, remat=s.remat,
@@ -508,6 +514,8 @@ class Trainer:
                 batch["binary"][i] = pad_to(binary.astype(np.uint8), target)
                 batch["mask"][i] = pad_to(mask.astype(np.uint8), target)
                 batch["dims"][i] = image.shape[:2]
+            if self._class_weights is not None and self.mesh is None:
+                batch["class_weights"] = self._class_weights
             return batch
         batch = {
             "image": np.zeros((n,) + target + (c,), np.float32),
@@ -521,6 +529,8 @@ class Trainer:
             batch["binary"][i] = pad_to(binary.astype(np.uint8), target)
             batch["mask"][i] = pad_to(mask.astype(np.int32), target)
             batch["weights"][i, :h, :w] = 1.0
+        if self._class_weights is not None and self.mesh is None:
+            batch["class_weights"] = self._class_weights
         return batch
 
     def _corpus_class_freq(self, data) -> "np.ndarray":

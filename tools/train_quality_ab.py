@@ -227,6 +227,107 @@ def run_reference_arm(staged, held, args, workdir):
     }
 
 
+def run_step_throughput(args):
+    """Production-scale training THROUGHPUT head-to-head on identical
+    normalized 300-DPI pages (424x304, the bench --mode train shape).
+
+    The corpus-v4 quality arms are dispatch-bound at 8 tiny pages/epoch;
+    this section measures what each framework sustains at the scale the
+    deployment actually trains at.  Ours: the jitted fused train step on
+    the TPU at batch 48 (batching is a real knob here).  Reference: the
+    same fcn_skip through Keras train_on_batch at batch 1 — its
+    hard-wired batch shape (reference network.py:235-241 feeds one page
+    per step) — on the host CPU (no CUDA device exists here)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import tensorflow as tf
+
+    from page_segmentation_tpu.models.fcn import FCNSkip
+    from page_segmentation_tpu.models.registry import Architecture, Optimizers
+    from page_segmentation_tpu.train.metrics import Loss
+    from page_segmentation_tpu.train.steps import make_step_fns
+
+    h, w, n_classes = 424, 304, 3
+    out = {"page_hw": [h, w], "n_classes": n_classes}
+
+    # ---- ours: batch-48 compact-transfer steps on the TPU
+    module = FCNSkip(n_classes=n_classes, dtype=jnp.bfloat16)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 1), jnp.float32))["params"]
+    optimizer = optax.inject_hyperparams(
+        lambda learning_rate: Optimizers.ADAM.make(learning_rate)
+    )(learning_rate=1e-4)
+    opt_state = optimizer.init(params)
+    train_step, _ = make_step_fns(
+        module, optimizer, Loss.CATEGORICAL_CROSSENTROPY(),
+        device_preprocess=Architecture.FCN_SKIP.device_preprocess(),
+    )
+    batch_size = 48
+    rng = np.random.RandomState(0)
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "image": jax.device_put(
+                r.randint(0, 256, (batch_size, h, w, 1)).astype(np.uint8)),
+            "mask": jax.device_put(
+                r.randint(0, n_classes, (batch_size, h, w)).astype(np.uint8)),
+            "binary": jax.device_put(np.ones((batch_size, h, w), np.uint8)),
+            "dims": jax.device_put(np.tile(np.int32([h, w]), (batch_size, 1))),
+        }
+
+    batches = [make_batch(i) for i in range(6)]
+    key = jax.random.PRNGKey(0)
+    params, state, opt_state, metrics = train_step(
+        params, {}, opt_state, batches[0], key)
+    jax.block_until_ready(metrics["loss"])
+    steps = 18
+    t0 = time.monotonic()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, metrics = train_step(
+            params, state, opt_state, batches[i % len(batches)], sub)
+    jax.block_until_ready(metrics["loss"])
+    tpu_secs = time.monotonic() - t0
+    out["tpu"] = {
+        "pages_per_sec": round(steps * batch_size / tpu_secs, 1),
+        "batch_size": batch_size, "steps": steps,
+        "seconds": round(tpu_secs, 2), "dtype": "bfloat16",
+        "platform": str(jax.devices()[0].platform),
+    }
+
+    # ---- reference: batch-1 Keras train_on_batch on the CPU
+    model = build_reference_fcn_skip(n_classes)
+
+    def loss(y_true, y_pred):
+        return tf.reduce_mean(tf.keras.losses.sparse_categorical_crossentropy(
+            y_true, y_pred, from_logits=True))
+
+    model.compile(optimizer=tf.keras.optimizers.Adam(1e-4, clipnorm=1.0),
+                  loss=loss)
+    xs = [(rng.rand(1, h, w, 1).astype("float32"),
+           rng.randint(0, n_classes, (1, h, w, 1)).astype("float32"))
+          for _ in range(4)]
+    for x, y in xs[:2]:  # warmup/compile
+        model.train_on_batch(x, y)
+    ref_pages = 12
+    t0 = time.monotonic()
+    for i in range(ref_pages):
+        x, y = xs[i % len(xs)]
+        model.train_on_batch(x, y)
+    ref_secs = time.monotonic() - t0
+    out["reference"] = {
+        "pages_per_sec": round(ref_pages / ref_secs, 2),
+        "batch_size": 1, "steps": ref_pages,
+        "seconds": round(ref_secs, 2), "dtype": "float32",
+        "platform": "cpu (tf.keras; no CUDA device in this environment)",
+    }
+    out["speedup"] = round(
+        out["tpu"]["pages_per_sec"] / out["reference"]["pages_per_sec"], 1)
+    return out
+
+
 def run_tpu_arm(staged, held, args, workdir):
     """Train + evaluate our framework through the same CLI path the
     recorded train-quality artifacts use."""
@@ -293,8 +394,9 @@ def main():
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument("--augment", action="store_true", default=True)
     parser.add_argument("--no-augment", dest="augment", action="store_false")
-    parser.add_argument("--arms", default="tpu,reference",
-                        help="comma list: tpu, reference")
+    parser.add_argument("--arms", default="tpu,reference,steps",
+                        help="comma list: tpu, reference, steps "
+                             "(production-scale step throughput)")
     parser.add_argument("--record", action="store_true")
     args = parser.parse_args()
 
@@ -346,6 +448,10 @@ def main():
             result["speedup_train_pages_per_sec"] = round(
                 result["tpu"]["train_pages_per_sec"]
                 / result["reference"]["train_pages_per_sec"], 2)
+        if "steps" in arms:
+            result["step_throughput"] = run_step_throughput(args)
+            print(json.dumps({"arm": "steps",
+                              **result["step_throughput"]}), file=sys.stderr)
 
     print(json.dumps(result))
     if args.record:
