@@ -118,10 +118,18 @@ def make_step_fns(
         return out
 
     def compute_metrics(batch, logits):
+        # the REPORTED/MONITORED loss stays the plain pixel-uniform
+        # objective even when class_weights scale the optimized one:
+        # the weighted val loss explodes on confidently-wrong rare-class
+        # pixels long before accuracy peaks (observed: val_acc 0.29->0.73
+        # while weighted val CE went 1.1->3.1), so selecting checkpoints
+        # on it freezes "best" at epoch ~0 and restore-best then ships a
+        # garbage model.  Monitoring plain val CE keeps the reference's
+        # selection semantics; the weighted objective rides along as
+        # loss_weighted for visibility.
         w = batch.get("weights")
         return {
-            "loss": loss_fn(batch["mask"], logits,
-                            weights=batch.get("loss_weights", w)),
+            "loss": loss_fn(batch["mask"], logits, weights=w),
             "accuracy": M.accuracy(batch["mask"], logits, weights=w),
             "jacard_coef": jnp.mean(M.jacard_coef(batch["mask"], logits, weights=w)),
             "dice_coef": jnp.mean(M.dice_coef(batch["mask"], logits, weights=w)),
@@ -231,7 +239,12 @@ def make_step_fns(
             new_model_state = jax.tree_util.tree_map(keep, new_model_state, model_state)
             step_metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
         if mesh is None:
-            step_metrics["loss"] = loss_value
+            if n_cw:
+                # the optimized (class-weighted) objective, for visibility;
+                # "loss" stays the plain monitored CE (see compute_metrics)
+                step_metrics["loss_weighted"] = loss_value
+            else:
+                step_metrics["loss"] = loss_value
         else:
             step_metrics = reduce_metrics(step_metrics, batch)
         return new_params, new_model_state, new_opt_state, step_metrics
