@@ -230,6 +230,9 @@ def decode_labels_bytes(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
 
     if len(data) < 8 or data[:8] != _PNG_MAGIC:
         return None
+    fast = _decode_png_indexed_fast(data)
+    if fast is not None:
+        return fast
     try:
         with Image.open(io.BytesIO(data)) as im:
             if im.mode != "P":
@@ -242,6 +245,81 @@ def decode_labels_bytes(data: bytes) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         return None
     palette = np.asarray(flat, np.uint8).reshape(-1, 3)
     return labels, palette
+
+
+def _decode_png_indexed_fast(data) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """(labels, palette) straight from a palette PNG's zlib stream.
+
+    An indexed PNG's rows are packed index bytes exactly like grayscale,
+    so the same inflate + native unfilter applies, plus a vectorized
+    expansion for the sub-byte depths imsave_indexed emits (a 3-class
+    A4 label map is depth-2: ~1/4 the inflate output).  PIL's general
+    P-mode decode measured ~40 ms for a 300-DPI A4 prediction mask vs
+    single-digit ms here, and the prediction-PNG decode is the dominant
+    cost of the page-segmentation stage.  None for anything else
+    (non-palette types, malformed input, filtered rows without the
+    native lib); equality vs the PIL path is gated in
+    tests/test_image_io.py."""
+    import struct
+    import zlib
+
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    if len(data) < 8 or data[:8] != _PNG_MAGIC:
+        return None
+    try:
+        pos = 8
+        w = h = None
+        plte = None
+        idat = []
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+            if tag == b"IHDR":
+                w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload)
+                if (color_type, comp, filt, interlace) != (3, 0, 0, 0) \
+                        or depth not in (1, 2, 4, 8):
+                    return None
+            elif tag == b"PLTE":
+                plte = payload
+            elif tag == b"IDAT":
+                idat.append(payload)
+            elif tag == b"IEND":
+                break
+        if w is None or plte is None or not idat or len(plte) % 3:
+            return None
+        stride = (w * depth + 7) // 8
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != h * (stride + 1):
+            return None
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if rows[:, 0].any():  # filtered rows: native C reconstruction
+            from .. import native
+
+            packed = native.png_unfilter(rows, bpp=1)
+            if packed is None:
+                return None
+        else:
+            packed = np.ascontiguousarray(rows[:, 1:])
+        if depth == 8:
+            return packed, palette
+        # sub-byte depths (imsave_indexed's layout for <= 16 classes):
+        # MSB-first expansion via k strided stores — the broadcast
+        # (H, stride, k) gather formulation measured 20 ms/A4-page where
+        # these full-array shift+mask passes take ~5
+        k = 8 // depth
+        mask = np.uint8((1 << depth) - 1)
+        expanded = np.empty((h, stride * k), np.uint8)
+        for i in range(k):
+            np.bitwise_and(packed >> ((k - 1 - i) * depth), mask,
+                           out=expanded[:, i::k])
+        return np.ascontiguousarray(expanded[:, :w]), palette
+    except Exception:  # malformed/truncated: the general decoder reports it
+        return None
 
 
 def imread_labels(path) -> Optional[Tuple[np.ndarray, np.ndarray]]:
@@ -323,11 +401,38 @@ def imsave_indexed(path, labels: np.ndarray, palette: np.ndarray) -> None:
     if labels.dtype != np.uint8 or not str(path).lower().endswith(".png"):
         imsave(path, palette[labels])
         return
-    image = Image.fromarray(labels, "P")
-    flat = bytearray(768)  # PNG palettes are 256 RGB triples
-    flat[: palette.size] = palette.tobytes()
-    image.putpalette(bytes(flat))
-    image.save(str(path))
+    # in-module encoder: filter-0 rows at zlib level 1, at the SMALLEST
+    # legal palette bit depth (standard PNG any decoder reads).  PIL's
+    # P-mode save (level 6 + adaptive filters) encoded ~3x slower AND its
+    # dense 8-bit stream inflated ~25 ms/A4-page on read; a 3-class label
+    # map is depth-2 here (2 bits/px, ~1/4 the inflate output), which the
+    # fast reader expands vectorized.  Decoded pixels identical through
+    # every path (tests/test_colors.py, test_image_io.py).
+    import struct
+    import zlib
+
+    h, w = labels.shape
+    n_entries = max(len(palette), int(labels.max()) + 1 if labels.size else 1)
+    depth = next(d for d in (1, 2, 4, 8) if n_entries <= 1 << d)
+    if depth == 8:
+        packed = labels
+    else:
+        k = 8 // depth  # pixels per byte, MSB-first (the PNG bit order)
+        pad_w = (-w) % k
+        padded = (np.pad(labels, ((0, 0), (0, pad_w))) if pad_w else labels)
+        packed = np.zeros((h, padded.shape[1] // k), np.uint8)
+        for i in range(k):  # strided full-array passes (see the decoder)
+            np.bitwise_or(packed, padded[:, i::k] << ((k - 1 - i) * depth),
+                          out=packed)
+    rows = np.zeros((h, packed.shape[1] + 1), np.uint8)
+    rows[:, 1:] = packed
+    header = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    with open(str(path), "wb") as f:
+        f.write(_PNG_MAGIC)
+        f.write(_png_chunk(b"IHDR", header))
+        f.write(_png_chunk(b"PLTE", palette.tobytes()))
+        f.write(_png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 1)))
+        f.write(_png_chunk(b"IEND", b""))
 
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:

@@ -209,3 +209,31 @@ def test_native_unfilter_bilevel_filtered():
     rows, w, hh = got
     assert (w, hh) == (70, 41)
     assert np.array_equal(rows, packed)
+
+
+def test_indexed_fast_decode_equals_pil(tmp_path):
+    """imsave_indexed files decode through the inflate+unfilter fast path
+    byte-equal (labels AND palette) to the PIL P-mode decode."""
+    rng = np.random.RandomState(5)
+    labels = rng.randint(0, 4, (211, 173)).astype(np.uint8)
+    palette = np.array([[255, 255, 255], [0, 0, 255], [0, 255, 0],
+                        [128, 0, 0]], np.uint8)
+    p = str(tmp_path / "idx.png")
+    image_io.imsave_indexed(p, labels, palette)
+    data = open(p, "rb").read()
+    fast = image_io._decode_png_indexed_fast(data)
+    import io as _io
+    with Image.open(_io.BytesIO(data)) as im:
+        assert im.mode == "P"
+        pil_labels = np.asarray(im)
+        pil_palette = np.asarray(im.getpalette(), np.uint8).reshape(-1, 3)
+    if fast is None:
+        from page_segmentation_tpu import native
+        assert not native.available(), "fast path must handle PIL's files"
+        pytest.skip("native library unavailable")
+    np.testing.assert_array_equal(fast[0], pil_labels)
+    np.testing.assert_array_equal(fast[1][: len(pil_palette)], pil_palette)
+    # the public reader returns the same pair
+    got = image_io.imread_labels(p)
+    np.testing.assert_array_equal(got[0], labels)
+    np.testing.assert_array_equal(got[1][: 4], palette)
