@@ -152,6 +152,21 @@ def render_regions(
         # JPEG and friends cannot encode palette images
         image = image.convert("RGB")
     if extension.lower() == "png":
+        if image.mode == "P":
+            # in-module sub-byte indexed encoder: the 3-entry region
+            # palette packs depth-2 (1/4 the zlib input), ~20 -> ~7 ms
+            # per A4 canvas vs the PIL level-1 save; decoded pixels
+            # identical (tests/test_segmentation.py render gates).
+            # Trailing never-referenced palette entries are trimmed —
+            # referenced indices bound the legal depth.
+            from ..core.image_io import imsave_indexed
+
+            indices = np.asarray(image)
+            flat = image.getpalette()
+            palette = np.asarray(flat, np.uint8).reshape(-1, 3)
+            n = max(int(indices.max()) + 1 if indices.size else 1, 1)
+            imsave_indexed(outfile, indices, palette[:n])
+            return outfile
         # zlib level 1: identical decoded pixels, ~2x faster encode of the
         # flat-color A4 canvas (the encode is on the stage's critical path)
         image.save(outfile, compress_level=1)
