@@ -118,8 +118,9 @@ class BatchingService:
         self.default_char_height = default_char_height
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
-        # backpressure: reject new work beyond this many queued pages
-        # (0 = unbounded); rejected requests fail fast with
+        # backpressure: reject new work beyond this many IN-FLIGHT pages
+        # (accepted but unresolved — queued, prepared, or on device;
+        # 0 = unbounded); rejected requests fail fast with
         # ServiceOverloaded / HTTP 503 instead of stacking latency
         self.max_queue = max_queue
         self.max_width = max_width
@@ -157,6 +158,12 @@ class BatchingService:
         # bounds in-flight device batches, and a full queue tells the
         # collector to keep its window open (adaptive batching).
         self._prepared: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline_depth))
+        # in-flight page count for backpressure: queued AND collected/
+        # prepared-but-unresolved pages both hold service capacity (the
+        # raw queue drains into the pipeline well before results exist,
+        # so qsize alone under-counts)
+        self._pending_pages = 0
+        self._pending_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, name="collector", daemon=True)
         self._device_worker = threading.Thread(
             target=self._device_run, name="device", daemon=True)
@@ -186,11 +193,15 @@ class BatchingService:
         char_height = char_height or self.default_char_height
         if not char_height:
             raise ValueError("char_height required (no service default configured)")
-        if self.max_queue and self._queue.qsize() >= self.max_queue:
-            self.stats.rejected_total += 1
-            raise ServiceOverloaded(
-                f"{self._queue.qsize()} pages pending (max_queue={self.max_queue})"
-            )
+        if self.max_queue:
+            with self._pending_lock:
+                if self._pending_pages >= self.max_queue:
+                    self.stats.rejected_total += 1
+                    raise ServiceOverloaded(
+                        f"{self._pending_pages} pages pending "
+                        f"(max_queue={self.max_queue})"
+                    )
+                self._pending_pages += 1
         if binary is None:
             # same contract as the loader's fallback (reference
             # dataset.py:172: the binary defaults to the image itself,
@@ -204,6 +215,11 @@ class BatchingService:
         self.stats.requests_total += 1
         self._queue.put((time.perf_counter(), entry))
         return future
+
+    def _pages_done(self, n: int) -> None:
+        if self.max_queue and n:
+            with self._pending_lock:
+                self._pending_pages -= n
 
     def stop(self) -> None:
         self._stop.set()
@@ -261,6 +277,7 @@ class BatchingService:
                 for entry in entries:
                     if not entry.user_data.done():
                         entry.user_data.set_exception(exc)
+                self._pages_done(len(entries))
                 continue
             for unit in units:
                 while not self._stop.is_set():
@@ -305,12 +322,14 @@ class BatchingService:
                         (time.perf_counter() - t_starts[id(data)]) * 1e3
                     )
                     data.user_data.set_result(result)
+                self._pages_done(len(done))
             except Exception as exc:  # noqa: BLE001 - fail every rider
                 logger.exception("batch failed")
                 self.stats.errors_total += len(members)
                 for entry in members:
                     if not entry.user_data.done():
                         entry.user_data.set_exception(exc)
+                self._pages_done(len(members))
 
     @staticmethod
     def _payload(data, pred, color, overlay, inverted):
@@ -444,6 +463,7 @@ def make_handler(service: BatchingService, request_timeout_s: float = 120.0):
             elif path == "/stats":
                 snapshot = service.stats.snapshot()
                 snapshot["queue_depth"] = service._queue.qsize()
+                snapshot["pages_in_flight"] = service._pending_pages
                 snapshot["max_queue"] = service.max_queue
                 self._json(200, snapshot)
             else:

@@ -339,15 +339,22 @@ def test_backpressure_rejects_beyond_max_queue():
 
     predictor.predict_dataset_fast = gated
     try:
+        # max_queue counts IN-FLIGHT pages (accepted, unresolved): the
+        # gated first page holds capacity until its future settles —
+        # with the collector/device pipeline, the raw queue drains into
+        # prepared units long before results exist, so a qsize-based
+        # limit would admit unbounded work while the device is busy
         first = svc.submit(make_page(0))  # picked up by the worker, gated
         time.sleep(0.4)
-        queued = [svc.submit(make_page(i)) for i in (1, 2)]  # fill the queue
+        queued = svc.submit(make_page(1))  # fills the 2-page limit
         with pytest.raises(ServiceOverloaded, match="max_queue"):
             svc.submit(make_page(3))
         assert svc.stats.rejected_total == 1
         gate.set()
-        for f in [first, *queued]:
+        for f in [first, queued]:
             assert f.result(timeout=300)["labels"].shape == (64, 48)
+        # resolved pages release their capacity: a new submit is accepted
+        assert svc.submit(make_page(4)).result(timeout=300)["labels"].size
     finally:
         gate.set()
         svc.stop()
