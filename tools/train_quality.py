@@ -189,6 +189,12 @@ def main():
     parser.add_argument("--augment", action="store_true", default=True)
     parser.add_argument("--no-augment", dest="augment", action="store_false")
     parser.add_argument("--loss", default="categorical_crossentropy")
+    parser.add_argument("--monitor", default="val_loss",
+                        help="checkpoint-selection/early-stop monitor; "
+                             "val_accuracy recommended with the class-"
+                             "balance levers (their val CE can stay above "
+                             "the uniform baseline on confidently-wrong "
+                             "minority pixels while accuracy climbs)")
     parser.add_argument("--balanced-sampling", action="store_true",
                         help="class-balanced page sampling (see trainer)")
     parser.add_argument("--balanced-sampling-strength", type=float, default=0.5)
@@ -219,6 +225,7 @@ def main():
                   "--loss", args.loss,
                   "--target_line_height", str(args.target_line_height),
                   "--seed", "0",
+                  "--monitor", args.monitor,
                   "--class_weighting", str(args.class_weighting),
                   "--balanced_sampling_strength",
                   str(args.balanced_sampling_strength)]
