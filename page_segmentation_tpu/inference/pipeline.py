@@ -515,6 +515,42 @@ class ThroughputPredictor:
         ink_dev = self._put(self._pack_ink(ink)) if vote else None
         return dec_dev, ink, ink_dev
 
+    def prep_pages(self, pages, binaries, n_pad: int):
+        """prep_batch for a LIST of per-request full-res pages.
+
+        Stacking n full-resolution pages into a fresh (n_pad, H, W) array
+        first costs ~550 MB of allocate+copy traffic per 16-page A4 batch
+        (the serve collector's measured wall); decimating/gathering each
+        page individually writes only the small decimated/ink outputs.
+        Pad slots keep zero pixels and no ink — exactly what a stacked
+        white-binary pad page produces."""
+        from .. import native
+
+        vote = self.cc_vote in ("xla", "pallas")
+        dec = np.zeros((n_pad,) + self.decimated_shape, np.uint8)
+        oh, ow = len(self.row_idx), len(self.col_idx)
+        ink = np.zeros((n_pad, oh, ow), bool)
+        for i, (page, binary) in enumerate(zip(pages, binaries)):
+            d = native.decimate_u8(page[None], self.host_decimate)
+            if d is not None:
+                dec[i] = d[0, : self.decimated_shape[0],
+                           : self.decimated_shape[1]]
+            else:  # no native lib: PIL box reduce (prep parity)
+                from PIL import Image
+
+                arr = np.asarray(Image.fromarray(page).reduce(self.host_decimate))
+                dec[i] = arr[: self.decimated_shape[0], : self.decimated_shape[1]]
+            if self.packed_binary:
+                ink[i] = self._gather_ink_bits(binary[None])[0]
+            else:
+                got = native.gather_ink(binary[None], self.row_idx, self.col_idx)
+                if got is not None:
+                    ink[i] = got[0].astype(bool)
+                else:
+                    ink[i] = binary[np.ix_(self.row_idx, self.col_idx)] < 128
+        ink_dev = self._put(self._pack_ink(ink)) if vote else None
+        return self._put(dec), ink, ink_dev
+
     def execute_batch(self, prepared):
         """Stage 2, device+finish: dispatch the fused program, download,
         host vote/trio.  Returns what one run() iteration would yield."""

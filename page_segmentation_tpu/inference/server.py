@@ -364,19 +364,14 @@ class BatchingService:
                 tp = self._fused_predictor_for(key)
                 n = len(members)
                 n_pad = min(self.max_batch, 1 << max(0, n - 1).bit_length())
-                h, w = key[:2]
-                images = np.zeros((n_pad, h, w), np.uint8)
-                # pad binaries are WHITE (no ink): an all-zero pad page
-                # reads as solid ink, and the host finish would then run a
-                # full-page cc-vote + trio over it before being dropped
-                binaries = np.full((n_pad, h, w), 255, np.uint8)
-                for i, entry in enumerate(members):
-                    images[i] = entry.image
-                    binaries[i] = entry.binary
-                units.append((
-                    "fused", (tp, tp.prep_batch(images, binaries)),
-                    members, t_starts,
-                ))
+                # per-page prep (no full-res batch stacking — see
+                # ThroughputPredictor.prep_pages); pad slots carry zero
+                # pixels + no ink, equivalent to white-binary pad pages
+                prepared = tp.prep_pages(
+                    [e.image for e in members],
+                    [e.binary for e in members], n_pad,
+                )
+                units.append(("fused", (tp, prepared), members, t_starts))
         else:
             units.append((
                 "spline", self.loader.load_data(entries), entries, t_starts,

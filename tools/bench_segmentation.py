@@ -105,6 +105,10 @@ def main():
                 batch_size=args.batch)
             pairs = [((idx if source == "indexed" else rgb), ch)
                      for rgb, idx, ch in pages]
+            # one uncounted warmup pass: first-pass costs (program/cache
+            # warm, allocator growth) otherwise land in rep 0 and drag
+            # the median on short runs (same policy as bench.py's warmup)
+            list(segmenter.run(pairs))
             walls, region_counts = [], []
             for rep in range(max(1, reps or args.reps)):
                 t0 = time.perf_counter()
