@@ -307,10 +307,15 @@ def _decode_png_indexed_fast(data) -> Optional[Tuple[np.ndarray, np.ndarray]]:
             packed = np.ascontiguousarray(rows[:, 1:])
         if depth == 8:
             return packed, palette
-        # sub-byte depths (imsave_indexed's layout for <= 16 classes):
-        # MSB-first expansion via k strided stores — the broadcast
-        # (H, stride, k) gather formulation measured 20 ms/A4-page where
-        # these full-array shift+mask passes take ~5
+        # sub-byte depths (imsave_indexed's layout for <= 16 classes)
+        from .. import native
+
+        labels = native.unpack_indices(packed, w, depth)
+        if labels is not None:  # one read, one write in C
+            return labels, palette
+        # no native lib: MSB-first expansion via k strided stores (the
+        # broadcast (H, stride, k) gather formulation measured 20 ms/
+        # A4-page where these full-array shift+mask passes take ~5)
         k = 8 // depth
         mask = np.uint8((1 << depth) - 1)
         expanded = np.empty((h, stride * k), np.uint8)
@@ -417,13 +422,19 @@ def imsave_indexed(path, labels: np.ndarray, palette: np.ndarray) -> None:
     if depth == 8:
         packed = labels
     else:
-        k = 8 // depth  # pixels per byte, MSB-first (the PNG bit order)
-        pad_w = (-w) % k
-        padded = (np.pad(labels, ((0, 0), (0, pad_w))) if pad_w else labels)
-        packed = np.zeros((h, padded.shape[1] // k), np.uint8)
-        for i in range(k):  # strided full-array passes (see the decoder)
-            np.bitwise_or(packed, padded[:, i::k] << ((k - 1 - i) * depth),
-                          out=packed)
+        from .. import native
+
+        packed = native.pack_indices(labels, depth)  # one read, one write
+        if packed is None:  # no native lib: strided full-array passes
+            k = 8 // depth  # pixels per byte, MSB-first (the PNG bit order)
+            pad_w = (-w) % k
+            padded = (np.pad(labels, ((0, 0), (0, pad_w)))
+                      if pad_w else labels)
+            packed = np.zeros((h, padded.shape[1] // k), np.uint8)
+            for i in range(k):
+                np.bitwise_or(packed,
+                              padded[:, i::k] << ((k - 1 - i) * depth),
+                              out=packed)
     rows = np.zeros((h, packed.shape[1] + 1), np.uint8)
     rows[:, 1:] = packed
     header = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)

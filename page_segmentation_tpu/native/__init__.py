@@ -101,6 +101,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ps_png_unfilter.argtypes = [
             u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
         ]
+    if hasattr(lib, "ps_pack_indices"):  # stale .so without the symbol
+        lib.ps_pack_indices.restype = ctypes.c_int
+        lib.ps_pack_indices.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ]
+        lib.ps_unpack_indices.restype = ctypes.c_int
+        lib.ps_unpack_indices.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        ]
     _lib = lib
     return _lib
 
@@ -182,6 +191,34 @@ def png_unfilter(rows: np.ndarray, bpp: int = 1) -> Optional[np.ndarray]:
     h, stride_p1 = r.shape
     out = np.empty((h, stride_p1 - 1), np.uint8)
     if lib.ps_png_unfilter(r, h, stride_p1 - 1, int(bpp), out) != 0:
+        return None
+    return out
+
+
+def pack_indices(labels: np.ndarray, depth: int) -> Optional[np.ndarray]:
+    """MSB-first sub-byte packing of a (H, W) uint8 label map into
+    (H, ceil(W*depth/8)) PNG index rows; None without the native lib."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_pack_indices"):
+        return None
+    m = np.ascontiguousarray(np.asarray(labels), np.uint8)
+    h, w = m.shape
+    k = 8 // depth
+    out = np.empty((h, (w + k - 1) // k), np.uint8)
+    if lib.ps_pack_indices(m, h, w, int(depth), out) != 0:
+        return None
+    return out
+
+
+def unpack_indices(packed: np.ndarray, w: int, depth: int) -> Optional[np.ndarray]:
+    """Inverse of pack_indices: (H, stride) rows -> (H, w) uint8 labels."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ps_unpack_indices"):
+        return None
+    m = np.ascontiguousarray(np.asarray(packed), np.uint8)
+    h, stride = m.shape
+    out = np.empty((h, w), np.uint8)
+    if lib.ps_unpack_indices(m, h, stride, int(w), int(depth), out) != 0:
         return None
     return out
 

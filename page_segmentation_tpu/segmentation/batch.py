@@ -155,15 +155,10 @@ class PageSegmenter:
                     for j, i in enumerate(idxs):
                         contours[i] = contours_from_region_mask(regions[j])
             else:
-                start = 0
-                while start < len(masks):
-                    stop = start + 1
-                    while (stop < len(masks)
-                           and masks[stop].shape == masks[start].shape):
-                        stop += 1
-                    contours[start:stop] = get_text_contours_batch(
-                        np.stack(masks[start:stop]), chs[start:stop])
-                    start = stop
+                # the host path takes the mask list directly — stacking
+                # same-shape runs into (N, H, W) arrays copied ~8.7 MB
+                # per A4 page for nothing (the chain packs per page)
+                contours = get_text_contours_batch(masks, chs)
         for idx, (path, img, lab, pal) in enumerate(loaded):
             texts, images = self._segments(img, lab, pal, chs[idx])
             shape = img.shape[:2] if img is not None else lab.shape[:2]

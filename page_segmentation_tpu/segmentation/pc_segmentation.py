@@ -212,11 +212,12 @@ def get_text_contours(image: np.ndarray, char_height: int, color_map: ColorMap) 
 
 
 def get_text_contours_batch(
-    masks: np.ndarray,
+    masks,
     char_heights,
     device_morph=None,
 ) -> List[List[CVContour]]:
-    """Batched text contours from text-pixel masks (N, H, W).
+    """Batched text contours from text-pixel masks — an (N, H, W) array
+    or a sequence of 2-D masks (shapes may differ page to page).
 
     With ``device_morph`` (a :class:`~.device_morph.TextRegionMorphDevice`)
     the morphology chain runs as one device dispatch per distinct kernel
@@ -231,9 +232,17 @@ def get_text_contours_batch(
         regions = device_morph.run(np.asarray(masks, bool), kernels)
         return [contours_from_region_mask(regions[i])
                 for i in range(regions.shape[0])]
+
+    def as_u8(mask: np.ndarray) -> np.ndarray:
+        # bool masks reinterpret as 0/1 uint8 for free (same byte
+        # layout); the chain's foreground test is nonzero, so no 255
+        # rescale pass is needed (native pack tests != 0; the cv2/scipy
+        # fallback composition is value-preserving on binary inputs)
+        return mask.view(np.uint8) if mask.dtype == bool else \
+            np.asarray(mask, np.uint8)
+
     return [
-        contours_from_region_mask(
-            text_region_mask(np.asarray(masks[i], np.uint8) * 255, ch))
+        contours_from_region_mask(text_region_mask(as_u8(masks[i]), ch))
         for i, ch in enumerate(char_heights)
     ]
 

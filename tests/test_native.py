@@ -263,3 +263,31 @@ def test_finish_bounds_guards():
         native.finish_masks(pred, np.zeros((2, 20, 16), np.uint8), palette)
     with pytest.raises(ValueError, match="pages"):
         native.finish_masks(pred, np.zeros((1, 10, 16), np.uint8), palette)
+
+
+def test_pack_unpack_indices_roundtrip_and_numpy_parity():
+    """Native sub-byte index pack/unpack == the numpy strided formulation
+    and round-trips exactly, for every sub-byte depth and ragged widths."""
+    import numpy as np
+    import pytest
+
+    from page_segmentation_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    for depth in (1, 2, 4):
+        k = 8 // depth
+        for w in (64, 61, 63, 7):
+            labels = rng.randint(0, 1 << depth, (23, w)).astype(np.uint8)
+            packed = native.pack_indices(labels, depth)
+            # numpy reference pack
+            pad_w = (-w) % k
+            padded = np.pad(labels, ((0, 0), (0, pad_w))) if pad_w else labels
+            ref = np.zeros((23, padded.shape[1] // k), np.uint8)
+            for i in range(k):
+                np.bitwise_or(ref, padded[:, i::k] << ((k - 1 - i) * depth),
+                              out=ref)
+            np.testing.assert_array_equal(packed, ref)
+            back = native.unpack_indices(packed, w, depth)
+            np.testing.assert_array_equal(back, labels)
