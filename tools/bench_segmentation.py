@@ -82,6 +82,11 @@ def main():
                     help="pages per pipeline batch (9 = all golden pages "
                          "in one device morphology dispatch)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-device", action="store_true",
+                    help="skip the device-morphology A/B line (the host "
+                         "chain is the production placement on this link; "
+                         "a wedged tunnel phase otherwise stalls a host-"
+                         "only capture indefinitely)")
     args = ap.parse_args()
 
     import jax
@@ -131,10 +136,11 @@ def main():
 
         modes["xycut"] = run_mode(contours=False)
         modes["text_contours"] = run_mode(contours=True)
-        # the device-morphology placement, recorded for the A/B even
-        # though auto resolves to host on this link (see batch.py)
-        modes["text_contours_device"] = run_mode(
-            contours=True, backend="device", reps=min(args.reps, 3))
+        if not args.skip_device:
+            # the device-morphology placement, recorded for the A/B even
+            # though auto resolves to host on this link (see batch.py)
+            modes["text_contours_device"] = run_mode(
+                contours=True, backend="device", reps=min(args.reps, 3))
         # legacy comparison line: arbitrary RGB input, host morphology —
         # the pre-pipeline configuration
         modes["text_contours_rgb_host"] = run_mode(
