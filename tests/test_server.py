@@ -326,9 +326,15 @@ def test_backpressure_rejects_beyond_max_queue():
         PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
         network=network,
     )
+    # prepare="spline" so the gated predict_dataset_fast below is the
+    # path actually serving requests: under the fused default, a batch
+    # whose program is already compiled (any prior same-geometry test)
+    # resolves before the overload submit, releasing its capacity and
+    # flaking the DID-NOT-RAISE (observed full-suite vs solo)
     svc = BatchingService(
         predictor, DEFAULT_IMAGE_MAP, target_line_height=8,
         default_char_height=8, max_batch=1, max_wait_ms=1.0, max_queue=2,
+        prepare="spline",
     )
     gate = threading.Event()
     orig = predictor.predict_dataset_fast
