@@ -171,10 +171,15 @@ def _supervise(seconds: float):
             # child crashed: if the headline was already measured, the
             # number is valid regardless of the later crash — report it
             # (with the crash noted) instead of losing the round's record
-            # a nonzero exit proves the child's final print cannot have
-            # completed, so emitted=True is no reason to stay silent —
-            # recover the measured sections either way (advisor r4)
+            # emitted=True is set BEFORE the final print and printed=True
+            # immediately AFTER it: a nonzero exit with printed unset means
+            # the line cannot be complete — recover the measured sections
+            # (advisor r4); with printed set, the complete line is already
+            # out (teardown crash) and a second partial line would be the
+            # stale one a last-line consumer then wrongly records
             state = _read_state(state_path)
+            if state.get("printed"):
+                os._exit(0)
             if state.get("sections"):
                 print(json.dumps(_partial_result(
                     state, f"bench child exited rc={code}")), flush=True)
@@ -229,17 +234,25 @@ def preflight_link_probe(budget: float, probe_timeout: float = 75.0,
             ok = False
         waited = time.monotonic() - t0
         if ok:
-            info["ok"] = True
+            # parse THIS probe's reading; rc 0 with no parsable link line
+            # (truncated/garbled stdout) counts as a failed probe — the
+            # gate must never decide (or record accepted_degraded) against
+            # a PREVIOUS probe's stale numbers
+            link = None
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
-                    link = json.loads(line)
+                    parsed = json.loads(line)
                 except ValueError:
                     continue
-                info["link"] = {k: link[k] for k in
-                                ("upload_mb_s", "download_mb_s",
-                                 "dispatch_ms", "healthy") if k in link}
-                info["probe_history"].append(info["link"])
+                link = {k: parsed[k] for k in
+                        ("upload_mb_s", "download_mb_s",
+                         "dispatch_ms", "healthy") if k in parsed}
                 break
+            ok = link is not None
+        if ok:
+            info["ok"] = True
+            info["link"] = link
+            info["probe_history"].append(link)
             if info.get("link", {}).get("healthy", True):
                 break
             if waited >= healthy_budget:
@@ -839,6 +852,8 @@ def main():
     _partial["emitted"] = True
     _checkpoint()
     print(json.dumps(result), flush=True)
+    _partial["printed"] = True  # the line is fully out: teardown crashes
+    _checkpoint()               # must not trigger a second partial line
 
 
 def bench_sustained_pipelined(args, predictor, pages, binaries, flops_page):
@@ -1010,7 +1025,9 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
             result["truncated"] = True
             result["note"] += f"; TRUNCATED at --corpus-budget {args.corpus_budget:.0f}s"
         if emit:
-            print(json.dumps(result))
+            print(json.dumps(result), flush=True)
+            _partial["printed"] = True
+            _checkpoint()
         return result
 
     # full stack, distinct pages, per-stage attribution
@@ -1119,7 +1136,9 @@ def bench_corpus(args, module, compute_dtype, corpus, emit=True):
         result["truncated"] = True
         result["note"] += f"; TRUNCATED at --corpus-budget {args.corpus_budget:.0f}s"
     if emit:
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
+        _partial["printed"] = True
+        _checkpoint()
     return result
 
 

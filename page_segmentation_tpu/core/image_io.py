@@ -28,6 +28,20 @@ Image.MAX_IMAGE_PIXELS = None
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _native_unfilter_available() -> bool:
+    """Whether the C PNG row-filter reconstruction is loadable (cached)."""
+    global _HAVE_UNFILTER
+    if _HAVE_UNFILTER is None:
+        from .. import native
+
+        lib = native.get_lib()
+        _HAVE_UNFILTER = lib is not None and hasattr(lib, "ps_png_unfilter")
+    return _HAVE_UNFILTER
+
+
+_HAVE_UNFILTER: Optional[bool] = None
+
+
 def _pil_luma(rgb: np.ndarray) -> np.ndarray:
     """PIL convert('L') exactly: fixed-point ITU-R 601-2 with round-half-up
     ((R*19595 + G*38470 + B*7471 + 0x8000) >> 16) — verified bit-equal to
@@ -105,6 +119,12 @@ def _read_png_gray_rows(data, bit_depth: int,
         if probe_first_row:
             head = zlib.decompressobj().decompress(stream[: 1 << 14], 1)
             if not head or head[0] > 4:  # not a valid PNG filter byte
+                return None
+            if head[0] != 0 and not _native_unfilter_available():
+                # a filtered first row without the C unfilter: bail on
+                # the 1-byte probe so the general decoder's inflate is
+                # the only full one (this path would otherwise inflate
+                # the whole stream just to discover it must fall back)
                 return None
         stride = (w * bit_depth + 7) // 8
         raw = zlib.decompress(stream)
@@ -291,8 +311,16 @@ def _decode_png_indexed_fast(data) -> Optional[Tuple[np.ndarray, np.ndarray]]:
                 break
         if w is None or plte is None or not idat or len(plte) % 3:
             return None
+        stream = b"".join(idat)
+        if not _native_unfilter_available():
+            # without the C unfilter only filter-0 rows can proceed:
+            # probe the first filter byte (1-byte decompress) instead of
+            # inflating the whole stream before the inevitable fallback
+            head = zlib.decompressobj().decompress(stream[: 1 << 14], 1)
+            if not head or head[0] != 0:
+                return None
         stride = (w * depth + 7) // 8
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompress(stream)
         if len(raw) != h * (stride + 1):
             return None
         rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)

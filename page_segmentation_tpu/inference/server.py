@@ -193,15 +193,6 @@ class BatchingService:
         char_height = char_height or self.default_char_height
         if not char_height:
             raise ValueError("char_height required (no service default configured)")
-        if self.max_queue:
-            with self._pending_lock:
-                if self._pending_pages >= self.max_queue:
-                    self.stats.rejected_total += 1
-                    raise ServiceOverloaded(
-                        f"{self._pending_pages} pages pending "
-                        f"(max_queue={self.max_queue})"
-                    )
-                self._pending_pages += 1
         if binary is None:
             # same contract as the loader's fallback (reference
             # dataset.py:172: the binary defaults to the image itself,
@@ -212,12 +203,25 @@ class BatchingService:
             image=np.asarray(image), binary=np.asarray(binary),
             line_height_px=int(char_height), user_data=future,
         )
+        # capacity claim LAST: anything above may raise on bad input, and
+        # an increment without the matching enqueue would leak admission
+        # capacity permanently
+        with self._pending_lock:
+            if self.max_queue and self._pending_pages >= self.max_queue:
+                self.stats.rejected_total += 1
+                raise ServiceOverloaded(
+                    f"{self._pending_pages} pages pending "
+                    f"(max_queue={self.max_queue})"
+                )
+            self._pending_pages += 1
         self.stats.requests_total += 1
         self._queue.put((time.perf_counter(), entry))
         return future
 
     def _pages_done(self, n: int) -> None:
-        if self.max_queue and n:
+        # tracked unconditionally (not just under backpressure): /stats
+        # pages_in_flight must tell the truth for max_queue=0 too
+        if n:
             with self._pending_lock:
                 self._pending_pages -= n
 
@@ -279,13 +283,43 @@ class BatchingService:
                         entry.user_data.set_exception(exc)
                 self._pages_done(len(entries))
                 continue
-            for unit in units:
+            for index, unit in enumerate(units):
+                enqueued = False
                 while not self._stop.is_set():
                     try:
                         self._prepared.put(unit, timeout=0.25)
+                        enqueued = True
                         break
                     except queue.Full:
                         continue
+                if not enqueued:
+                    # stopping with accepted-but-unenqueued work: fail the
+                    # riders NOW — a silently dropped unit leaves clients
+                    # blocked on futures that never resolve (and leaks
+                    # their in-flight capacity)
+                    exc = RuntimeError("service stopped before this batch ran")
+                    for _, _, members, _ in units[index:]:
+                        self.stats.errors_total += len(members)
+                        for entry in members:
+                            if not entry.user_data.done():
+                                entry.user_data.set_exception(exc)
+                        self._pages_done(len(members))
+                    break
+        # fail anything still queued (accepted, never collected) for the
+        # same reason — stop() must not leave clients hanging
+        stop_exc = RuntimeError("service stopped before this batch ran")
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            _, entry = item
+            if not entry.user_data.done():
+                entry.user_data.set_exception(stop_exc)
+                self.stats.errors_total += 1
+            self._pages_done(1)
         self._prepared.put(None)  # release the device thread
 
     def _device_run(self) -> None:

@@ -55,3 +55,27 @@ def test_mesh_matches_single_device(download, cc_vote):
     for a, b in zip(got_s, got_m):
         assert a.shape == b.shape
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("cc_vote", [False, True])
+def test_staged_api_matches_run(cc_vote):
+    """prep_batch/prep_pages + execute_batch (the serving engine's staged
+    entry points) must produce exactly what one run() iteration yields —
+    including the per-page prep path's zero-pixel/no-ink pad slots."""
+    rng = np.random.RandomState(3)
+    h, w = 400, 296
+    n = 3
+    pages = rng.randint(0, 255, (n, h, w)).astype(np.uint8)
+    binaries = np.where(pages < 128, 0, 255).astype(np.uint8)
+
+    tp = _build(None, "pred", cc_vote, h, w)
+    via_run = list(tp.run(pages, binaries, batch_size=4))[0]
+
+    pad = np.concatenate([pages, np.zeros((1, h, w), np.uint8)])
+    bin_pad = np.concatenate([binaries, np.full((1, h, w), 255, np.uint8)])
+    via_batch = tp.execute_batch(tp.prep_batch(pad, bin_pad))
+    via_pages = tp.execute_batch(
+        tp.prep_pages(list(pages), list(binaries), 4))
+    for got in (via_batch, via_pages):
+        for a, b in zip(via_run, got):
+            np.testing.assert_array_equal(a, b[: a.shape[0]])
