@@ -274,6 +274,12 @@ def preflight_link_probe(budget: float, probe_timeout: float = 75.0,
               "budget spent)", file=sys.stderr)
         time.sleep(min(sleep_s, budget - waited))
     info["waited_s"] = round(time.monotonic() - t0, 1)
+    if (info.get("ok") and not info.get("link", {}).get("healthy", True)
+            and "accepted_degraded" not in info):
+        # the wedge budget ran out while waiting for a healthy window
+        # after an earlier degraded-but-responsive probe: the measurement
+        # proceeds against that phase — record it as accepted
+        info["accepted_degraded"] = True
     return info
 
 
