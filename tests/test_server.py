@@ -386,3 +386,47 @@ def test_http_503_on_overload(server, service):
         assert "max_queue" in json.loads(err.value.read())["error"]
     finally:
         service.submit = orig_submit
+
+
+def test_stop_fails_pending_futures():
+    """stop() with accepted-but-unfinished work must fail those futures
+    promptly (not leave clients blocked until request timeout) and
+    release their in-flight capacity."""
+    import time
+
+    network = PixelClassifier(n_classes=3, seed=0)
+    predictor = Predictor(
+        PredictSettings(color_map=DEFAULT_IMAGE_MAP, n_classes=3),
+        network=network,
+    )
+    svc = BatchingService(
+        predictor, DEFAULT_IMAGE_MAP, target_line_height=8,
+        default_char_height=8, max_batch=1, max_wait_ms=1.0,
+        prepare="spline",
+    )
+    gate = threading.Event()
+    orig = predictor.predict_dataset_fast
+
+    def gated(dataset, batch_size=1, **kw):
+        gate.wait(timeout=60)
+        yield from orig(dataset, batch_size=batch_size, **kw)
+
+    predictor.predict_dataset_fast = gated
+    try:
+        futures = [svc.submit(make_page(i)) for i in range(4)]
+        time.sleep(0.3)  # let the pipeline fill (device thread gated)
+        gate.set()  # release the in-flight batch; the rest get stopped
+        svc.stop()
+        outcomes = []
+        for f in futures:
+            try:
+                outcomes.append(("ok", f.result(timeout=30)))
+            except RuntimeError as exc:
+                assert "service stopped" in str(exc)
+                outcomes.append(("stopped", None))
+        # nothing may hang; at least the tail must have been failed fast
+        assert len(outcomes) == 4
+        assert svc._pending_pages == 0, svc._pending_pages
+    finally:
+        gate.set()
+        predictor.predict_dataset_fast = orig
