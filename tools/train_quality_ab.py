@@ -456,6 +456,11 @@ def main():
                               **result["step_throughput"]}), file=sys.stderr)
 
     print(json.dumps(result))
+    if args.record and not ("tpu" in result and "reference" in result):
+        print("--record ignored: the quality arms did not both run "
+              "(a partial record would overwrite the full artifact)",
+              file=sys.stderr)
+        args.record = False
     if args.record:
         path = os.path.join(HERE, "..", "bench_runs",
                             "r5_train_quality_ab.json")
